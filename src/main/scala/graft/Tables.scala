@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Accessors for the driver-generated parquet tables (TESTDATA.md).
+  *
+  * All query entry points receive a scale-factor directory and read the
+  * tables lazily; Catalyst prunes columns/filters down to the parquet scan,
+  * so at 100 TB only the referenced columns/row-groups are read.
+  */
+object Tables {
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.ts is TIMESTAMP(NANOS) in parquet, which Spark 4 refuses to
+    // read natively; read nanos as long and truncate to µs (exactly what
+    // DuckDB's reader does), keeping both engines' view identical.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    else df
+  }
+
+  def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = apply(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = apply(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame    = apply(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+}
+
+/** Shared helpers for oracle-deterministic numeric output.
+  *
+  * Rationale: double summation is order-dependent, and Spark (multi-partition
+  * partial aggregation) and DuckDB (single-threaded) will sum in different
+  * orders. All monetary columns in the test data are exact 2-decimal values,
+  * so products with (1-discount)/(1+tax) are exact 4/6-decimal values; casting
+  * to a decimal type with enough scale is lossless-after-rounding-noise and
+  * makes the sum exact and order-independent on BOTH engines. The final cast
+  * back to double is deterministic (round-to-nearest of an exact decimal).
+  */
+object Q {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.types.DecimalType
+
+  /** Exact, order-independent sum of a ≤4-decimal double column. */
+  def dsum4(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast("double")
+
+  /** Exact, order-independent sum of a ≤6-decimal double column. */
+  def dsum6(c: Column): Column = sum(c.cast(DecimalType(18, 6))).cast("double")
+
+  /** Order-independent average: exact decimal sum / count. */
+  def davg4(c: Column): Column =
+    sum(c.cast(DecimalType(18, 4))).cast("double") / count(lit(1))
+}

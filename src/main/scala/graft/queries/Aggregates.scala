@@ -1,0 +1,193 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Aggregations, grouping sets, analytic windows, dedup/upsert patterns.
+  *
+  * Reference analogs: the continuous view `SELECT payload, count(*) FROM
+  * foo_stream GROUP BY payload` (reference README.md:66) is E2 =
+  * q_agg_count_group; the `ON CONFLICT DO UPDATE` consumer upsert
+  * (pipeline_kinesis.c:861-865) is C3 = q_upsert_last_wins. All hash
+  * aggregates here run partial (map-side) + final, so the shuffle carries
+  * only group cardinality, not row cardinality — the property that matters
+  * at 100 TB.
+  */
+object Aggregates {
+
+  type Qf = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Qf] = Map(
+    // E2: the reference's own demo query, batch form.
+    "q_agg_count_group" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
+    // TPC-H1-style multi-aggregate. Decimal-cast sums are exact and
+    // order-independent (see graft.Q); avg is computed as exact-sum/count.
+    "q_agg_multi" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+      val disc  = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      val charge = disc * (lit(1.0) + col("l_tax"))
+      l.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(Q.dsum4(col("l_quantity")).as("sum_qty"),
+             Q.dsum4(col("l_extendedprice")).as("sum_base"),
+             Q.dsum4(disc).as("sum_disc_price"),
+             Q.dsum6(charge).as("sum_charge"),
+             (Q.dsum4(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+             min(col("l_extendedprice")).as("min_price"),
+             max(col("l_extendedprice")).as("max_price"),
+             count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // Exact distinct aggregation (expand + two-phase in Spark).
+    "q_agg_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+             countDistinct(col("l_partkey")).as("n_part"),
+             count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")),
+
+    // HLL sketch distinct — single pass, fixed-size state, mergeable: the
+    // scale path when exact distinct would shuffle too much. No oracle
+    // (approximate); bounds asserted in the ScalaTest spec instead.
+    "q_approx_distinct" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+             count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
+    // ROLLUP over region→nation customer revenue.
+    "q_grouping_sets" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .select(r("r_name").as("r_name"), n("n_name").as("n_name"),
+                o("o_totalprice").as("o_totalprice"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(Q.dsum4(col("o_totalprice")).as("total"), count(lit(1)).as("n_rows"))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+    }),
+
+    // Ranking window: top-3 orders per customer by price.
+    "q_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // Analytic frame: running per-customer revenue in order-date order.
+    // The window sum is decimal, so the running value is exact at every row.
+    "q_window_frame" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .withColumn("running_total",
+          sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+            .over(w).cast("double"))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+                col("running_total"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // Dedup: first event per (user, type) by event time. The window-rank
+    // formulation shuffles once on the dedup key; at scale this beats
+    // dropDuplicates when a deterministic survivor (earliest) is required.
+    "q_dedup" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"),
+                col("event_id").as("first_event_id"), col("value"))
+        .orderBy("user_id", "event_type")
+    }),
+
+    // C3 analog: last-wins upsert compaction — latest row per natural key.
+    "q_upsert_last_wins" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"),
+                col("event_id").as("last_event_id"), col("value"))
+        .orderBy("user_id", "event_type")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_agg_count_group" ->
+      "SELECT event_type, count(*) AS n FROM events GROUP BY event_type ORDER BY event_type",
+    "q_agg_multi" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base,
+                CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+                CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
+                min(l_extendedprice) AS min_price,
+                max(l_extendedprice) AS max_price,
+                count(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q_agg_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+                count(DISTINCT l_partkey) AS n_part, count(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_grouping_sets" ->
+      """SELECT r_name, n_name,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+                count(*) AS n_rows
+         FROM orders
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation   ON c_nationkey = n_nationkey
+           JOIN region   ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP(r_name, n_name)
+         ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""",
+    "q_window_rank" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM
+           (SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+            FROM orders)
+         WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "q_window_frame" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                     OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate ASC, o_orderkey ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                  AS running_total
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+    "q_dedup" ->
+      """SELECT user_id, event_type, event_id AS first_event_id, value FROM
+           (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                         ORDER BY ts ASC, event_id ASC) AS rn
+            FROM events)
+         WHERE rn = 1 ORDER BY user_id, event_type""",
+    "q_upsert_last_wins" ->
+      """SELECT user_id, event_type, event_id AS last_event_id, value FROM
+           (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                         ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events)
+         WHERE rn = 1 ORDER BY user_id, event_type"""
+  )
+}
