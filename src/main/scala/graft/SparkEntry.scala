@@ -20,11 +20,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Joins.queries ++ Aggregates.queries ++
-      TimeWindows.queries
+      TimeWindows.queries ++ TextAnalysis.queries ++ Dedup.queries ++
+      Similarity.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Joins.oracle ++ Aggregates.oracle ++
-      TimeWindows.oracle
+      TimeWindows.oracle ++ TextAnalysis.oracle ++ Dedup.oracle ++
+      Similarity.oracle
 }

@@ -1,0 +1,122 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** NS similarity search over the `embeddings` table (`array<float>`, dim 64).
+  *
+  * Two paths, as a production ANN stack would ship them:
+  *  - brute-force cosine top-k (the exact baseline): broadcast the probe
+  *    vector, one map stage computes scores, `TakeOrderedAndProject` keeps
+  *    k per partition then k global — no full sort, no shuffle of scores;
+  *  - LSH-bucketed variant (the scale path): an 8-bit hyperplane-sign
+  *    bucket prunes ~255/256 of candidates before scoring, trading recall
+  *    for a 100× scan cut — the same plan shape an IVF index produces
+  *    (probe the centroid's posting list only).
+  *
+  * Dot products use array higher-order functions (`zip_with`/`aggregate`),
+  * evaluated left-to-right in both Spark and DuckDB → bit-identical doubles
+  * before the declared rounding.
+  */
+object Similarity {
+
+  type Qf = (SparkSession, String) => DataFrame
+
+  /** Exact double cosine between two float-array columns. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (u, v) => u.cast("double") * v.cast("double")),
+                        lit(0.0), (acc, v) => acc + v)
+    def n2(c: Column) = aggregate(transform(c, u => u.cast("double") * u.cast("double")),
+                                  lit(0.0), (acc, v) => acc + v)
+    dot / sqrt(n2(a) * n2(b))
+  }
+
+  private def probe(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding").as("probe_emb"))
+
+  val queries: Map[String, Qf] = Map(
+    // Brute-force exact top-k against probe vec_id=0.
+    "q_similarity_topk" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .join(broadcast(probe(s, d)))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+                round(cosine(col("embedding"), col("probe_emb")), 4).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)
+        .limit(10)),
+
+    // LSH-bucketed top-k: score only vectors sharing the probe's 8-bit
+    // sign bucket.
+    "q_similarity_lsh" -> ((s, d) => {
+      def bucketOf(emb: Column): Column = (0 until 8).map(i =>
+        when(element_at(emb, i + 1) > 0f, lit(1L << i)).otherwise(0L)).reduce(_ + _)
+      val withB = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), col("embedding"),
+                bucketOf(col("embedding")).as("bucket"))
+      val pb = withB.filter(col("vec_id") === 0)
+        .select(col("embedding").as("probe_emb"), col("bucket").as("probe_bucket"))
+      withB.join(broadcast(pb), col("bucket") === col("probe_bucket"))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+                round(cosine(col("embedding"), col("probe_emb")), 4).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)
+        .limit(10)
+    }),
+
+    // Multimodal projection: text-side features joined with the vector side
+    // on the shared id — the mixed text+embedding row shape a training
+    // pipeline materializes. Join is broadcast-free equi-join on the id;
+    // at scale both sides are bucketed by id so it stays co-located.
+    "q_multimodal_cols" -> ((s, d) => {
+      val doc = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"),
+                size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+                size(col("embedding")).cast("long").as("dim"),
+                round(aggregate(transform(col("embedding"),
+                        u => u.cast("double") * u.cast("double")),
+                      lit(0.0), (acc, v) => acc + v), 4).as("norm_sq"))
+      doc.join(emb, col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
+                col("label"), col("dim"), col("norm_sq"))
+        .orderBy("doc_id")
+    })
+  )
+
+  private val cosSql =
+    """list_sum(list_transform(list_zip(embedding, p.probe_emb),
+         x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+       / sqrt(list_sum(list_transform(embedding, u -> CAST(u AS DOUBLE) * CAST(u AS DOUBLE)))
+            * list_sum(list_transform(p.probe_emb, u -> CAST(u AS DOUBLE) * CAST(u AS DOUBLE))))"""
+
+  private val bucketSql = (col: String) =>
+    (0 until 8).map(i => s"CASE WHEN $col[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END")
+      .mkString(" + ")
+
+  val oracle: Map[String, String] = Map(
+    "q_similarity_topk" ->
+      s"""SELECT vec_id, CAST(label AS BIGINT) AS label, round($cosSql, 4) AS cos_sim
+          FROM embeddings, (SELECT embedding AS probe_emb FROM embeddings WHERE vec_id = 0) p
+          WHERE vec_id <> 0
+          ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""",
+    "q_similarity_lsh" ->
+      s"""SELECT vec_id, CAST(label AS BIGINT) AS label, round($cosSql, 4) AS cos_sim
+          FROM embeddings,
+               (SELECT embedding AS probe_emb, ${bucketSql("embedding")} AS probe_bucket
+                FROM embeddings WHERE vec_id = 0) p
+          WHERE vec_id <> 0 AND ${bucketSql("embedding")} = p.probe_bucket
+          ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""",
+    "q_multimodal_cols" ->
+      """SELECT doc_id, lang, source,
+                CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+                CAST(label AS BIGINT) AS label,
+                CAST(len(embedding) AS BIGINT) AS dim,
+                round(list_sum(list_transform(embedding,
+                        u -> CAST(u AS DOUBLE) * CAST(u AS DOUBLE))), 4) AS norm_sq
+         FROM documents JOIN embeddings ON doc_id = vec_id
+         ORDER BY doc_id"""
+  )
+}

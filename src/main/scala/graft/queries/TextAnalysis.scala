@@ -1,0 +1,185 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** NS text-analysis operators over the `documents` table: token statistics,
+  * BPE-ish regex tokenization, quality scoring, marker-based language ID,
+  * document fingerprinting (md5 + polynomial rolling hash), and
+  * binary-column handling.
+  *
+  * All computations are narrow (per-row, no shuffle except the declared
+  * aggregations), so at 100 TB they run as a single map stage over the
+  * parquet scan with only `doc_id`+`text` read (column pruning). Hashing is
+  * built from md5 + integer arithmetic so the DuckDB oracle reproduces every
+  * bit: `hex7(md5(x))` < 2^28, keeping all downstream products inside
+  * exact 64-bit range on both engines.
+  *
+  * Reference capability analog: PipelineDB continuous views run arbitrary
+  * scalar SQL over stream rows (reference README.md:66); these are the
+  * scalar pipelines a training-data ingest would run per document.
+  */
+object TextAnalysis {
+
+  type Qf = (SparkSession, String) => DataFrame
+
+  /** First 7 hex digits of md5 as a long (< 2^28): cross-engine-exact. */
+  def hex7(c: Column): Column = conv(substring(md5(c), 1, 7), 16, 10).cast("long")
+
+  private val toks = split(col("text"), " ")
+
+  // Marker-token sets per language (vocabulary-derived; a real language-ID
+  // model would use char n-gram profiles — the *operator shape* is the same:
+  // argmax over per-class token-hit scores with a deterministic tie-break).
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "data", "fast"),
+    "de" -> Seq("window", "group", "batch"),
+    "es" -> Seq("table", "row", "line"),
+    "fr" -> Seq("query", "filter", "join"),
+    "zh" -> Seq("vector", "hash", "stream"))
+
+  private def markerScore(words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words))).cast("long")
+
+  val queries: Map[String, Qf] = Map(
+    // Token counting: whitespace tokens + a BPE-ish regex tokenizer.
+    "q_text_tokens" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+                size(toks).cast("long").as("n_tokens"),
+                size(array_distinct(toks)).cast("long").as("n_distinct"),
+                round(aggregate(toks, lit(0L), (a, t) => a + length(t))
+                        .cast("double") / size(toks), 4).as("mean_tok_len"),
+                size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+                  .cast("long").as("n_bpe"))
+        .orderBy("doc_id")),
+
+    // Global term frequency: the one shuffle here carries only
+    // (token, partial count) pairs — map-side combine keeps it tiny.
+    "q_text_topterms" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(toks).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(100)),
+
+    // Quality scoring: stopword ratio, short-token ratio, mean length,
+    // composite score. Ratios are double divisions evaluated in the same
+    // order on both engines → bit-identical before the final round.
+    "q_text_quality" -> ((s, d) => {
+      val n = size(toks)
+      val stopRatio = markerScore(Seq("the", "a", "of", "and", "in")).cast("double") / n
+      val shortRatio = size(filter(toks, t => length(t) <= 3)).cast("double") / n
+      val meanLen = aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double") / n
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+                n.cast("long").as("n_tokens"),
+                round(stopRatio, 4).as("stop_ratio"),
+                round(shortRatio, 4).as("short_ratio"),
+                round(meanLen, 4).as("mean_len"),
+                round(lit(1.0) - lit(0.5) * stopRatio - lit(0.3) * shortRatio, 4)
+                  .as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // Language ID: argmax of per-language marker scores, ties broken by the
+    // fixed language order (greatest + first-match CASE).
+    "q_lang_id" -> ((s, d) => {
+      val scores = markers.map { case (l, ws) => l -> markerScore(ws) }
+      val best = greatest(scores.map(_._2): _*)
+      // CASE evaluates in order, so the first language hitting the max wins.
+      val predOrdered = scores.foldRight(lit("und")) { case ((l, sc), rest) =>
+        when(sc === best, lit(l)).otherwise(rest)
+      }
+      Tables.documents(s, d)
+        .select(Seq(col("doc_id")) ++
+                scores.map { case (l, sc) => sc.as(s"s_$l") } :+
+                predOrdered.as("lang_pred"): _*)
+        .orderBy("doc_id")
+    }),
+
+    // Fingerprinting: whole-doc md5, 5-token-prefix md5, and a polynomial
+    // rolling hash over per-token hex7(md5) values mod 1e9+7 (all integer
+    // arithmetic stays < 2^35 — exact on both engines).
+    "q_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+                md5(col("text")).as("fp_md5"),
+                md5(array_join(slice(toks, 1, 5), " ")).as("fp_prefix"),
+                aggregate(transform(toks, t => hex7(t)), lit(0L),
+                          (a, h) => (a * 31L + h) % 1000000007L).as("fp_roll"))
+        .orderBy("doc_id")),
+
+    // Multimodal plumbing demo on a real oracle-checkable path: treat text
+    // as an opaque binary payload (the image/audio column pattern), compute
+    // byte-level features. Real media decode lives in
+    // graft.operators.Multimodal (stubbed decode, real Spark plumbing).
+    "q_binary_cols" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+                octet_length(col("text")).cast("long").as("n_bytes"),
+                ascii(substring(col("text"), 1, 1)).cast("long").as("first_byte"),
+                base64(substring(col("text"), 1, 12).cast("binary")).as("head_b64"))
+        .orderBy("doc_id"))
+  )
+
+  private def markerSql(words: Seq[String]): String =
+    s"CAST(len(list_filter(string_split(text,' '), t -> t IN (${words.map(w => s"'$w'").mkString(",")}))) AS BIGINT)"
+
+  private val langScoreSql = markers.map { case (l, ws) => s"${markerSql(ws)} AS s_$l" }
+  private val langCaseSql = {
+    val m = s"greatest(${markers.map { case (l, _) => s"s_$l" }.mkString(",")})"
+    "CASE " + markers.map { case (l, _) => s"WHEN s_$l = $m THEN '$l'" }.mkString(" ") +
+      " ELSE 'und' END"
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q_text_tokens" ->
+      """SELECT doc_id,
+                CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+                CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_distinct,
+                round(CAST(list_sum(list_transform(string_split(text,' '), t -> length(t))) AS DOUBLE)
+                      / len(string_split(text,' ')), 4) AS mean_tok_len,
+                CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe
+         FROM documents ORDER BY doc_id""",
+    "q_text_topterms" ->
+      """SELECT token, count(*) AS n
+         FROM (SELECT unnest(string_split(text,' ')) AS token FROM documents)
+         GROUP BY token ORDER BY n DESC, token ASC LIMIT 100""",
+    "q_text_quality" ->
+      s"""SELECT doc_id,
+                CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+                round(CAST(${markerSql(Seq("the", "a", "of", "and", "in"))} AS DOUBLE)
+                      / len(string_split(text,' ')), 4) AS stop_ratio,
+                round(CAST(len(list_filter(string_split(text,' '), t -> length(t) <= 3)) AS DOUBLE)
+                      / len(string_split(text,' ')), 4) AS short_ratio,
+                round(CAST(list_sum(list_transform(string_split(text,' '), t -> length(t))) AS DOUBLE)
+                      / len(string_split(text,' ')), 4) AS mean_len,
+                round(1.0 - 0.5 * (CAST(${markerSql(Seq("the", "a", "of", "and", "in"))} AS DOUBLE)
+                                   / len(string_split(text,' ')))
+                          - 0.3 * (CAST(len(list_filter(string_split(text,' '), t -> length(t) <= 3)) AS DOUBLE)
+                                   / len(string_split(text,' '))), 4) AS quality
+         FROM documents ORDER BY doc_id""",
+    "q_lang_id" ->
+      s"""SELECT doc_id, ${markers.map { case (l, _) => s"s_$l" }.mkString(", ")}, $langCaseSql AS lang_pred
+         FROM (SELECT doc_id, ${langScoreSql.mkString(", ")} FROM documents)
+         ORDER BY doc_id""",
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp_md5,
+                md5(array_to_string(list_slice(string_split(text,' '), 1, 5), ' ')) AS fp_prefix,
+                list_reduce(
+                  list_concat([CAST(0 AS BIGINT)],
+                    list_transform(string_split(text,' '),
+                      t -> CAST(concat('0x', substr(md5(t),1,7)) AS BIGINT))),
+                  (a, h) -> (a * 31 + h) % 1000000007) AS fp_roll
+         FROM documents ORDER BY doc_id""",
+    "q_binary_cols" ->
+      """SELECT doc_id,
+                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                CAST(ascii(substr(text,1,1)) AS BIGINT) AS first_byte,
+                to_base64(encode(substr(text,1,12))) AS head_b64
+         FROM documents ORDER BY doc_id"""
+  )
+}
