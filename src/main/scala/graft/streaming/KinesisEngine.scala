@@ -1,0 +1,192 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import scala.collection.mutable
+
+import graft.sources.ShardedLog
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.{StructField, StructType, TimestampType}
+
+/** Control-plane facade with the reference extension's API surface
+  * (reference pipeline_kinesis--0.9.0.sql:33-83), re-expressed as plain
+  * Scala methods over Structured Streaming:
+  *
+  *  - `addEndpoint`/`removeEndpoint` — endpoints catalog (C1/C2;
+  *    pipeline_kinesis.c:120-188). `url` points at a sharded-log root dir.
+  *  - `createStream` — CREATE STREAM: a named relation schema; the
+  *    implicit `arrival_timestamp` column is injected at ingest and never
+  *    user-supplied (pipeline_kinesis.c:249-256).
+  *  - `createContinuousView` — a standing aggregation over a stream
+  *    (PipelineDB CV, reference README.md:66), materialized to an
+  *    in-memory queryable sink (`spark.table(viewName)`).
+  *  - `consumeBegin`/`consumeEnd`(`All`) — upsert the consumer (C3),
+  *    start/stop one StreamingQuery per continuous view on the target
+  *    relation (the bgworker-launch analog, pipeline_kinesis.c:774-823;
+  *    query handles play the shmem-registry role, D5).
+  *  - `seqnums` — per-(consumer, shard) next sequence number, read from
+  *    the streaming checkpoint's offset log — the observability view of
+  *    pipeline_kinesis--0.9.0.sql:26-31 / README.md:119-126.
+  *
+  * Delivery: the reference commits seqnums in a second transaction after
+  * COPY (at-least-once, with poison batches dropped —
+  * pipeline_kinesis.c:738-758). Here source replay + checkpointed state
+  * give exactly-once view updates; parse failures are PERMISSIVE (nulls),
+  * not batch drops.
+  */
+class KinesisEngine(spark: SparkSession, metaDir: String) {
+
+  case class Endpoint(name: String, region: String, credfile: String, url: String)
+  case class Consumer(id: Int, endpoint: String, stream: String, relation: String,
+                      format: String, delimiter: String, quote: String, escape: String,
+                      batchsize: Long, parallelism: Int)
+
+  private val endpoints = mutable.LinkedHashMap[String, Endpoint]()
+  private val streams = mutable.LinkedHashMap[String, StructType]()
+  private val views = mutable.LinkedHashMap[String, (String, DataFrame => DataFrame)]()
+  private val consumers = mutable.LinkedHashMap[(String, String, String), Consumer]()
+  private val running = mutable.LinkedHashMap[Int, Seq[StreamingQuery]]()
+  private var nextId = 1
+
+  Files.createDirectories(Paths.get(metaDir))
+
+  // --- catalog (C1/C2/C3) -------------------------------------------------
+
+  def addEndpoint(name: String, region: String, credfile: String = null,
+                  url: String = null): Unit = synchronized {
+    endpoints(name) = Endpoint(name, region, credfile, url)
+  }
+
+  def removeEndpoint(name: String): Unit = synchronized {
+    require(!consumers.valuesIterator.exists(_.endpoint == name) ||
+            !running.keySet.exists(id => consumers.valuesIterator.exists(c => c.id == id && c.endpoint == name)),
+      s"endpoint $name has running consumers")
+    endpoints.remove(name)
+  }
+
+  def createStream(relation: String, schema: StructType): Unit = synchronized {
+    require(!schema.fieldNames.contains("arrival_timestamp"),
+      "arrival_timestamp is implicit and cannot be declared") // pipeline_kinesis.c:249-256
+    streams(relation) = schema
+  }
+
+  def createContinuousView(name: String, relation: String,
+                           agg: DataFrame => DataFrame): Unit = synchronized {
+    views(name) = (relation, agg)
+  }
+
+  // --- data plane ---------------------------------------------------------
+
+  /** The parsed stream for a consumer config: source → parse (B2) →
+    * implicit-column injection (B3). Exposed for tests/batch inspection. */
+  private def parsedStream(c: Consumer, url: String): DataFrame = {
+    val schema = streams(c.relation)
+    val raw = spark.readStream.format(ShardedLog.FORMAT)
+      .option("path", s"$url/${c.stream}")
+      .option("batchsize", c.batchsize)
+      .option("startingposition", c.startPosOption)
+      .load()
+    val parsed = c.format match {
+      case "text" =>
+        // text COPY: the whole record lands in the relation's single
+        // payload column (reference README.md:65 `foo_stream (payload text)`)
+        require(schema.fields.length == 1, "text format needs a 1-column stream")
+        raw.select(col("data").cast(schema.fields.head.dataType)
+          .as(schema.fields.head.name))
+      case "csv" =>
+        val opts = Map("sep" -> c.delimiter) ++
+          Option(c.quote).map("quote" -> _) ++ Option(c.escape).map("escape" -> _)
+        raw.select(from_csv(col("data"), schema, opts).as("r")).select(col("r.*"))
+      case other => throw new IllegalArgumentException(s"format $other")
+    }
+    parsed.withColumn("arrival_timestamp", current_timestamp())
+  }
+
+  private implicit class ConsumerOps(c: Consumer) {
+    def startPosOption: String = "trim_horizon"
+  }
+
+  /** consume_begin_sr analog (pipeline_kinesis.c:857-948): upsert consumer,
+    * launch one StreamingQuery per continuous view over the relation. */
+  def consumeBegin(endpoint: String, stream: String, relation: String,
+                   format: String = "text", delimiter: String = "\t",
+                   quote: String = null, escape: String = null,
+                   batchsize: Long = 1000L, parallelism: Int = 1): Int = synchronized {
+    val ep = endpoints.getOrElse(endpoint, sys.error(s"no endpoint $endpoint"))
+    val key = (endpoint, stream, relation)
+    val c = consumers.get(key) match {
+      case Some(old) => // ON CONFLICT … DO UPDATE (C3)
+        val upd = old.copy(format = format, delimiter = delimiter, quote = quote,
+          escape = escape, batchsize = batchsize, parallelism = parallelism)
+        consumers(key) = upd; upd
+      case None =>
+        val c = Consumer(nextId, endpoint, stream, relation, format, delimiter,
+          quote, escape, batchsize, parallelism)
+        nextId += 1; consumers(key) = c; c
+    }
+    if (!running.contains(c.id)) {
+      val df = parsedStream(c, ep.url)
+      val qs = views.toSeq.collect { case (vname, (rel, agg)) if rel == relation =>
+        agg(df).writeStream
+          .queryName(vname)
+          .outputMode("complete")
+          .format("memory")
+          .option("checkpointLocation", s"$metaDir/checkpoints/${c.id}/$vname")
+          .start()
+      }
+      require(qs.nonEmpty, s"no continuous view reads stream relation '$relation'")
+      running(c.id) = qs
+    }
+    c.id
+  }
+
+  def consumeEnd(endpoint: String, stream: String, relation: String): Unit = synchronized {
+    consumers.get((endpoint, stream, relation)).foreach { c =>
+      running.remove(c.id).foreach(_.foreach(_.stop())) // D3: graceful stop
+    }
+  }
+
+  def consumeBeginAll(): Unit =
+    consumers.values.toSeq.foreach(c => consumeBegin(c.endpoint, c.stream, c.relation,
+      c.format, c.delimiter, c.quote, c.escape, c.batchsize, c.parallelism))
+
+  def consumeEndAll(): Unit = synchronized {
+    running.values.flatten.foreach(_.stop()); running.clear() // D4
+  }
+
+  def activeQueries: Seq[StreamingQuery] = synchronized(running.values.flatten.toSeq)
+
+  /** Block until every running view has processed all currently-available
+    * records (test/demo synchronization point). */
+  def processAllAvailable(): Unit = activeQueries.foreach(_.processAllAvailable())
+
+  // --- observability (seqnums view, README.md:119-126) --------------------
+
+  def seqnums: DataFrame = {
+    import spark.implicits._
+    val rows = synchronized(running.keys.toSeq).flatMap { id =>
+      val cpRoot = Paths.get(s"$metaDir/checkpoints/$id")
+      if (!Files.exists(cpRoot)) Nil
+      else Files.list(cpRoot).toArray.map(_.toString).flatMap { vdir =>
+        val offDir = Paths.get(vdir, "offsets")
+        if (!Files.exists(offDir)) Nil
+        else {
+          val latest = Files.list(offDir).toArray.map(_.toString)
+            .filter(_.split("/").last.forall(_.isDigit))
+            .sortBy(f => f.split("/").last.toLong).lastOption
+          latest.toSeq.flatMap { f =>
+            // offset-log format: v1 header, metadata json, then one offset
+            // json line per source — ours is the {shard: nextSeq} map.
+            scala.io.Source.fromFile(f).getLines().toSeq.drop(2)
+              .filter(l => l.startsWith("{") && l.contains(":"))
+              .flatMap(l => ShardedLog.parseOffsetJson(l).toSeq)
+              .map { case (shard, seq) => (id, shard.stripSuffix(".log"), seq) }
+          }
+        }
+      }
+    }
+    rows.toDF("consumer_id", "shard_id", "seqnum").distinct()
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming/approx semantics the DuckDB oracle cannot check:
+  * watermark late-row dropping (q_watermark_late), streaming dedup,
+  * as-of join unit behavior, HLL error bounds, CSV parse round-trip.
+  */
+class SemanticsSpec extends SparkSpec {
+
+  private def ts(m: String): Timestamp = Timestamp.valueOf(s"2024-01-01 $m:00")
+
+  test("watermark drops late rows past the 10-minute bound (q_watermark_late)") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val q = in.toDF().toDF("ts", "v")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes")).count()
+      .writeStream.queryName("wm_view").outputMode("append")
+      .format("memory").start()
+    try {
+      in.addData((ts("00:05"), 1L))          // window [00:00, 00:10)
+      q.processAllAvailable()
+      in.addData((ts("00:31"), 2L))          // watermark → 00:21 closes it
+      q.processAllAvailable()
+      in.addData((ts("00:02"), 3L))          // LATE: before watermark → dropped
+      in.addData((ts("01:01"), 4L))          // advance watermark past 00:40
+      q.processAllAvailable()
+      val rows = spark.table("wm_view")
+        .select(col("window.start").cast("string"), col("count")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows("2024-01-01 00:00:00") === 1L,
+        "late row must NOT be counted into the closed window")
+      assert(rows("2024-01-01 00:30:00") === 1L)
+    } finally q.stop()
+  }
+
+  test("streaming dedup keeps first occurrence across micro-batches (q_dedup streaming form)") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("id", "payload")
+      .dropDuplicates("id")
+      .writeStream.queryName("dedup_view").outputMode("append")
+      .format("memory").start()
+    try {
+      in.addData((1L, "a"), (2L, "b"), (1L, "a2"))
+      q.processAllAvailable()
+      in.addData((2L, "b2"), (3L, "c"))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_view").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rows === Map(1L -> "a", 2L -> "b", 3L -> "c"))
+    } finally q.stop()
+  }
+
+  test("AsOfJoin picks latest right row at-or-before left time, per key") {
+    import spark.implicits._
+    val left = Seq((1L, ts("01:00"), "e1"), (1L, ts("02:00"), "e2"),
+                   (2L, ts("01:30"), "e3"), (3L, ts("01:00"), "e4"))
+      .toDF("k", "t", "ev")
+    val right = Seq((1L, ts("00:30"), 10L), (1L, ts("01:30"), 11L),
+                    (1L, ts("02:00"), 12L), (2L, ts("02:00"), 20L))
+      .toDF("rk", "rt", "rid")
+    val out = AsOfJoin(left, right, "k", "rk", "t", "rt", Seq("rid"), "rid")
+      .select("ev", "asof_rid").collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(out("e1") === Some(10L), "latest ≤ 01:00 is 00:30")
+    assert(out("e2") === Some(12L), "equal time matches (≤ semantics)")
+    assert(out("e3") === None, "right row is in the future → no match")
+    assert(out("e4") === None, "no right rows for key 3")
+  }
+
+  test("approx_count_distinct stays within its 1% rsd bound at sf0.001") {
+    val e = Tables.events(spark, sf0001)
+    val exact = e.select(countDistinct(col("user_id"))).head().getLong(0)
+    val approx = e.select(approx_count_distinct(col("user_id"), 0.01)).head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact <= 0.05,
+      s"approx=$approx exact=$exact")
+  }
+
+  test("csv round-trip under delimiter/quote variations (B2 COPY options)") {
+    import spark.implicits._
+    val schema = "name STRING, n BIGINT, x DOUBLE"
+    for (delim <- Seq(",", "\t", "|", ";")) {
+      val rows = Seq(("alpha", 1L, 0.5), ("beta two", -3L, 2.25))
+      val df = rows.toDF("name", "n", "x")
+        .select(concat_ws(delim, col("name"), col("n"), col("x")).as("line"))
+        .select(from_csv(col("line"),
+          org.apache.spark.sql.types.StructType.fromDDL(schema),
+          Map("sep" -> delim)).as("r"))
+        .select("r.*")
+      assert(df.as[(String, Long, Double)].collect().toSeq === rows)
+    }
+  }
+}

@@ -1,0 +1,141 @@
+package graft
+
+import graft.sources.ShardedLog
+import graft.streaming.KinesisEngine
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** README-parity end-to-end (reference README.md:34-129): 4-shard stream,
+  * 100 fooN records, continuous view `SELECT payload, count(*) GROUP BY
+  * payload`, incremental re-put, seqnums observability, stop/restart
+  * resume from checkpoint (the seqnums-resume semantics of
+  * pipeline_kinesis.c:459-536).
+  */
+class StreamingSpec extends SparkSpec {
+
+  test("README-parity: sharded source → continuous view → resume") {
+    val root = tmpDir("kin-root")
+    val meta = tmpDir("kin-meta")
+    val logDir = s"$root/test" // stream name 'test' (README.md:36)
+
+    // Seed: 100 records foo1…foo100 over 4 shards (README.md:42-46).
+    (1 to 100).foreach(i => ShardedLog.append(logDir, i % 4, Seq((s"foo$i", s"foo$i"))))
+
+    val eng = new KinesisEngine(spark, meta)
+    eng.addEndpoint("ep", "us-west-2", url = root)
+    eng.createStream("foo_stream", StructType(Seq(StructField("payload", StringType))))
+    eng.createContinuousView("foo_view", "foo_stream",
+      df => df.groupBy("payload").count())
+
+    val id = eng.consumeBegin("ep", "test", "foo_stream", format = "text")
+    eng.processAllAvailable()
+
+    val v1 = spark.table("foo_view").collect()
+    assert(v1.length === 100, "one row per distinct payload")
+    assert(v1.forall(_.getLong(1) === 1L), "count 1 each (README.md:78-88)")
+
+    // Re-put the same 100 → counts advance to 2 (README.md:101-117).
+    (1 to 100).foreach(i => ShardedLog.append(logDir, i % 4, Seq((s"foo$i", s"foo$i"))))
+    eng.processAllAvailable()
+    val v2 = spark.table("foo_view").collect()
+    assert(v2.length === 100 && v2.forall(_.getLong(1) === 2L))
+
+    // seqnums observability (README.md:119-126): 4 shards, 50 records each.
+    val sq = eng.seqnums.collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(sq.keySet === Set("shard-0", "shard-1", "shard-2", "shard-3"))
+    assert(sq.values.toSeq.sorted === Seq(50L, 50L, 50L, 50L))
+    assert(eng.seqnums.columns.toSeq === Seq("consumer_id", "shard_id", "seqnum"))
+
+    // Stop, append while down, restart → resumes from checkpoint: counts
+    // reach exactly 3 (no reprocessing, no loss).
+    eng.consumeEnd("ep", "test", "foo_stream")
+    assert(eng.activeQueries.isEmpty)
+    (1 to 100).foreach(i => ShardedLog.append(logDir, i % 4, Seq((s"foo$i", s"foo$i"))))
+    val id2 = eng.consumeBegin("ep", "test", "foo_stream", format = "text")
+    assert(id2 === id, "consume_begin upserts, id is stable (C3)")
+    eng.processAllAvailable()
+    val v3 = spark.table("foo_view").collect()
+    assert(v3.length === 100 && v3.forall(_.getLong(1) === 3L))
+    eng.consumeEndAll()
+  }
+
+  test("csv format parses delimited payloads into typed stream columns") {
+    val root = tmpDir("kin-csv")
+    val meta = tmpDir("kin-csv-meta")
+    ShardedLog.append(s"$root/s", 0, Seq(("k1", "a,1,9.5"), ("k2", "b,2,0.25")))
+
+    val eng = new KinesisEngine(spark, meta)
+    eng.addEndpoint("ep", "r", url = root)
+    eng.createStream("typed_stream", StructType(Seq(
+      StructField("name", StringType), StructField("n", LongType),
+      StructField("x", DoubleType))))
+    eng.createContinuousView("typed_view", "typed_stream",
+      df => df.groupBy("name").agg(sum("n").as("sn"), sum("x").as("sx")))
+    eng.consumeBegin("ep", "s", "typed_stream", format = "csv", delimiter = ",")
+    eng.processAllAvailable()
+    val rows = spark.table("typed_view").orderBy("name").collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("a", "b"))
+    assert(rows.map(_.getLong(1)).toSeq === Seq(1L, 2L))
+    assert(rows.map(_.getDouble(2)).toSeq === Seq(9.5, 0.25))
+    eng.consumeEndAll()
+  }
+
+  test("startingposition latest skips the backlog") {
+    val dir = tmpDir("kin-latest")
+    ShardedLog.append(dir, 0, (1 to 50).map(i => (s"k$i", s"old$i")))
+    val q = spark.readStream.format(ShardedLog.FORMAT)
+      .option("path", dir).option("startingposition", "latest").load()
+      .groupBy().count()
+      .writeStream.queryName("latest_view").outputMode("complete")
+      .format("memory").start()
+    try {
+      q.processAllAvailable()
+      val before = spark.table("latest_view").collect()
+      assert(before.isEmpty || before.head.getLong(0) === 0L)
+      ShardedLog.append(dir, 0, (1 to 10).map(i => (s"k$i", s"new$i")))
+      q.processAllAvailable()
+      assert(spark.table("latest_view").head().getLong(0) === 10L)
+    } finally q.stop()
+  }
+
+  test("batchsize caps records per shard per micro-batch (A5)") {
+    val dir = tmpDir("kin-batch")
+    ShardedLog.append(dir, 0, (1 to 25).map(i => (s"k$i", s"v$i")))
+    val q = spark.readStream.format(ShardedLog.FORMAT)
+      .option("path", dir).option("batchsize", "10").load()
+      .writeStream.queryName("batch_view").outputMode("append")
+      .format("memory").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("batch_view").count() === 25L)
+      val sizes = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+      assert(sizes.forall(_ <= 10L), s"per-trigger rows ${sizes.mkString(",")}")
+      assert(sizes.length >= 3, "backlog split across micro-batches")
+    } finally q.stop()
+  }
+
+  test("after_sequence_number start position") {
+    val dir = tmpDir("kin-seq")
+    ShardedLog.append(dir, 0, (0 until 20).map(i => (s"k$i", s"v$i")))
+    val q = spark.readStream.format(ShardedLog.FORMAT)
+      .option("path", dir).option("startingposition", "after_sequence_number:14")
+      .load()
+      .writeStream.queryName("seq_view").outputMode("append")
+      .format("memory").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("seq_view").select("sequence_number")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got === (15L until 20L).toSeq)
+    } finally q.stop()
+  }
+
+  test("batch read of the sharded log (A8 parity)") {
+    val dir = tmpDir("kin-batchread")
+    ShardedLog.append(dir, 0, Seq(("a", "1"), ("b", "2")))
+    ShardedLog.append(dir, 1, Seq(("c", "3")))
+    val df = spark.read.format(ShardedLog.FORMAT).option("path", dir).load()
+    assert(df.count() === 3)
+    assert(df.select("shard_id").distinct().count() === 2)
+  }
+}
