@@ -10,6 +10,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the scan/join/codegen paths once so the first timed query
+    // doesn't absorb JVM/classloading warmup.
+    try {
+      SparkEntry.queries("q_scan_parquet")(spark, sfDir).count()
+      SparkEntry.queries("q_join_inner")(spark, sfDir).count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
