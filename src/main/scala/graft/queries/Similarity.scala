@@ -23,14 +23,10 @@ object Similarity {
 
   type Qf = (SparkSession, String) => DataFrame
 
-  /** Exact double cosine between two float-array columns. */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (u, v) => u.cast("double") * v.cast("double")),
-                        lit(0.0), (acc, v) => acc + v)
-    def n2(c: Column) = aggregate(transform(c, u => u.cast("double") * u.cast("double")),
-                                  lit(0.0), (acc, v) => acc + v)
-    dot / sqrt(n2(a) * n2(b))
-  }
+  /** Exact double cosine between two float-array columns — unrolled for
+    * whole-stage codegen (see graft.operators.VectorOps). */
+  def cosine(a: Column, b: Column): Column =
+    graft.operators.VectorOps.cosine(a, b)
 
   private def probe(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).filter(col("vec_id") === 0)
