@@ -19,10 +19,14 @@ object Relational {
   val queries: Map[String, Qf] = Map(
     // A8: plain columnar scan; projection is pruned down to the parquet
     // reader (ReadSchema shows only 4 of 11 columns at scale).
+    // NOTE (here and below): (l_orderkey, l_linenumber) is NOT unique in
+    // the synthetic lineitem, so every lineitem query orders by ALL output
+    // columns — identical rows are interchangeable, making the hash
+    // compare deterministic on any engine/partitioning.
     "q_scan_parquet" -> ((s, d) =>
       Tables.lineitem(s, d)
         .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_returnflag")
-        .orderBy("l_orderkey", "l_linenumber")),
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")),
 
     // A1 batch analog: scan of the stream-shaped `events` table
     // (reference's stream relation, pipeline_kinesis.c:249-256).
@@ -41,7 +45,8 @@ object Relational {
                 $"l_discount".between(0.03, 0.07) && $"l_quantity" < 24)
         .select($"l_orderkey", $"l_linenumber", $"l_quantity",
                 $"l_extendedprice", $"l_discount")
-        .orderBy("l_orderkey", "l_linenumber")),
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity",
+                 "l_extendedprice", "l_discount")),
 
     // B3 analog: projection with derived scalar expressions. Left-assoc
     // double arithmetic is bit-identical across engines, so no rounding.
@@ -51,7 +56,7 @@ object Relational {
                 ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("net_price"),
                 ($"l_extendedprice" * (lit(1.0) - $"l_discount") *
                   (lit(1.0) + $"l_tax")).as("charge"))
-        .orderBy("l_orderkey", "l_linenumber")),
+        .orderBy("l_orderkey", "l_linenumber", "net_price", "charge")),
 
     // E4: multi-key ordered scan (seqnums ORDER BY shard_id analog,
     // reference README.md:119).
@@ -129,7 +134,9 @@ object Relational {
                 sqrt($"l_quantity").as("qty_sqrt"),
                 ceil($"l_discount" * 100).cast("long").as("disc_pct_ceil"),
                 floor($"l_tax" * 100).cast("long").as("tax_pct_floor"))
-        .orderBy("l_orderkey", "l_linenumber")),
+        .orderBy("l_orderkey", "l_linenumber", "price_round", "qty_dev",
+                 "price_ln", "qty_sq", "qty_sqrt", "disc_pct_ceil",
+                 "tax_pct_floor")),
 
     // B2 analog for JSON payloads: extract typed field from the JSON props.
     "q_json_funcs" -> ((s, d) =>
@@ -174,7 +181,7 @@ object Relational {
   val oracle: Map[String, String] = Map(
     "q_scan_parquet" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
-         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+         FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag""",
     "q_scan_stream" ->
       "SELECT event_id, user_id, event_type FROM events ORDER BY event_id",
     "q_filter_pred" ->
@@ -182,12 +189,12 @@ object Relational {
          FROM lineitem
          WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
            AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
-         ORDER BY l_orderkey, l_linenumber""",
+         ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount""",
     "q_project" ->
       """SELECT l_orderkey, l_linenumber,
                 l_extendedprice * (1.0 - l_discount) AS net_price,
                 l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS charge
-         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+         FROM lineitem ORDER BY l_orderkey, l_linenumber, net_price, charge""",
     "q_sort_multi" ->
       """SELECT user_id, event_id, event_type, value
          FROM events ORDER BY user_id ASC, event_id ASC""",
@@ -235,7 +242,8 @@ object Relational {
                 sqrt(l_quantity) AS qty_sqrt,
                 CAST(ceil(l_discount * 100) AS BIGINT) AS disc_pct_ceil,
                 CAST(floor(l_tax * 100) AS BIGINT) AS tax_pct_floor
-         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+         FROM lineitem ORDER BY l_orderkey, l_linenumber, price_round, qty_dev,
+                  price_ln, qty_sq, qty_sqrt, disc_pct_ceil, tax_pct_floor""",
     "q_json_funcs" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
                 CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50

@@ -55,6 +55,15 @@ object TextAnalysis {
                   .cast("long").as("n_bpe"))
         .orderBy("doc_id")),
 
+    // SURVEY §2 key: token counts over documents.text (split→explode→
+    // count) — the canonical text-analysis pipeline shape.
+    "q_text_analysis" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("token"))),
+
     // Global term frequency: the one shuffle here carries only
     // (token, partial count) pairs — map-side combine keeps it tiny.
     "q_text_topterms" -> ((s, d) =>
@@ -144,6 +153,10 @@ object TextAnalysis {
                       / len(string_split(text,' ')), 4) AS mean_tok_len,
                 CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe
          FROM documents ORDER BY doc_id""",
+    "q_text_analysis" ->
+      """SELECT token, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+         FROM (SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents)
+         GROUP BY token ORDER BY token""",
     "q_text_topterms" ->
       """SELECT token, count(*) AS n
          FROM (SELECT unnest(string_split(text,' ')) AS token FROM documents)

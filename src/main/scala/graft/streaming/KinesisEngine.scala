@@ -41,7 +41,7 @@ class KinesisEngine(spark: SparkSession, metaDir: String) {
   case class Endpoint(name: String, region: String, credfile: String, url: String)
   case class Consumer(id: Int, endpoint: String, stream: String, relation: String,
                       format: String, delimiter: String, quote: String, escape: String,
-                      batchsize: Long, parallelism: Int)
+                      batchsize: Long, parallelism: Int, startSeq: Long)
 
   private val endpoints = mutable.LinkedHashMap[String, Endpoint]()
   private val streams = mutable.LinkedHashMap[String, StructType]()
@@ -105,7 +105,17 @@ class KinesisEngine(spark: SparkSession, metaDir: String) {
   }
 
   private implicit class ConsumerOps(c: Consumer) {
-    def startPosOption: String = "trim_horizon"
+    /** start_seq → starting position, the reference's encoding: −2 =
+      * trim_horizon, −1 = latest, n ≥ 0 = after_sequence_number:n
+      * (pipeline_kinesis.c:587-605,922-925). Only consulted when no saved
+      * seqnum (checkpoint) exists — checkpoint resume wins, matching
+      * pipeline_kinesis.c:592-604. */
+    def startPosOption: String = c.startSeq match {
+      case -2L => "trim_horizon"
+      case -1L => "latest"
+      case n if n >= 0 => s"after_sequence_number:$n"
+      case bad => throw new IllegalArgumentException(s"start_seq $bad")
+    }
   }
 
   /** consume_begin_sr analog (pipeline_kinesis.c:857-948): upsert consumer,
@@ -113,17 +123,19 @@ class KinesisEngine(spark: SparkSession, metaDir: String) {
   def consumeBegin(endpoint: String, stream: String, relation: String,
                    format: String = "text", delimiter: String = "\t",
                    quote: String = null, escape: String = null,
-                   batchsize: Long = 1000L, parallelism: Int = 1): Int = synchronized {
+                   batchsize: Long = 1000L, parallelism: Int = 1,
+                   startSeq: Long = -2L): Int = synchronized {
     val ep = endpoints.getOrElse(endpoint, sys.error(s"no endpoint $endpoint"))
     val key = (endpoint, stream, relation)
     val c = consumers.get(key) match {
       case Some(old) => // ON CONFLICT … DO UPDATE (C3)
         val upd = old.copy(format = format, delimiter = delimiter, quote = quote,
-          escape = escape, batchsize = batchsize, parallelism = parallelism)
+          escape = escape, batchsize = batchsize, parallelism = parallelism,
+          startSeq = startSeq)
         consumers(key) = upd; upd
       case None =>
         val c = Consumer(nextId, endpoint, stream, relation, format, delimiter,
-          quote, escape, batchsize, parallelism)
+          quote, escape, batchsize, parallelism, startSeq)
         nextId += 1; consumers(key) = c; c
     }
     if (!running.contains(c.id)) {
@@ -150,7 +162,8 @@ class KinesisEngine(spark: SparkSession, metaDir: String) {
 
   def consumeBeginAll(): Unit =
     consumers.values.toSeq.foreach(c => consumeBegin(c.endpoint, c.stream, c.relation,
-      c.format, c.delimiter, c.quote, c.escape, c.batchsize, c.parallelism))
+      c.format, c.delimiter, c.quote, c.escape, c.batchsize, c.parallelism,
+      c.startSeq))
 
   def consumeEndAll(): Unit = synchronized {
     running.values.flatten.foreach(_.stop()); running.clear() // D4

@@ -130,6 +130,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("engine start_seq: -1 (latest) skips backlog; n resumes after n") {
+    val root = tmpDir("kin-ss")
+    val meta = tmpDir("kin-ss-meta")
+    ShardedLog.append(s"$root/s", 0, (1 to 30).map(i => (s"k$i", s"old$i")))
+
+    val eng = new KinesisEngine(spark, meta)
+    eng.addEndpoint("ep", "r", url = root)
+    eng.createStream("ss_stream", StructType(Seq(StructField("payload", StringType))))
+    eng.createContinuousView("ss_view", "ss_stream", _.groupBy().count())
+    eng.consumeBegin("ep", "s", "ss_stream", startSeq = -1L) // latest
+    eng.processAllAvailable()
+    val before = spark.table("ss_view").collect()
+    assert(before.isEmpty || before.head.getLong(0) === 0L, "latest skips backlog")
+    ShardedLog.append(s"$root/s", 0, (1 to 5).map(i => (s"k$i", s"new$i")))
+    eng.processAllAvailable()
+    assert(spark.table("ss_view").head().getLong(0) === 5L)
+    eng.consumeEndAll()
+
+    val eng2 = new KinesisEngine(spark, tmpDir("kin-ss-meta2"))
+    eng2.addEndpoint("ep", "r", url = root)
+    eng2.createStream("ss_stream", StructType(Seq(StructField("payload", StringType))))
+    eng2.createContinuousView("ss_view2", "ss_stream", _.groupBy().count())
+    eng2.consumeBegin("ep", "s", "ss_stream", startSeq = 29L) // after seq 29
+    eng2.processAllAvailable()
+    assert(spark.table("ss_view2").head().getLong(0) === 5L,
+      "after_sequence_number:29 reads only records 30-34")
+    eng2.consumeEndAll()
+  }
+
   test("batch read of the sharded log (A8 parity)") {
     val dir = tmpDir("kin-batchread")
     ShardedLog.append(dir, 0, Seq(("a", "1"), ("b", "2")))
