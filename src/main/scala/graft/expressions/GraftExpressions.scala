@@ -1,0 +1,131 @@
+package graft.expressions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the engine's hashing/similarity hot
+  * paths, with `doGenCode` so they stay inside whole-stage codegen.
+  *
+  * Preference order from the design brief: compose built-ins → custom
+  * Expression → custom plan. These two earn the Expression tier:
+  *
+  *  - `Md5Prefix64(s, nHex)` fuses `conv(substring(md5(s),1,n),16,10)`:
+  *    the built-in chain materializes a 32-char hex UTF8String and parses
+  *    it back; the fused form digests bytes and assembles the long
+  *    directly (no intermediate allocation). Value-identical to the chain,
+  *    so the DuckDB oracle (`CAST('0x'||substr(md5(x),1,n) AS BIGINT)`)
+  *    still matches bit-for-bit.
+  *  - `CosineSimilarity(a, b)` replaces a 3·dim-node unrolled expression
+  *    tree with one pass over the two ArrayData buffers. Accumulation
+  *    order (left-to-right per accumulator) matches both the unrolled
+  *    form and DuckDB's list fold, so doubles stay bit-identical.
+  *
+  * Registered under `graft_md5h` / `graft_cosine` via
+  * [[GraftExtensions]] (`spark.sql.extensions`) — the standard
+  * SparkSessionExtensions injection point.
+  */
+object Md5Prefix64 {
+  private val md = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("MD5"))
+
+  /** First `nHex` hex digits of md5(s) as a long (nHex ≤ 15). */
+  def compute(s: UTF8String, nHex: Int): Long = {
+    val digest = {
+      val m = md.get(); m.reset(); m.digest(s.getBytes)
+    }
+    var v = 0L
+    var i = 0
+    while (i < nHex) {
+      val b = digest(i / 2) & 0xff
+      val nibble = if (i % 2 == 0) b >>> 4 else b & 0xf
+      v = (v << 4) | nibble
+      i += 1
+    }
+    v
+  }
+}
+
+case class Md5Prefix64(child: Expression, nHex: Int)
+    extends UnaryExpression {
+  require(nHex > 0 && nHex <= 15, s"nHex must be in [1,15], got $nHex")
+  // input contract: StringType child (ExpectsInputTypes is private[sql])
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_md5h"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Md5Prefix64.compute(input.asInstanceOf[UTF8String], nHex)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.Md5Prefix64.compute($c, $nHex)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Prefix64 =
+    copy(child = newChild)
+}
+
+object CosineSimilarity {
+  /** One-pass dot/norms over float arrays; accumulation order matches the
+    * unrolled element_at chain and DuckDB's sequential list fold. */
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / math.sqrt(na * nb)
+  }
+}
+
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+  // input contract: two ArrayType(FloatType) children
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    CosineSimilarity.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.expressions.CosineSimilarity.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `spark.sql.extensions=graft.expressions.GraftExtensions` injects the
+  * function registry entries; usable from SQL and via
+  * `functions.call_function` (including inside higher-order-function
+  * lambdas). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("graft_md5h"),
+      new ExpressionInfo(classOf[Md5Prefix64].getName, "graft_md5h"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c, n) => Md5Prefix64(c,
+          n.eval().asInstanceOf[Number].intValue())
+        case _ => throw new IllegalArgumentException(
+          "graft_md5h(str, nHexDigits)")
+      }))
+    e.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+      (children: Seq[Expression]) => children match {
+        case Seq(a, b) => CosineSimilarity(a, b)
+        case _ => throw new IllegalArgumentException("graft_cosine(a, b)")
+      }))
+  }
+}

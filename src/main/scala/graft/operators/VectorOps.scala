@@ -28,7 +28,14 @@ object VectorOps {
       val x = element_at(a, i).cast("double"); x * x
     }.reduce(_ + _)
 
-  /** Exact double cosine similarity. */
+  /** Exact double cosine similarity — native one-pass expression
+    * (graft.expressions.CosineSimilarity); bit-identical to
+    * `dot(a,b)/sqrt(norm2(a)*norm2(b))` with the unrolled helpers below. */
   def cosine(a: Column, b: Column, dim: Int = 64): Column =
+    call_function("graft_cosine", a, b)
+
+  /** Unrolled composition of the same cosine (kept for the equivalence
+    * spec and as the no-extensions fallback). */
+  def cosineUnrolled(a: Column, b: Column, dim: Int = 64): Column =
     dot(a, b, dim) / sqrt(norm2(a, dim) * norm2(b, dim))
 }

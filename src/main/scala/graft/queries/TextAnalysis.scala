@@ -24,8 +24,11 @@ object TextAnalysis {
 
   type Qf = (SparkSession, String) => DataFrame
 
-  /** First 7 hex digits of md5 as a long (< 2^28): cross-engine-exact. */
-  def hex7(c: Column): Column = conv(substring(md5(c), 1, 7), 16, 10).cast("long")
+  /** First 7 hex digits of md5 as a long (< 2^28): cross-engine-exact.
+    * Backed by the native fused expression (graft.expressions.Md5Prefix64)
+    * — value-identical to conv(substring(md5(c),1,7),16,10) without
+    * materializing the hex string. */
+  def hex7(c: Column): Column = call_function("graft_md5h", c, lit(7))
 
   private val toks = split(col("text"), " ")
 
