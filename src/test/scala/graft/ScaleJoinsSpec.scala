@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.{Bucketing, SaltedJoin}
+import org.apache.spark.sql.functions._
+
+class ScaleJoinsSpec extends SparkSpec {
+
+  test("SaltedJoin equals the plain join (content-deterministic salting)") {
+    val orders = Tables.orders(spark, sf0001)
+    val customer = Tables.customer(spark, sf0001)
+    val plain = orders.join(customer,
+        orders("o_custkey") === customer("c_custkey"))
+      .select("o_orderkey", "c_name").orderBy("o_orderkey").collect()
+    val salted = SaltedJoin(orders, customer, "o_custkey", "c_custkey", 8)
+      .select("o_orderkey", "c_name").orderBy("o_orderkey").collect()
+    assert(salted.sameElements(plain))
+  }
+
+  test("bucketed join runs without Exchange or Sort (co-located)") {
+    // in-memory catalog resets per JVM but table locations persist on disk
+    for (t <- Seq("b_orders", "b_lineitem")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        s"${System.getProperty("java.io.tmpdir")}/graft-test-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(loc)
+      }
+    }
+    Bucketing.writeBucketed(
+      Tables.orders(spark, sf0001).select("o_orderkey", "o_totalprice"),
+      "b_orders", "o_orderkey", 4)
+    Bucketing.writeBucketed(
+      Tables.lineitem(spark, sf0001).select("l_orderkey", "l_quantity"),
+      "b_lineitem", "l_orderkey", 4)
+    // At test scale the planner prefers broadcast; force the SMJ path the
+    // plan would take on two 100 TB sides to show buckets cover the join.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Bucketing.bucketedJoin(spark, "b_orders", "b_lineitem",
+        "o_orderkey", "l_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange") &&
+             !plan.contains("Exchange hashpartitioning"),
+        s"unexpected shuffle:\n$plan")
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(joined.count() === Tables.lineitem(spark, sf0001)
+        .join(Tables.orders(spark, sf0001),
+          col("l_orderkey") === col("o_orderkey")).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
