@@ -43,9 +43,12 @@ class KinesisEngine(spark: SparkSession, metaDir: String) {
                       format: String, delimiter: String, quote: String, escape: String,
                       batchsize: Long, parallelism: Int, startSeq: Long)
 
+  private case class View(relation: String, agg: DataFrame => DataFrame,
+                          materialize: String)
+
   private val endpoints = mutable.LinkedHashMap[String, Endpoint]()
   private val streams = mutable.LinkedHashMap[String, StructType]()
-  private val views = mutable.LinkedHashMap[String, (String, DataFrame => DataFrame)]()
+  private val views = mutable.LinkedHashMap[String, View]()
   private val consumers = mutable.LinkedHashMap[(String, String, String), Consumer]()
   private val running = mutable.LinkedHashMap[Int, Seq[StreamingQuery]]()
   private var nextId = 1
@@ -72,10 +75,28 @@ class KinesisEngine(spark: SparkSession, metaDir: String) {
     streams(relation) = schema
   }
 
+  /** @param materialize "memory" (queryable via spark.table(name); test/
+    *        demo scale) or "parquet" (complete-mode snapshot per batch at
+    *        metaDir/views/name via foreachBatch — the production path for
+    *        compact aggregates, readable with [[viewTable]]). */
   def createContinuousView(name: String, relation: String,
-                           agg: DataFrame => DataFrame): Unit = synchronized {
-    views(name) = (relation, agg)
+                           agg: DataFrame => DataFrame,
+                           materialize: String = "memory"): Unit = synchronized {
+    require(Set("memory", "parquet")(materialize), s"materialize=$materialize")
+    views(name) = View(relation, agg, materialize)
   }
+
+  /** Read a parquet-materialized view's current snapshot. */
+  def viewTable(name: String): DataFrame =
+    spark.read.parquet(s"$metaDir/views/$name")
+
+  /** Read the persistent stream table (every ingested row of a relation —
+    * the B4 COPY-into-stream analog, parquet-append with its own
+    * checkpoint). */
+  def streamTable(relation: String): DataFrame =
+    spark.read.schema(streams(relation)
+        .add(StructField("arrival_timestamp", TimestampType)))
+      .parquet(s"$metaDir/tables/$relation")
 
   // --- data plane ---------------------------------------------------------
 
@@ -140,16 +161,34 @@ class KinesisEngine(spark: SparkSession, metaDir: String) {
     }
     if (!running.contains(c.id)) {
       val df = parsedStream(c, ep.url)
-      val qs = views.toSeq.collect { case (vname, (rel, agg)) if rel == relation =>
-        agg(df).writeStream
-          .queryName(vname)
-          .outputMode("complete")
-          .format("memory")
-          .option("checkpointLocation", s"$metaDir/checkpoints/${c.id}/$vname")
+      // B4: every parsed row also lands in the persistent stream table
+      // (parquet append with its own checkpoint) — rows flow whether or
+      // not any view aggregates them, like COPY into a PipelineDB stream.
+      val tableQ = df.writeStream
+        .queryName(s"${relation}__table")
+        .outputMode("append")
+        .format("parquet")
+        .option("path", s"$metaDir/tables/$relation")
+        .option("checkpointLocation", s"$metaDir/checkpoints/${c.id}/__table")
+        .start()
+      val viewQs = views.toSeq.collect { case (vname, v) if v.relation == relation =>
+        val writer = v.materialize match {
+          case "memory" =>
+            v.agg(df).writeStream.queryName(vname)
+              .outputMode("complete").format("memory")
+          case "parquet" =>
+            v.agg(df).writeStream.queryName(vname)
+              .outputMode("complete")
+              .foreachBatch { (batch: DataFrame, _: Long) =>
+                batch.write.mode("overwrite")
+                  .parquet(s"$metaDir/views/$vname")
+              }
+        }
+        writer.option("checkpointLocation",
+            s"$metaDir/checkpoints/${c.id}/$vname")
           .start()
       }
-      require(qs.nonEmpty, s"no continuous view reads stream relation '$relation'")
-      running(c.id) = qs
+      running(c.id) = tableQ +: viewQs
     }
     c.id
   }
@@ -200,6 +239,10 @@ class KinesisEngine(spark: SparkSession, metaDir: String) {
         }
       }
     }
-    rows.toDF("consumer_id", "shard_id", "seqnum").distinct()
+    // Multiple standing queries (stream table + each view) checkpoint
+    // independently; report the furthest-committed seqnum per shard.
+    rows.toDF("consumer_id", "shard_id", "seqnum")
+      .groupBy("consumer_id", "shard_id")
+      .agg(org.apache.spark.sql.functions.max("seqnum").as("seqnum"))
   }
 }

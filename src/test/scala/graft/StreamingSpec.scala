@@ -56,6 +56,34 @@ class StreamingSpec extends SparkSpec {
     eng.processAllAvailable()
     val v3 = spark.table("foo_view").collect()
     assert(v3.length === 100 && v3.forall(_.getLong(1) === 3L))
+
+    // B4: the persistent stream table holds every ingested row with the
+    // implicit arrival_timestamp column appended.
+    val tbl = eng.streamTable("foo_stream")
+    assert(tbl.count() === 300L)
+    assert(tbl.columns.toSeq === Seq("payload", "arrival_timestamp"))
+    eng.consumeEndAll()
+  }
+
+  test("parquet-materialized continuous view snapshots per batch") {
+    val root = tmpDir("kin-pq")
+    val meta = tmpDir("kin-pq-meta")
+    ShardedLog.append(s"$root/s", 0, Seq(("a", "x"), ("b", "y"), ("c", "x")))
+    val eng = new KinesisEngine(spark, meta)
+    eng.addEndpoint("ep", "r", url = root)
+    eng.createStream("pq_stream", StructType(Seq(StructField("payload", StringType))))
+    eng.createContinuousView("pq_view", "pq_stream",
+      _.groupBy("payload").count(), materialize = "parquet")
+    eng.consumeBegin("ep", "s", "pq_stream", format = "text")
+    eng.processAllAvailable()
+    val snap1 = eng.viewTable("pq_view").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(snap1 === Map("x" -> 2L, "y" -> 1L))
+    ShardedLog.append(s"$root/s", 0, Seq(("d", "y")))
+    eng.processAllAvailable()
+    val snap2 = eng.viewTable("pq_view").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(snap2 === Map("x" -> 2L, "y" -> 2L))
     eng.consumeEndAll()
   }
 
