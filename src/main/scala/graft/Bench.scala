@@ -17,10 +17,17 @@ object Bench {
       SparkEntry.queries("q_scan_parquet")(spark, sfDir).count()
       SparkEntry.queries("q_join_inner")(spark, sfDir).count()
     } catch { case _: Throwable => () }
+    // min over iterations: single runs at this scale carry ±50% JIT/GC
+    // noise that would swamp real regressions in the round-over-round diff.
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to iters).map { _ =>
+        spark.catalog.clearCache() // queries may cache() internally
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -187,6 +187,31 @@ class StreamingSpec extends SparkSpec {
     eng2.consumeEndAll()
   }
 
+  test("continuous view with event-time tumbling window over a typed stream") {
+    val root = tmpDir("kin-win")
+    val meta = tmpDir("kin-win-meta")
+    ShardedLog.append(s"$root/s", 0, Seq(
+      ("k", "2024-01-01 00:05:00,click"), ("k", "2024-01-01 00:20:00,click"),
+      ("k", "2024-01-01 00:40:00,view"), ("k", "2024-01-01 01:10:00,click")))
+    val eng = new KinesisEngine(spark, meta)
+    eng.addEndpoint("ep", "r", url = root)
+    eng.createStream("ev_stream", StructType(Seq(
+      StructField("ts", TimestampType), StructField("etype", StringType))))
+    eng.createContinuousView("ev_win_view", "ev_stream", df =>
+      df.withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("etype")).count())
+    eng.consumeBegin("ep", "s", "ev_stream", format = "csv", delimiter = ",")
+    eng.processAllAvailable()
+    val rows = spark.table("ev_win_view")
+      .select(col("window.start").cast("string"), col("etype"), col("count"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(rows === Map(
+      ("2024-01-01 00:00:00", "click") -> 2L,
+      ("2024-01-01 00:00:00", "view") -> 1L,
+      ("2024-01-01 01:00:00", "click") -> 1L))
+    eng.consumeEndAll()
+  }
+
   test("batch read of the sharded log (A8 parity)") {
     val dir = tmpDir("kin-batchread")
     ShardedLog.append(dir, 0, Seq(("a", "1"), ("b", "2")))
