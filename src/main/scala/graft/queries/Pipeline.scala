@@ -1,0 +1,127 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline composition operators: relevance scoring,
+  * deterministic sampling, corpus mixing, and distribution summaries —
+  * the steps between "raw corpus" and "training mix" at 100 TB.
+  *
+  * Sampling/mixing decisions are pure functions of content (md5-derived
+  * buckets via the native graft_md5h expression): no rand(), so retries,
+  * speculative tasks, and re-runs agree row-for-row, and the DuckDB
+  * oracle reproduces every decision.
+  */
+object Pipeline {
+
+  type Qf = (SparkSession, String) => DataFrame
+
+  private val toks = split(col("text"), " ")
+
+  /** Deterministic percentage bucket 0–99 from a salted doc key. */
+  private def pctBucket(salt: String) =
+    call_function("graft_md5h",
+      concat(lit(salt), col("doc_id").cast("string")), lit(7)) % 100
+
+  private def pctBucketSql(salt: String) =
+    s"CAST(concat('0x', substr(md5(concat('$salt', CAST(doc_id AS VARCHAR))),1,7)) AS BIGINT) % 100"
+
+  val queries: Map[String, Qf] = Map(
+    // TF-IDF: per-(doc, token) term frequency ⋈ global document frequency
+    // ⋈ corpus size, then the per-doc argmax term. Two aggregations plus
+    // one broadcast of the tiny df table — at 100 TB the shuffles carry
+    // (doc, token) and (token) keys only.
+    "q_tfidf" -> ((s, d) => {
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks).as("token"))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val n = Tables.documents(s, d)
+        .agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("token").asc)
+      tf.join(broadcast(df), "token")
+        .crossJoin(broadcast(n))
+        .withColumn("tfidf",
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("token").as("top_token"),
+                col("tf"), col("df"), col("tfidf"))
+        .orderBy("doc_id")
+    }),
+
+    // Deterministic ~5% sample: content-hash bucket, not rand().
+    "q_sample_hash" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(pctBucket("sample#") < 5)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")),
+
+    // Weighted corpus mixture: per-source sampling rates applied by hash
+    // bucket; output the per-source kept counts (the mixture recipe audit).
+    "q_data_mixture" -> ((s, d) => {
+      val rate = when(col("source").isin("src0", "src1", "src2", "src3", "src4"), 50)
+        .when(col("source").isin("src5", "src6", "src7", "src8", "src9"), 25)
+        .otherwise(10)
+      Tables.documents(s, d)
+        .filter(pctBucket("mix#") < rate)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy("source")
+    }),
+
+    // Length-distribution histogram: fixed-width buckets over n_chars.
+    "q_histogram" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy((floor(col("n_chars") / 100) * 100).cast("long").as("bucket_lo"))
+        .agg(count(lit(1)).as("n"),
+             min(col("n_chars")).as("min_chars"),
+             max(col("n_chars")).as("max_chars"))
+        .orderBy("bucket_lo")),
+
+    // Sketch percentiles: fixed-size mergeable state — the scale path when
+    // exact percentile's full sort/collect is too expensive. No oracle
+    // (approximate); accuracy bound asserted in PipelineSpec.
+    "q_approx_percentile" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("ap50"),
+             percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("ap99"))
+        .orderBy("l_returnflag"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_tfidf" ->
+      """WITH tf AS (SELECT doc_id, token, count(*) AS tf
+                     FROM (SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents)
+                     GROUP BY doc_id, token),
+            dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+            n AS (SELECT count(*) AS n_docs FROM documents)
+         SELECT doc_id, token AS top_token, tf, df, tfidf FROM (
+           SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+                  round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 4) AS tfidf,
+                  row_number() OVER (PARTITION BY tf.doc_id
+                                     ORDER BY round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 4) DESC,
+                                              tf.token ASC) AS rn
+           FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n)
+         WHERE rn = 1 ORDER BY doc_id""",
+    "q_sample_hash" ->
+      s"""SELECT doc_id, lang, source FROM documents
+          WHERE ${pctBucketSql("sample#")} < 5 ORDER BY doc_id""",
+    "q_data_mixture" ->
+      s"""SELECT source, count(*) AS n_kept FROM documents
+          WHERE ${pctBucketSql("mix#")} <
+                CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 50
+                     WHEN source IN ('src5','src6','src7','src8','src9') THEN 25
+                     ELSE 10 END
+          GROUP BY source ORDER BY source""",
+    "q_histogram" ->
+      """SELECT CAST(floor(n_chars / 100) * 100 AS BIGINT) AS bucket_lo,
+                count(*) AS n, min(n_chars) AS min_chars, max(n_chars) AS max_chars
+         FROM documents GROUP BY 1 ORDER BY bucket_lo"""
+  )
+}

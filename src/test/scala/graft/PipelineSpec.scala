@@ -1,0 +1,41 @@
+package graft
+
+import graft.queries.Pipeline
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkSpec {
+
+  test("approx_percentile within tolerance of exact percentile") {
+    val ap = Pipeline.queries("q_approx_percentile")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = Tables.lineitem(spark, sf0001)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"),
+           expr("percentile(l_extendedprice, 0.99)").as("p99"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    exact.foreach { case (flag, (p50, p99)) =>
+      assert(math.abs(ap(flag)._1 - p50) / p50 < 0.05, s"$flag p50")
+      assert(math.abs(ap(flag)._2 - p99) / p99 < 0.05, s"$flag p99")
+    }
+  }
+
+  test("hash sampling is deterministic and near the target rate") {
+    val a = Pipeline.queries("q_sample_hash")(spark, sf0001).collect()
+    val b = Pipeline.queries("q_sample_hash")(spark, sf0001).collect()
+    assert(a.sameElements(b), "same sample on re-run")
+    val total = Tables.documents(spark, sf0001).count()
+    val rate = a.length.toDouble / total
+    assert(rate > 0.01 && rate < 0.12, s"5% target, got $rate")
+  }
+
+  test("mixture rates follow the per-source recipe") {
+    val kept = Pipeline.queries("q_data_mixture")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = Tables.documents(spark, sf0001).groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def rateOf(src: String) = kept.getOrElse(src, 0L).toDouble / totals(src)
+    // src0-4 → 50%, src5-9 → 25%, rest → 10% (wide tolerance: 25 docs/source)
+    assert(rateOf("src0") > 0.2 && rateOf("src0") < 0.8)
+    assert(rateOf("src15") < 0.35)
+  }
+}
