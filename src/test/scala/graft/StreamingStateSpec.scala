@@ -1,0 +1,116 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.sources.ShardedLog
+import graft.streaming.KinesisEngine
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Stateful-streaming surface beyond windowed aggregation: bounded-state
+  * dedup, stream-static joins, arbitrary per-key state
+  * (flatMapGroupsWithState), and the poison-record policy. */
+class StreamingStateSpec extends SparkSpec {
+
+  private def ts(m: String): Timestamp = Timestamp.valueOf(s"2024-01-01 $m:00")
+
+  test("dropDuplicatesWithinWatermark bounds dedup state by event time") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val q = in.toDF().toDF("ts", "id")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("id")
+      .writeStream.queryName("ddww_view").outputMode("append")
+      .format("memory").start()
+    try {
+      in.addData((ts("00:05"), 1L), (ts("00:06"), 1L)) // dup within watermark
+      q.processAllAvailable()
+      in.addData((ts("01:00"), 2L)) // advances watermark far past id=1 state
+      q.processAllAvailable()
+      // id=1 reappearing after its state expired is emitted again — the
+      // documented bounded-state trade-off (vs unbounded dropDuplicates).
+      in.addData((ts("01:01"), 1L))
+      q.processAllAvailable()
+      val ids = spark.table("ddww_view").collect().map(_.getLong(1)).toSeq
+      assert(ids.count(_ == 1L) === 2, "one per watermark window")
+      assert(ids.count(_ == 2L) === 1)
+    } finally q.stop()
+  }
+
+  test("stream-static join enriches stream rows against a table (CV join pattern)") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val dim = Seq((0L, "bronze"), (1L, "gold")).toDF("uid", "tier")
+    val in = MemoryStream[(Long, Double)]
+    val q = in.toDF().toDF("uid", "amount")
+      .join(broadcast(dim), "uid")
+      .groupBy("tier").agg(sum("amount").as("total"))
+      .writeStream.queryName("ss_join_view").outputMode("complete")
+      .format("memory").start()
+    try {
+      in.addData((0L, 10.0), (1L, 5.0), (0L, 2.5))
+      q.processAllAvailable()
+      val m = spark.table("ss_join_view").collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(m === Map("bronze" -> 12.5, "gold" -> 5.0))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState: custom per-key running state across batches") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Long, Double)]
+    // Running (count, sum) per key — the arbitrary-state hook a custom
+    // continuous view would use when windows/aggs can't express it.
+    def update(uid: Long, rows: Iterator[(Long, Double)],
+               state: GroupState[(Long, Double)]): Iterator[(Long, Long, Double)] = {
+      val (c0, s0) = state.getOption.getOrElse((0L, 0.0))
+      val batch = rows.toSeq
+      val next = (c0 + batch.size, s0 + batch.map(_._2).sum)
+      state.update(next)
+      Iterator((uid, next._1, next._2))
+    }
+    val q = in.toDS().groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+      .toDF("uid", "n", "total")
+      .writeStream.queryName("fmgs_view").outputMode("update")
+      .format("memory").start()
+    try {
+      in.addData((7L, 1.0), (7L, 2.0), (9L, 5.0))
+      q.processAllAvailable()
+      in.addData((7L, 4.0))
+      q.processAllAvailable()
+      val last = spark.table("fmgs_view").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).map { case (k, rs) => k -> rs.maxBy(_._2) }
+      assert(last(7L) === ((7L, 3L, 7.0)), "state accumulated across batches")
+      assert(last(9L) === ((9L, 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("poison records parse permissively (nulls) instead of dropping the batch") {
+    // Reference behavior: a COPY parse failure aborts the txn and silently
+    // drops the whole batch (pipeline_kinesis.c:738-752). Here malformed
+    // fields become nulls and the batch survives — nothing is lost.
+    val root = tmpDir("kin-poison")
+    val meta = tmpDir("kin-poison-meta")
+    ShardedLog.append(s"$root/s", 0, Seq(
+      ("k1", "a,1"), ("k2", "b,NOT_A_NUMBER"), ("k3", "c,3")))
+    val eng = new KinesisEngine(spark, meta)
+    eng.addEndpoint("ep", "r", url = root)
+    eng.createStream("p_stream", StructType(Seq(
+      StructField("name", StringType), StructField("n", LongType))))
+    eng.createContinuousView("p_view", "p_stream",
+      df => df.groupBy().agg(count(lit(1)).as("rows"),
+                             count(col("n")).as("valid_n")))
+    eng.consumeBegin("ep", "s", "p_stream", format = "csv", delimiter = ",")
+    eng.processAllAvailable()
+    val r = spark.table("p_view").head()
+    assert(r.getLong(0) === 3L, "all records ingested, poison included")
+    assert(r.getLong(1) === 2L, "malformed numeric parsed as null")
+    eng.consumeEndAll()
+  }
+}
