@@ -21,12 +21,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Joins.queries ++ Aggregates.queries ++
       TimeWindows.queries ++ TextAnalysis.queries ++ Dedup.queries ++
-      Similarity.queries ++ Relational2.queries ++ Pipeline.queries
+      Similarity.queries ++ Relational2.queries ++ Relational3.queries ++
+      Pipeline.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Joins.oracle ++ Aggregates.oracle ++
       TimeWindows.oracle ++ TextAnalysis.oracle ++ Dedup.oracle ++
-      Similarity.oracle ++ Relational2.oracle ++ Pipeline.oracle
+      Similarity.oracle ++ Relational2.oracle ++ Relational3.oracle ++
+      Pipeline.oracle
 }
