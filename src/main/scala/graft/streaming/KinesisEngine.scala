@@ -54,12 +54,56 @@ class KinesisEngine(spark: SparkSession, metaDir: String) {
   private var nextId = 1
 
   Files.createDirectories(Paths.get(metaDir))
+  loadCatalog()
+
+  // --- catalog persistence (the reference's endpoints/consumers tables,
+  // pipeline_kinesis--0.9.0.sql:4-24): tab-separated rows under metaDir so
+  // a fresh engine over the same metaDir resumes where the last left off.
+
+  // Fields are base64-wrapped: delimiter defaults to a literal tab,
+  // which would otherwise corrupt a tab-separated catalog row.
+  private def esc(s: String): String =
+    if (s == null) "-"
+    else java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+  private def unesc(s: String): String =
+    if (s == "-") null
+    else new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
+
+  private def saveCatalog(): Unit = {
+    val ep = endpoints.values.map(e =>
+      Seq(e.name, e.region, esc(e.credfile), esc(e.url)).mkString("\t"))
+    Files.writeString(Paths.get(metaDir, "endpoints.tsv"), ep.mkString("\n"))
+    val cs = consumers.values.map(c =>
+      Seq(c.id.toString, c.endpoint, c.stream, c.relation, c.format,
+          esc(c.delimiter), esc(c.quote), esc(c.escape), c.batchsize.toString,
+          c.parallelism.toString, c.startSeq.toString).mkString("\t"))
+    Files.writeString(Paths.get(metaDir, "consumers.tsv"), cs.mkString("\n"))
+  }
+
+  private def loadCatalog(): Unit = {
+    val epF = Paths.get(metaDir, "endpoints.tsv")
+    if (Files.exists(epF))
+      Files.readString(epF).split("\n").filter(_.nonEmpty).foreach { l =>
+        val f = l.split("\t", -1)
+        endpoints(f(0)) = Endpoint(f(0), f(1), unesc(f(2)), unesc(f(3)))
+      }
+    val cF = Paths.get(metaDir, "consumers.tsv")
+    if (Files.exists(cF))
+      Files.readString(cF).split("\n").filter(_.nonEmpty).foreach { l =>
+        val f = l.split("\t", -1)
+        val c = Consumer(f(0).toInt, f(1), f(2), f(3), f(4), unesc(f(5)),
+          unesc(f(6)), unesc(f(7)), f(8).toLong, f(9).toInt, f(10).toLong)
+        consumers((c.endpoint, c.stream, c.relation)) = c
+        nextId = math.max(nextId, c.id + 1)
+      }
+  }
 
   // --- catalog (C1/C2/C3) -------------------------------------------------
 
   def addEndpoint(name: String, region: String, credfile: String = null,
                   url: String = null): Unit = synchronized {
     endpoints(name) = Endpoint(name, region, credfile, url)
+    saveCatalog()
   }
 
   def removeEndpoint(name: String): Unit = synchronized {
@@ -67,6 +111,7 @@ class KinesisEngine(spark: SparkSession, metaDir: String) {
             !running.keySet.exists(id => consumers.valuesIterator.exists(c => c.id == id && c.endpoint == name)),
       s"endpoint $name has running consumers")
     endpoints.remove(name)
+    saveCatalog()
   }
 
   def createStream(relation: String, schema: StructType): Unit = synchronized {
@@ -159,6 +204,7 @@ class KinesisEngine(spark: SparkSession, metaDir: String) {
           quote, escape, batchsize, parallelism, startSeq)
         nextId += 1; consumers(key) = c; c
     }
+    saveCatalog()
     if (!running.contains(c.id)) {
       val df = parsedStream(c, ep.url)
       // B4: every parsed row also lands in the persistent stream table

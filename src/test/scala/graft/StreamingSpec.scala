@@ -212,6 +212,55 @@ class StreamingSpec extends SparkSpec {
     eng.consumeEndAll()
   }
 
+  test("catalog persists: fresh engine + consumeBeginAll resumes consumers") {
+    val root = tmpDir("kin-cat")
+    val meta = tmpDir("kin-cat-meta")
+    ShardedLog.append(s"$root/s", 0, Seq(("a", "x"), ("b", "y")))
+    def wire(e: KinesisEngine): Unit = {
+      // streams/views are code (schemas + lambdas): re-registered at
+      // startup like application code; endpoints/consumers are data.
+      e.createStream("cat_stream", StructType(Seq(StructField("payload", StringType))))
+      e.createContinuousView("cat_view", "cat_stream", _.groupBy("payload").count())
+    }
+    val eng = new KinesisEngine(spark, meta)
+    eng.addEndpoint("ep", "r", url = root)
+    wire(eng)
+    val id = eng.consumeBegin("ep", "s", "cat_stream", format = "text")
+    eng.processAllAvailable()
+    assert(spark.table("cat_view").count() === 2)
+    eng.consumeEndAll()
+
+    ShardedLog.append(s"$root/s", 0, Seq(("c", "x")))
+    val eng2 = new KinesisEngine(spark, meta) // same metaDir, no addEndpoint
+    wire(eng2)
+    eng2.consumeBeginAll() // resumes from the persisted catalog
+    eng2.processAllAvailable()
+    val m = spark.table("cat_view").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m === Map("x" -> 2L, "y" -> 1L), "resumed from checkpoint, same id")
+    assert(eng2.seqnums.head().getInt(0) === id)
+    eng2.consumeEndAll()
+  }
+
+  test("new shards appearing mid-stream are discovered dynamically") {
+    val dir = tmpDir("kin-grow")
+    ShardedLog.append(dir, 0, Seq(("a", "1"), ("b", "2")))
+    val q = spark.readStream.format(ShardedLog.FORMAT)
+      .option("path", dir).load()
+      .writeStream.queryName("grow_view").outputMode("append")
+      .format("memory").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("grow_view").count() === 2)
+      ShardedLog.append(dir, 7, Seq(("c", "3"), ("d", "4"))) // resharding
+      q.processAllAvailable()
+      val shards = spark.table("grow_view").select("shard_id")
+        .distinct().collect().map(_.getString(0)).sorted.toSeq
+      assert(shards === Seq("shard-0", "shard-7"))
+      assert(spark.table("grow_view").count() === 4)
+    } finally q.stop()
+  }
+
   test("batch read of the sharded log (A8 parity)") {
     val dir = tmpDir("kin-batchread")
     ShardedLog.append(dir, 0, Seq(("a", "1"), ("b", "2")))
