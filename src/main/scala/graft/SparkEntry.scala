@@ -22,7 +22,7 @@ object SparkEntry {
     Relational.queries ++ Joins.queries ++ Aggregates.queries ++
       TimeWindows.queries ++ TextAnalysis.queries ++ Dedup.queries ++
       Similarity.queries ++ Relational2.queries ++ Relational3.queries ++
-      Pipeline.queries
+      Pipeline.queries ++ StreamingIngest.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */

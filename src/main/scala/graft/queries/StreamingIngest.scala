@@ -1,0 +1,49 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import graft.sources.ShardedLog
+import graft.streaming.KinesisEngine
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** End-to-end streaming-ingest measurement as a declared query: seed a
+  * 4-shard log with 20k records, run the full engine pipeline (source →
+  * text parse → continuous view) to completion, return the final counts.
+  *
+  * Output is deterministic (100 payloads × 200 each) so the driver's
+  * rows-only check passes; timing lands in the bench JSON, making
+  * single-node ingest throughput comparable round-over-round against the
+  * reference's ~4,000 records/s/shard design ceiling (BASELINE.md).
+  * No DuckDB oracle — the oracle cannot observe the engine's temp dirs.
+  */
+object StreamingIngest {
+
+  type Qf = (SparkSession, String) => DataFrame
+
+  private val N_RECORDS = 20000
+  private val N_SHARDS = 4
+
+  val queries: Map[String, Qf] = Map(
+    "q_stream_ingest" -> ((s, _) => {
+      val root = Files.createTempDirectory("graft-ingest").toString
+      val meta = Files.createTempDirectory("graft-ingest-meta").toString
+      for (sh <- 0 until N_SHARDS)
+        ShardedLog.append(s"$root/stream", sh,
+          (sh until N_RECORDS by N_SHARDS).map { i =>
+            val p = s"foo${i % 100}"; (p, p)
+          })
+      val eng = new KinesisEngine(s, meta)
+      eng.addEndpoint("bench-ep", "local", url = root)
+      eng.createStream("bench_stream",
+        StructType(Seq(StructField("payload", StringType))))
+      eng.createContinuousView("bench_ingest_view", "bench_stream",
+        _.groupBy("payload").count())
+      eng.consumeBegin("bench-ep", "stream", "bench_stream",
+        format = "text", batchsize = 5000)
+      eng.processAllAvailable()
+      eng.consumeEndAll()
+      s.table("bench_ingest_view").orderBy("payload")
+    })
+  )
+}

@@ -191,17 +191,21 @@ class KinesisEngine(spark: SparkSession, metaDir: String) {
                    quote: String = null, escape: String = null,
                    batchsize: Long = 1000L, parallelism: Int = 1,
                    startSeq: Long = -2L): Int = synchronized {
+    // MAX_PROCS parity: the reference silently caps worker processes at 8
+    // (pipeline_kinesis.c:54,786-791); here parallelism is advisory (tasks
+    // already scale with shards) but the recorded value keeps the cap.
+    val par = math.min(parallelism, 8)
     val ep = endpoints.getOrElse(endpoint, sys.error(s"no endpoint $endpoint"))
     val key = (endpoint, stream, relation)
     val c = consumers.get(key) match {
       case Some(old) => // ON CONFLICT … DO UPDATE (C3)
         val upd = old.copy(format = format, delimiter = delimiter, quote = quote,
-          escape = escape, batchsize = batchsize, parallelism = parallelism,
+          escape = escape, batchsize = batchsize, parallelism = par,
           startSeq = startSeq)
         consumers(key) = upd; upd
       case None =>
         val c = Consumer(nextId, endpoint, stream, relation, format, delimiter,
-          quote, escape, batchsize, parallelism, startSeq)
+          quote, escape, batchsize, par, startSeq)
         nextId += 1; consumers(key) = c; c
     }
     saveCatalog()
