@@ -50,6 +50,32 @@ object Relational3 {
                 col("m.k").as("best_order"), col("n_orders"))
         .orderBy("o_custkey")),
 
+    // UNION (distinct) — dedups across branches, unlike q_union_all.
+    "q_union_distinct" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+        .union(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+        .distinct()
+        .orderBy("o_custkey")
+    }),
+
+    // Pagination: ORDER BY … OFFSET/LIMIT (stable page under total order).
+    "q_paginate" -> ((s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+        .offset(20).limit(10)),
+
+    // Ordered string aggregation (listagg/group_concat family) — sorted
+    // element order makes the concatenation engine-independent.
+    "q_string_agg" -> ((s, d) =>
+      Tables.nation(s, d)
+        .groupBy(col("n_regionkey").cast("long").as("region"))
+        .agg(array_join(array_sort(collect_list(col("n_name"))), ",")
+               .as("nations"),
+             count(lit(1)).as("n"))
+        .orderBy("region")),
+
     // Range frame: trailing 30-day revenue per customer — the frame is
     // bounded by the ORDER BY *value* (days), not row count.
     "q_window_range" -> ((s, d) => {
@@ -85,6 +111,19 @@ object Relational3 {
                 max(struct_pack(p := o_totalprice, k := o_orderkey)).k AS best_order,
                 count(*) AS n_orders
          FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
+    "q_union_distinct" ->
+      """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+         UNION
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         ORDER BY o_custkey""",
+    "q_paginate" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+         ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 10 OFFSET 20""",
+    "q_string_agg" ->
+      """SELECT CAST(n_regionkey AS BIGINT) AS region,
+                string_agg(n_name, ',' ORDER BY n_name) AS nations,
+                count(*) AS n
+         FROM nation GROUP BY n_regionkey ORDER BY region""",
     "q_window_range" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
