@@ -30,13 +30,21 @@ object AsOfJoin {
     * @param rightTime  event-time column name on the right
     * @param rightCols  right-side payload columns to carry (prefixed `asof_`)
     * @param rightTiebreak right column that breaks time ties (max wins)
+    * @param toleranceSeconds if set, a match further than this behind the
+    *        left time is nulled out (stale-state cutoff) — applied as a
+    *        post-filter on the carried match time, so the plan shape is
+    *        unchanged
     */
   def apply(left: DataFrame, right: DataFrame,
             leftKey: String, rightKey: String,
             leftTime: String, rightTime: String,
-            rightCols: Seq[String], rightTiebreak: String): DataFrame = {
+            rightCols: Seq[String], rightTiebreak: String,
+            toleranceSeconds: Option[Long] = None): DataFrame = {
     val leftCols = left.columns.toSeq
 
+    // the payload carries the right event time too (hidden __rt field) so
+    // a tolerance cutoff can be applied after the window pass
+    val payloadCols = rightCols :+ "__rt"
     val l = left
       .withColumn("__k", col(leftKey))
       .withColumn("__t", col(leftTime))
@@ -45,14 +53,17 @@ object AsOfJoin {
       .withColumn("__payload", lit(null).cast(
         org.apache.spark.sql.types.StructType(
           rightCols.map(c => org.apache.spark.sql.types.StructField(
-            c, right.schema(c).dataType)))))
+            c, right.schema(c).dataType)) :+
+          org.apache.spark.sql.types.StructField(
+            "__rt", right.schema(rightTime).dataType))))
 
     val r = right
       .withColumn("__k", col(rightKey))
       .withColumn("__t", col(rightTime))
       .withColumn("__side", lit(0))
       .withColumn("__tb", col(rightTiebreak).cast("long"))
-      .withColumn("__payload", struct(rightCols.map(col): _*))
+      .withColumn("__payload",
+        struct(rightCols.map(col) :+ col(rightTime).as("__rt"): _*))
       .select((leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
                Seq(col("__k"), col("__t"), col("__side"), col("__tb"), col("__payload"))): _*)
 
@@ -66,9 +77,20 @@ object AsOfJoin {
       .orderBy(col("__t").asc, col("__side").asc, col("__tb").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = unioned
+    val carried0 = unioned
       .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
+
+    val carried = toleranceSeconds match {
+      case Some(tol) => carried0.withColumn("__match",
+        // normalize via timestamp→double epoch seconds: TIMESTAMP_NTZ has
+        // no direct numeric cast under ANSI
+        when(col("__match").isNotNull &&
+             col("__t").cast("timestamp").cast("double") -
+               col("__match").getField("__rt").cast("timestamp").cast("double") <= tol,
+          col("__match")))
+      case None => carried0
+    }
 
     val out = rightCols.foldLeft(carried) { (df, c) =>
       df.withColumn(s"asof_$c", col("__match").getField(c))

@@ -75,6 +75,20 @@ class SemanticsSpec extends SparkSpec {
     assert(out("e4") === None, "no right rows for key 3")
   }
 
+  test("AsOfJoin tolerance nulls matches older than the cutoff") {
+    import spark.implicits._
+    val left = Seq((1L, ts("02:00"), "recent"), (2L, ts("02:00"), "stale"))
+      .toDF("k", "t", "ev")
+    val right = Seq((1L, ts("01:55"), 10L), (2L, ts("00:30"), 20L))
+      .toDF("rk", "rt", "rid")
+    val out = AsOfJoin(left, right, "k", "rk", "t", "rt", Seq("rid"), "rid",
+        toleranceSeconds = Some(600L)) // 10 minutes
+      .select("ev", "asof_rid").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(out("recent") === Some(10L), "5-minute-old state matches")
+    assert(out("stale") === None, "90-minute-old state is cut off")
+  }
+
   test("approx_count_distinct stays within its 1% rsd bound at sf0.001") {
     val e = Tables.events(spark, sf0001)
     val exact = e.select(countDistinct(col("user_id"))).head().getLong(0)
