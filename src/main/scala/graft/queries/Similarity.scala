@@ -61,6 +61,35 @@ object Similarity {
         .limit(10)
     }),
 
+    // IVF-style ANN: a deterministic 16-entry codebook (the embeddings of
+    // vec_id 0…15 — a data-derived coarse quantizer), every vector
+    // assigned to its nearest centroid (argmax cosine, centroid id breaks
+    // ties), search restricted to the probe's cluster. Same plan shape as
+    // a trained IVF index: broadcast codebook → one map stage to assign →
+    // equi-join on cluster id (the posting list) → exact rescore.
+    "q_similarity_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = emb.filter(col("vec_id") <= 15)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos_c").desc, col("cent_id").asc)
+      val assigned = emb.crossJoin(broadcast(cents))
+        .withColumn("cos_c", round(cosine(col("embedding"), col("cent_emb")), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("label"), col("embedding"),
+                col("cent_id").as("cluster"))
+      val probeC = assigned.filter(col("vec_id") === 0)
+        .select(col("embedding").as("probe_emb"), col("cluster").as("probe_cluster"))
+      assigned.join(broadcast(probeC), col("cluster") === col("probe_cluster"))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+                col("cluster").cast("long").as("cluster"),
+                round(cosine(col("embedding"), col("probe_emb")), 4).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)
+        .limit(10)
+    }),
+
     // Multimodal projection: text-side features joined with the vector side
     // on the shared id — the mixed text+embedding row shape a training
     // pipeline materializes. Join is broadcast-free equi-join on the id;
@@ -105,6 +134,31 @@ object Similarity {
                 FROM embeddings WHERE vec_id = 0) p
           WHERE vec_id <> 0 AND ${bucketSql("embedding")} = p.probe_bucket
           ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""",
+    "q_similarity_ivf" -> {
+      def cosS(a: String, b: String) =
+        s"""list_sum(list_transform(list_zip($a, $b),
+              x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+            / sqrt(list_sum(list_transform($a, u -> CAST(u AS DOUBLE) * CAST(u AS DOUBLE)))
+                 * list_sum(list_transform($b, u -> CAST(u AS DOUBLE) * CAST(u AS DOUBLE))))"""
+      s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb
+                         FROM embeddings WHERE vec_id <= 15),
+            assigned AS (
+              SELECT vec_id, label, embedding, cent_id AS cluster FROM (
+                SELECT e.vec_id, e.label, e.embedding, c.cent_id,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY round(${cosS("e.embedding", "c.cent_emb")}, 6) DESC,
+                                  c.cent_id ASC) AS rn
+                FROM embeddings e CROSS JOIN cents c)
+              WHERE rn = 1),
+            probe AS (SELECT embedding AS probe_emb, cluster AS probe_cluster
+                      FROM assigned WHERE vec_id = 0)
+          SELECT vec_id, CAST(label AS BIGINT) AS label,
+                 CAST(cluster AS BIGINT) AS cluster,
+                 round(${cosS("embedding", "probe_emb")}, 4) AS cos_sim
+          FROM assigned, probe
+          WHERE cluster = probe_cluster AND vec_id <> 0
+          ORDER BY cos_sim DESC, vec_id ASC LIMIT 10"""
+    },
     "q_multimodal_cols" ->
       """SELECT doc_id, lang, source,
                 CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
