@@ -143,6 +143,31 @@ class KinesisEngine(spark: SparkSession, metaDir: String) {
         .add(StructField("arrival_timestamp", TimestampType)))
       .parquet(s"$metaDir/tables/$relation")
 
+  /** Compact a stream table: streaming append writes one file per
+    * micro-batch per shard, which at continuous-ingest scale degrades
+    * every downstream scan (the small-files problem). Rewrites the table
+    * into `targetPartitions` files and swaps directories. Refuses while
+    * the relation's consumer is running (the sink would keep appending
+    * into the replaced directory). */
+  def compactStreamTable(relation: String, targetPartitions: Int = 8): Unit = {
+    synchronized {
+      val active = consumers.values.exists(c => c.relation == relation &&
+        running.contains(c.id))
+      require(!active, s"stop consumers of '$relation' before compacting")
+    }
+    val dir = Paths.get(s"$metaDir/tables/$relation")
+    val tmp = Paths.get(s"$metaDir/tables/__compact_$relation")
+    val old = Paths.get(s"$metaDir/tables/__old_$relation")
+    streamTable(relation).repartition(targetPartitions)
+      .write.mode("overwrite").parquet(tmp.toString)
+    Files.move(dir, old)
+    Files.move(tmp, dir)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(old.toFile)
+  }
+
   // --- data plane ---------------------------------------------------------
 
   /** The parsed stream for a consumer config: source → parse (B2) →
@@ -211,14 +236,20 @@ class KinesisEngine(spark: SparkSession, metaDir: String) {
     saveCatalog()
     if (!running.contains(c.id)) {
       val df = parsedStream(c, ep.url)
-      // B4: every parsed row also lands in the persistent stream table
-      // (parquet append with its own checkpoint) — rows flow whether or
-      // not any view aggregates them, like COPY into a PipelineDB stream.
+      // B4: every parsed row also lands in the persistent stream table —
+      // rows flow whether or not any view aggregates them, like COPY into
+      // a PipelineDB stream. Plain foreachBatch append (no _spark_metadata
+      // sink log): the table stays a vanilla parquet dir, so compaction
+      // and external readers work; delivery on the raw table is
+      // at-least-once (a batch retried between write and checkpoint commit
+      // can duplicate) — exactly the reference's stream semantics
+      // (pipeline_kinesis.c:754-758); views stay exactly-once via state.
       val tableQ = df.writeStream
         .queryName(s"${relation}__table")
         .outputMode("append")
-        .format("parquet")
-        .option("path", s"$metaDir/tables/$relation")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(s"$metaDir/tables/$relation")
+        }
         .option("checkpointLocation", s"$metaDir/checkpoints/${c.id}/__table")
         .start()
       val viewQs = views.toSeq.collect { case (vname, v) if v.relation == relation =>

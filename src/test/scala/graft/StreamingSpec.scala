@@ -261,6 +261,62 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-table compaction shrinks files, preserves rows, survives restart") {
+    val root = tmpDir("kin-cmp")
+    val meta = tmpDir("kin-cmp-meta")
+    val eng = new KinesisEngine(spark, meta)
+    eng.addEndpoint("ep", "r", url = root)
+    eng.createStream("cmp_stream", StructType(Seq(StructField("payload", StringType))))
+    eng.createContinuousView("cmp_view", "cmp_stream", _.groupBy().count())
+    // several small batches → several files
+    for (i <- 0 until 5) {
+      ShardedLog.append(s"$root/s", 0, Seq((s"k$i", s"v$i")))
+      eng.consumeBegin("ep", "s", "cmp_stream", format = "text")
+      eng.processAllAvailable()
+      if (i < 4) { eng.consumeEndAll() }
+    }
+    eng.consumeEndAll()
+    def nFiles = new java.io.File(s"$meta/tables/cmp_stream")
+      .listFiles().count(f => f.getName.endsWith(".parquet"))
+    val before = nFiles
+    assert(before >= 5, s"expected ≥5 small files, got $before")
+    eng.compactStreamTable("cmp_stream", targetPartitions = 1)
+    assert(nFiles === 1)
+    assert(eng.streamTable("cmp_stream").count() === 5)
+    // appending after compaction must see old + new rows
+    ShardedLog.append(s"$root/s", 0, Seq(("k9", "v9")))
+    eng.consumeBegin("ep", "s", "cmp_stream", format = "text")
+    eng.processAllAvailable()
+    assert(eng.streamTable("cmp_stream").count() === 6)
+    // compaction while running is refused
+    val e = intercept[IllegalArgumentException](eng.compactStreamTable("cmp_stream"))
+    assert(e.getMessage.contains("stop consumers"))
+    eng.consumeEndAll()
+  }
+
+  test("two consumers on different streams run concurrently") {
+    val root = tmpDir("kin-two")
+    val meta = tmpDir("kin-two-meta")
+    ShardedLog.append(s"$root/s1", 0, Seq(("a", "x"), ("b", "x")))
+    ShardedLog.append(s"$root/s2", 0, Seq(("c", "y")))
+    val eng = new KinesisEngine(spark, meta)
+    eng.addEndpoint("ep", "r", url = root)
+    eng.createStream("two_a", StructType(Seq(StructField("payload", StringType))))
+    eng.createStream("two_b", StructType(Seq(StructField("payload", StringType))))
+    eng.createContinuousView("two_a_view", "two_a", _.groupBy("payload").count())
+    eng.createContinuousView("two_b_view", "two_b", _.groupBy("payload").count())
+    val idA = eng.consumeBegin("ep", "s1", "two_a", format = "text")
+    val idB = eng.consumeBegin("ep", "s2", "two_b", format = "text")
+    assert(idA !== idB)
+    eng.processAllAvailable()
+    assert(spark.table("two_a_view").head().getLong(1) === 2L)
+    assert(spark.table("two_b_view").head().getLong(1) === 1L)
+    assert(eng.seqnums.select("consumer_id").distinct().count() === 2)
+    eng.consumeEnd("ep", "s1", "two_a")
+    assert(eng.activeQueries.nonEmpty, "consumer B still running")
+    eng.consumeEndAll()
+  }
+
   test("batch read of the sharded log (A8 parity)") {
     val dir = tmpDir("kin-batchread")
     ShardedLog.append(dir, 0, Seq(("a", "1"), ("b", "2")))
