@@ -22,6 +22,15 @@ object Tables {
     else df
   }
 
+  val ALL = Seq("region", "nation", "customer", "supplier", "part", "orders",
+                "lineitem", "events", "documents", "embeddings")
+
+  /** Register every test table as a temp view so the whole engine surface
+    * is reachable from `spark.sql(...)` — the interface the reference's
+    * users actually use. */
+  def registerAll(s: SparkSession, d: String): Unit =
+    ALL.foreach(n => apply(s, d, n).createOrReplaceTempView(n))
+
   def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = apply(s, d, "customer")

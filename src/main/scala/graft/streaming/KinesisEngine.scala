@@ -131,6 +131,18 @@ class KinesisEngine(spark: SparkSession, metaDir: String) {
     views(name) = View(relation, agg, materialize)
   }
 
+  /** CREATE CONTINUOUS VIEW … AS <sql> — the reference's actual UX
+    * (README.md:66): the view is declared as SQL over the stream
+    * relation's name. The parsed stream is registered as a temp view
+    * named after the relation at consume time, so the SQL references it
+    * directly. */
+  def createContinuousViewSql(name: String, relation: String, sql: String,
+                              materialize: String = "memory"): Unit =
+    createContinuousView(name, relation, df => {
+      df.createOrReplaceTempView(relation)
+      spark.sql(sql)
+    }, materialize)
+
   /** Read a parquet-materialized view's current snapshot. */
   def viewTable(name: String): DataFrame =
     spark.read.parquet(s"$metaDir/views/$name")

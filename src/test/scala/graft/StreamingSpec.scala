@@ -317,6 +317,31 @@ class StreamingSpec extends SparkSpec {
     eng.consumeEndAll()
   }
 
+  test("SQL-declared continuous view (CREATE CONTINUOUS VIEW parity)") {
+    val root = tmpDir("kin-sqlcv")
+    val meta = tmpDir("kin-sqlcv-meta")
+    (1 to 10).foreach(i => ShardedLog.append(s"$root/s", i % 2, Seq((s"p${i % 3}", s"p${i % 3}"))))
+    val eng = new KinesisEngine(spark, meta)
+    eng.addEndpoint("ep", "r", url = root)
+    eng.createStream("sql_stream", StructType(Seq(StructField("payload", StringType))))
+    // the reference's demo view, verbatim SQL shape (README.md:66)
+    eng.createContinuousViewSql("sql_cv_view", "sql_stream",
+      "SELECT payload, count(*) AS count FROM sql_stream GROUP BY payload")
+    eng.consumeBegin("ep", "s", "sql_stream", format = "text")
+    eng.processAllAvailable()
+    val m = spark.table("sql_cv_view").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m === Map("p0" -> 3L, "p1" -> 4L, "p2" -> 3L))
+    eng.consumeEndAll()
+  }
+
+  test("Tables.registerAll exposes the full surface to spark.sql") {
+    Tables.registerAll(spark, sf0001)
+    val r = spark.sql(
+      "SELECT count(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey").head()
+    assert(r.getLong(0) === 6000L)
+  }
+
   test("batch read of the sharded log (A8 parity)") {
     val dir = tmpDir("kin-batchread")
     ShardedLog.append(dir, 0, Seq(("a", "1"), ("b", "2")))
