@@ -155,6 +155,40 @@ class KinesisEngine(spark: SparkSession, metaDir: String) {
         .add(StructField("arrival_timestamp", TimestampType)))
       .parquet(s"$metaDir/tables/$relation")
 
+  /** PipelineDB sliding-window view analog (`WITH (sw = '5 minutes')`):
+    * a query-time view over only the rows that arrived within `width` of
+    * now — results age out continuously without any state mutation, the
+    * same read-time-filter semantics PipelineDB uses for sw views. */
+  def slidingView(relation: String, width: String): DataFrame =
+    streamTable(relation).filter(
+      col("arrival_timestamp") >= current_timestamp() - expr(s"INTERVAL $width"))
+
+  /** PipelineDB TTL analog: physically drop stream-table rows whose
+    * arrival_timestamp is older than the TTL (rewrite + swap, same
+    * mechanics as compaction; consumer must be stopped). */
+  def expireStreamTable(relation: String, ttl: String,
+                        targetPartitions: Int = 8): Unit = {
+    synchronized {
+      val active = consumers.values.exists(c => c.relation == relation &&
+        running.contains(c.id))
+      require(!active, s"stop consumers of '$relation' before expiring")
+    }
+    val dir = Paths.get(s"$metaDir/tables/$relation")
+    val tmp = Paths.get(s"$metaDir/tables/__expire_$relation")
+    val old = Paths.get(s"$metaDir/tables/__oldx_$relation")
+    streamTable(relation)
+      .filter(col("arrival_timestamp") >=
+              current_timestamp() - expr(s"INTERVAL $ttl"))
+      .repartition(targetPartitions)
+      .write.mode("overwrite").parquet(tmp.toString)
+    Files.move(dir, old)
+    Files.move(tmp, dir)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(old.toFile)
+  }
+
   /** Compact a stream table: streaming append writes one file per
     * micro-batch per shard, which at continuous-ingest scale degrades
     * every downstream scan (the small-files problem). Rewrites the table

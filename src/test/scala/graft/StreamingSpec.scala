@@ -342,6 +342,27 @@ class StreamingSpec extends SparkSpec {
     assert(r.getLong(0) === 6000L)
   }
 
+  test("sliding-window view and TTL expiry (PipelineDB sw/ttl parity)") {
+    val root = tmpDir("kin-sw")
+    val meta = tmpDir("kin-sw-meta")
+    ShardedLog.append(s"$root/s", 0, Seq(("a", "x"), ("b", "y"), ("c", "z")))
+    val eng = new KinesisEngine(spark, meta)
+    eng.addEndpoint("ep", "r", url = root)
+    eng.createStream("sw_stream", StructType(Seq(StructField("payload", StringType))))
+    eng.createContinuousView("sw_gate_view", "sw_stream", _.groupBy().count())
+    eng.consumeBegin("ep", "s", "sw_stream", format = "text")
+    eng.processAllAvailable()
+    eng.consumeEndAll()
+    // rows arrived seconds ago: inside a 1-hour window, outside "0 seconds"
+    assert(eng.slidingView("sw_stream", "1 HOUR").count() === 3)
+    assert(eng.slidingView("sw_stream", "0 SECOND").count() === 0)
+    // TTL: 1-hour TTL keeps everything; "0 seconds" expires everything
+    eng.expireStreamTable("sw_stream", "1 HOUR", targetPartitions = 1)
+    assert(eng.streamTable("sw_stream").count() === 3)
+    eng.expireStreamTable("sw_stream", "0 SECOND", targetPartitions = 1)
+    assert(eng.streamTable("sw_stream").count() === 0)
+  }
+
   test("batch read of the sharded log (A8 parity)") {
     val dir = tmpDir("kin-batchread")
     ShardedLog.append(dir, 0, Seq(("a", "1"), ("b", "2")))
