@@ -51,4 +51,13 @@ object Bucketing {
     val r = spark.table(rightTable)
     l.join(r, l(leftKey) === r(rightKey))
   }
+
+  /** Hive-style partitioned layout: one directory per partition value, so
+    * a filter on the partition column prunes whole directories before any
+    * IO (`PartitionFilters` in the scan — verified in ScaleJoinsSpec).
+    * The partition column should be low-cardinality (date, region,
+    * source); at 100 TB this is the difference between scanning one day
+    * and scanning the lake. */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
 }

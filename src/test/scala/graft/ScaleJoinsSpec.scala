@@ -16,6 +16,22 @@ class ScaleJoinsSpec extends SparkSpec {
     assert(salted.sameElements(plain))
   }
 
+  test("partitioned layout prunes directories before IO") {
+    val path = tmpDir("part-layout") + "/events_by_type"
+    Bucketing.writePartitioned(
+      Tables.events(spark, sf0001).select("event_id", "value", "event_type"),
+      path, "event_type")
+    val dirs = new java.io.File(path).listFiles().map(_.getName)
+      .filter(_.startsWith("event_type=")).sorted
+    assert(dirs.length === 5, s"one dir per type: ${dirs.mkString(",")}")
+    val q = spark.read.parquet(path).filter(col("event_type") === "click")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(event_type"),
+      s"expected partition pruning:\n$scan")
+    assert(q.count() === Tables.events(spark, sf0001)
+      .filter(col("event_type") === "click").count())
+  }
+
   test("bucketed join runs without Exchange or Sort (co-located)") {
     // in-memory catalog resets per JVM but table locations persist on disk
     for (t <- Seq("b_orders", "b_lineitem")) {
