@@ -50,6 +50,27 @@ object Relational3 {
                 col("m.k").as("best_order"), col("n_orders"))
         .orderBy("o_custkey")),
 
+    // MapType handling: JSON payload → typed map, key listing/lookup.
+    "q_map_funcs" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+                from_json(col("props"), org.apache.spark.sql.types.MapType(
+                  org.apache.spark.sql.types.StringType,
+                  org.apache.spark.sql.types.StringType)).as("m"))
+        .select(col("event_id"),
+                size(col("m")).cast("long").as("n_keys"),
+                array_join(array_sort(map_keys(col("m"))), ",").as("keys"),
+                try_element_at(col("m"), lit("k")).cast("long").as("k_val"))
+        .orderBy("event_id")),
+
+    // Generator: posexplode over an array slice (UNNEST-with-position).
+    "q_posexplode" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(slice(col("embedding"), 1, 4)))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"),
+                round(col("col").cast("double"), 6).as("v"))
+        .orderBy("vec_id", "pos")),
+
     // UNION (distinct) — dedups across branches, unlike q_union_all.
     "q_union_distinct" -> ((s, d) => {
       val o = Tables.orders(s, d)
@@ -111,6 +132,17 @@ object Relational3 {
                 max(struct_pack(p := o_totalprice, k := o_orderkey)).k AS best_order,
                 count(*) AS n_orders
          FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
+    "q_map_funcs" ->
+      """SELECT event_id,
+                CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+                array_to_string(list_sort(json_keys(props)), ',') AS keys,
+                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+         FROM events ORDER BY event_id""",
+    "q_posexplode" ->
+      """SELECT vec_id, CAST(t.i AS BIGINT) AS pos,
+                round(CAST(embedding[CAST(t.i AS INTEGER) + 1] AS DOUBLE), 6) AS v
+         FROM embeddings, (SELECT unnest(range(4)) AS i) t
+         ORDER BY vec_id, pos""",
     "q_union_distinct" ->
       """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
          UNION
