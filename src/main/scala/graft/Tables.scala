@@ -10,6 +10,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // safety net: queries using graft_md5h/graft_cosine must resolve even
+    // in sessions built without the GraftExtensions config
+    org.apache.spark.sql.GraftRegistrar.register(spark)
     // events.ts is TIMESTAMP(NANOS) in parquet, which Spark 4 refuses to
     // read natively; read nanos as long and truncate to µs (exactly what
     // DuckDB's reader does), keeping both engines' view identical.

@@ -1,0 +1,26 @@
+package org.apache.spark.sql
+
+import graft.expressions.{CosineSimilarity, Md5Prefix64}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ClassicConversions._
+
+/** Session-independent registration of the graft functions.
+  *
+  * The supported path is `spark.sql.extensions=graft.expressions
+  * .GraftExtensions` (set by Verify/Bench/tests); this registrar is the
+  * safety net for sessions built without it — `FunctionRegistry` is
+  * `private[sql]`, hence the package placement. Idempotent; called from
+  * `graft.Tables` so any declared query resolves in any session.
+  */
+object GraftRegistrar {
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_md5h",
+      (children: Seq[Expression]) =>
+        Md5Prefix64(children(0), children(1).eval().asInstanceOf[Number].intValue()),
+      "scala_udf")
+    reg.createOrReplaceTempFunction("graft_cosine",
+      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1)),
+      "scala_udf")
+  }
+}
