@@ -236,6 +236,10 @@ class KinesisEngine(spark: SparkSession, metaDir: String) {
         val opts = Map("sep" -> c.delimiter) ++
           Option(c.quote).map("quote" -> _) ++ Option(c.escape).map("escape" -> _)
         raw.select(from_csv(col("data"), schema, opts).as("r")).select(col("r.*"))
+      case "json" =>
+        // beyond the reference's text/csv: JSON records parsed against the
+        // declared stream schema, same PERMISSIVE poison policy
+        raw.select(from_json(col("data"), schema).as("r")).select(col("r.*"))
       case other => throw new IllegalArgumentException(s"format $other")
     }
     parsed.withColumn("arrival_timestamp", current_timestamp())

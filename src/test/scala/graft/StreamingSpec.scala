@@ -108,6 +108,26 @@ class StreamingSpec extends SparkSpec {
     eng.consumeEndAll()
   }
 
+  test("json format parses records against the stream schema") {
+    val root = tmpDir("kin-json")
+    val meta = tmpDir("kin-json-meta")
+    ShardedLog.append(s"$root/s", 0, Seq(
+      ("k1", """{"name":"a","n":1}"""), ("k2", """{"name":"b","n":2}"""),
+      ("k3", """not json""")))
+    val eng = new KinesisEngine(spark, meta)
+    eng.addEndpoint("ep", "r", url = root)
+    eng.createStream("j_stream", StructType(Seq(
+      StructField("name", StringType), StructField("n", LongType))))
+    eng.createContinuousView("j_view", "j_stream",
+      df => df.groupBy().agg(count(lit(1)).as("rows"), sum("n").as("total")))
+    eng.consumeBegin("ep", "s", "j_stream", format = "json")
+    eng.processAllAvailable()
+    val r = spark.table("j_view").head()
+    assert(r.getLong(0) === 3L, "poison record survives as nulls")
+    assert(r.getLong(1) === 3L, "1 + 2; malformed contributes null")
+    eng.consumeEndAll()
+  }
+
   test("startingposition latest skips the backlog") {
     val dir = tmpDir("kin-latest")
     ShardedLog.append(dir, 0, (1 to 50).map(i => (s"k$i", s"old$i")))
