@@ -22,7 +22,7 @@ object SparkEntry {
     Relational.queries ++ Joins.queries ++ Aggregates.queries ++
       TimeWindows.queries ++ TextAnalysis.queries ++ Dedup.queries ++
       Similarity.queries ++ Relational2.queries ++ Relational3.queries ++
-      Pipeline.queries ++ StreamingIngest.queries
+      Pipeline.queries ++ StreamingIngest.queries ++ Analytics.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -30,5 +30,5 @@ object SparkEntry {
     Relational.oracle ++ Joins.oracle ++ Aggregates.oracle ++
       TimeWindows.oracle ++ TextAnalysis.oracle ++ Dedup.oracle ++
       Similarity.oracle ++ Relational2.oracle ++ Relational3.oracle ++
-      Pipeline.oracle
+      Pipeline.oracle ++ Analytics.oracle
 }
