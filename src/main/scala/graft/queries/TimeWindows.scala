@@ -41,6 +41,21 @@ object TimeWindows {
         .agg(count(lit(1)).as("n_events"))
         .select(col("user_id"), col("session_window.start").as("session_start"),
                 col("n_events"))
+        .orderBy("user_id", "session_start")),
+
+    // Session metrics: duration (last event + gap − first event), event
+    // count, exact extrema. Sum-free on purpose: double sums of
+    // full-precision values can't be made order-independent.
+    "q_session_stats" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+             round(max(col("value")), 4).as("max_value"))
+        .select(col("user_id"),
+                col("session_window.start").as("session_start"),
+                (col("session_window.end").cast("long") -
+                 col("session_window.start").cast("long")).as("dur_sec"),
+                col("n_events"), col("max_value"))
         .orderBy("user_id", "session_start"))
   )
 
@@ -58,6 +73,22 @@ object TimeWindows {
     // Gaps-and-islands: new session when the gap to the previous event of
     // the same user is >= 30 minutes (session end bound is exclusive,
     // matching Spark's session_window semantics).
+    "q_session_stats" ->
+      """SELECT user_id, min(ts) AS session_start,
+                CAST(datediff('second', min(ts), max(ts)) + 1800 AS BIGINT) AS dur_sec,
+                count(*) AS n_events,
+                round(max(value), 4) AS max_value
+         FROM (
+           SELECT user_id, ts, value,
+                  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+           FROM (SELECT user_id, ts, value,
+                        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                               OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                  >= INTERVAL '30 minutes'
+                             THEN 1 ELSE 0 END AS new_sess
+                 FROM events))
+         GROUP BY user_id, sess_id ORDER BY user_id, session_start""",
     "q_window_session" ->
       """SELECT user_id, min(ts) AS session_start, count(*) AS n_events FROM (
            SELECT user_id, ts,
