@@ -91,6 +91,46 @@ class StreamingStateSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("online content dedup: fingerprint + dropDuplicates in a continuous pipeline") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text")
+      .withColumn("fp", md5(col("text"))) // content fingerprint (q_dedup_exact online)
+      .dropDuplicates("fp")
+      .writeStream.queryName("online_dedup_view").outputMode("append")
+      .format("memory").start()
+    try {
+      in.addData((1L, "the same doc"), (2L, "another doc"))
+      q.processAllAvailable()
+      in.addData((3L, "the same doc"), (4L, "third doc")) // dup arrives later
+      q.processAllAvailable()
+      val kept = spark.table("online_dedup_view").collect().map(_.getLong(0)).sorted
+      assert(kept.toSeq === Seq(1L, 2L, 4L), "cross-batch duplicate suppressed")
+    } finally q.stop()
+  }
+
+  test("continuous trending terms: streaming text analysis through the engine") {
+    val root = tmpDir("kin-trend")
+    val meta = tmpDir("kin-trend-meta")
+    ShardedLog.append(s"$root/s", 0, Seq(
+      ("d1", "spark streams fast"), ("d2", "spark scales fast")))
+    val eng = new KinesisEngine(spark, meta)
+    eng.addEndpoint("ep", "r", url = root)
+    eng.createStream("trend_stream", StructType(Seq(StructField("text", StringType))))
+    eng.createContinuousView("trend_view", "trend_stream", df =>
+      df.select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").count())
+    eng.consumeBegin("ep", "s", "trend_stream", format = "text")
+    eng.processAllAvailable()
+    ShardedLog.append(s"$root/s", 0, Seq(("d3", "spark wins")))
+    eng.processAllAvailable()
+    val m = spark.table("trend_view").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("spark") === 3L && m("fast") === 2L && m("wins") === 1L)
+    eng.consumeEndAll()
+  }
+
   test("poison records parse permissively (nulls) instead of dropping the batch") {
     // Reference behavior: a COPY parse failure aborts the txn and silently
     // drops the whole batch (pipeline_kinesis.c:738-752). Here malformed
