@@ -81,12 +81,18 @@ object Multimodal {
         least(col("meta.declared_bytes"), lit(maxBytes.toLong)).as("declared_bytes")))
 
   /** STUB frame sampling: every k-th fixed-size window of the payload
-    * stands in for every k-th video frame. */
+    * stands in for every k-th video frame. Payloads shorter than one
+    * frame yield zero frames — the CASE guard matters because Spark's
+    * `sequence(0, -1)` produces a descending `[0, -1]` (two bogus
+    * frames), not an empty array. */
   def frameSampleStub(df: DataFrame, frameBytes: Int, everyK: Int): DataFrame = {
     val frames = expr(
       s"""filter(
-            transform(sequence(0, int(octet_length(payload) / $frameBytes) - 1),
-                      i -> struct(i AS frame_no, substring(payload, i * $frameBytes + 1, $frameBytes) AS frame)),
+            transform(
+              CASE WHEN octet_length(payload) >= $frameBytes
+                   THEN sequence(0, int(octet_length(payload) / $frameBytes) - 1)
+                   ELSE CAST(array() AS ARRAY<INT>) END,
+              i -> struct(i AS frame_no, substring(payload, i * $frameBytes + 1, $frameBytes) AS frame)),
             f -> f.frame_no % $everyK = 0)""")
     df.select(col("media_id"), col("kind"), explode(frames).as("f"))
       .select(col("media_id"), col("kind"), col("f.frame_no"), col("f.frame"))

@@ -1,0 +1,51 @@
+package graft
+
+import graft.queries.Dedup
+import org.apache.spark.sql.functions._
+
+/** Edge-input coverage for the dedup family: documents with fewer than 3
+  * tokens have no 3-token shingles. Spark's `sequence(1, n)` descends when
+  * n < 1 (step defaults to −1), so unguarded shingling crashed with
+  * `element_at(th, 0)` on any short document — an input class absent from
+  * the driver testdata but guaranteed in any real corpus. */
+class DedupEdgeSpec extends SparkSpec {
+
+  private lazy val dir: String = {
+    import spark.implicits._
+    val d = tmpDir("dedup-edge")
+    Seq(
+      (1L, ""),                        // empty text → single empty token
+      (2L, "one"),                     // 1 token
+      (3L, "two words"),               // 2 tokens → still no shingle
+      (4L, "a b c d e f g h i j"),     // 10 tokens
+      (5L, "a b c d e f g h i j"),     // identical twin of doc 4
+      (6L, "k l m n o p q r s t")      // distinct 10-token doc
+    ).toDF("doc_id", "text").coalesce(1)
+      .write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("q_dedup_minhash survives 0/1/2-token docs and still pairs the twins") {
+    val rows = Dedup.queries("q_dedup_minhash")(spark, dir).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((4L, 5L)),
+      "only the identical pair is a candidate; shingle-less docs never bucket")
+    assert(rows.head.getDouble(2) === 1.0)
+  }
+
+  test("q_dedup_ngram survives short docs and scores the twins at 1.0") {
+    val rows = Dedup.queries("q_dedup_ngram")(spark, dir).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((4L, 5L)))
+    assert(rows.head.getDouble(2) === 1.0)
+  }
+
+  test("q_dedup_simhash emits one row per doc including short ones") {
+    val rows = Dedup.queries("q_dedup_simhash")(spark, dir).collect()
+    assert(rows.length === 6, "short docs still get a signature")
+  }
+
+  test("q_dedup_exact still finds the identical pair") {
+    val rows = Dedup.queries("q_dedup_exact")(spark, dir).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getLong(1) === 2L && rows.head.getLong(2) === 4L)
+  }
+}

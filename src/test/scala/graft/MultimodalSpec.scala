@@ -46,6 +46,15 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.forall(_.getAs[Array[Byte]](3).length === 4))
   }
 
+  test("frameSampleStub: payload shorter than one frame yields zero frames") {
+    // "payload-bytes-0" is 15 bytes; frameBytes=32 must give no frames, not
+    // the two bogus ones an unguarded descending sequence(0,-1) produced.
+    val one = mediaDf.filter(col("media_id") === 0)
+    assert(Multimodal.frameSampleStub(one, frameBytes = 32, everyK = 1).count() === 0L)
+    // exact-fit payload: exactly one frame
+    assert(Multimodal.frameSampleStub(one, frameBytes = 15, everyK = 1).count() === 1L)
+  }
+
   test("exact dedup finds duplicate payloads (positive path for q_dedup_exact)") {
     import spark.implicits._
     val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
