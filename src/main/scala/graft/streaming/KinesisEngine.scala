@@ -27,8 +27,17 @@ import org.apache.spark.sql.types.{StructField, StructType, TimestampType}
   *    relation (the bgworker-launch analog, pipeline_kinesis.c:774-823;
   *    query handles play the shmem-registry role, D5).
   *  - `seqnums` — per-(consumer, shard) next sequence number, read from
-  *    the streaming checkpoint's offset log — the observability view of
-  *    pipeline_kinesis--0.9.0.sql:26-31 / README.md:119-126.
+  *    the streaming checkpoint's *committed* batches only (commit-gated,
+  *    like the reference's upsert-after-COPY), plus a
+  *    records_behind_latest lag column — the observability view of
+  *    pipeline_kinesis--0.9.0.sql:26-31 / README.md:119-126 and the
+  *    millisBehindLatest analog of kinesis_consumer.cpp:446-465.
+  *
+  * Catalog durability: endpoints, consumers, stream schemas and
+  * SQL-declared views all persist under metaDir — a fresh engine over the
+  * same metaDir resumes ingestion with `consumeBeginAll()` alone
+  * (pipeline_kinesis.c:1038-1079). Closure-based views are application
+  * code and must be re-registered by it.
   *
   * Delivery: the reference commits seqnums in a second transaction after
   * COPY (at-least-once, with poison batches dropped —
@@ -44,7 +53,7 @@ class KinesisEngine(spark: SparkSession, metaDir: String) {
                       batchsize: Long, parallelism: Int, startSeq: Long)
 
   private case class View(relation: String, agg: DataFrame => DataFrame,
-                          materialize: String)
+                          materialize: String, sql: Option[String])
 
   private val endpoints = mutable.LinkedHashMap[String, Endpoint]()
   private val streams = mutable.LinkedHashMap[String, StructType]()
@@ -56,12 +65,18 @@ class KinesisEngine(spark: SparkSession, metaDir: String) {
   Files.createDirectories(Paths.get(metaDir))
   loadCatalog()
 
-  // --- catalog persistence (the reference's endpoints/consumers tables,
+  // --- catalog persistence (the reference's endpoints/consumers tables
+  // plus stream schemas and SQL view definitions,
   // pipeline_kinesis--0.9.0.sql:4-24): tab-separated rows under metaDir so
-  // a fresh engine over the same metaDir resumes where the last left off.
+  // a fresh engine over the same metaDir restarts ingestion from the
+  // catalog alone (consume_begin_all parity, pipeline_kinesis.c:1038-1079).
+  // Only SQL-declared views persist — a closure view is application code
+  // and must be re-registered by that code, like any UDF.
 
-  // Fields are base64-wrapped: delimiter defaults to a literal tab,
-  // which would otherwise corrupt a tab-separated catalog row.
+  // EVERY string field is base64-wrapped: the csv delimiter defaults to a
+  // literal tab, and user-chosen names (endpoint/stream/relation/format)
+  // may themselves contain tab or newline — either would corrupt a
+  // tab-separated catalog row.
   private def esc(s: String): String =
     if (s == null) "-"
     else java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
@@ -71,34 +86,64 @@ class KinesisEngine(spark: SparkSession, metaDir: String) {
 
   private def saveCatalog(): Unit = {
     val ep = endpoints.values.map(e =>
-      Seq(e.name, e.region, esc(e.credfile), esc(e.url)).mkString("\t"))
+      Seq(esc(e.name), esc(e.region), esc(e.credfile), esc(e.url)).mkString("\t"))
     Files.writeString(Paths.get(metaDir, "endpoints.tsv"), ep.mkString("\n"))
     val cs = consumers.values.map(c =>
-      Seq(c.id.toString, c.endpoint, c.stream, c.relation, c.format,
-          esc(c.delimiter), esc(c.quote), esc(c.escape), c.batchsize.toString,
-          c.parallelism.toString, c.startSeq.toString).mkString("\t"))
+      Seq(c.id.toString, esc(c.endpoint), esc(c.stream), esc(c.relation),
+          esc(c.format), esc(c.delimiter), esc(c.quote), esc(c.escape),
+          c.batchsize.toString, c.parallelism.toString, c.startSeq.toString)
+        .mkString("\t"))
     Files.writeString(Paths.get(metaDir, "consumers.tsv"), cs.mkString("\n"))
+    val st = streams.map { case (rel, schema) =>
+      Seq(esc(rel), esc(schema.json)).mkString("\t")
+    }
+    Files.writeString(Paths.get(metaDir, "streams.tsv"), st.mkString("\n"))
+    val vw = views.collect { case (name, v) if v.sql.isDefined =>
+      Seq(esc(name), esc(v.relation), esc(v.sql.get), esc(v.materialize))
+        .mkString("\t")
+    }
+    Files.writeString(Paths.get(metaDir, "views.tsv"), vw.mkString("\n"))
   }
 
   private def loadCatalog(): Unit = {
-    val epF = Paths.get(metaDir, "endpoints.tsv")
-    if (Files.exists(epF))
-      Files.readString(epF).split("\n").filter(_.nonEmpty).foreach { l =>
-        val f = l.split("\t", -1)
-        endpoints(f(0)) = Endpoint(f(0), f(1), unesc(f(2)), unesc(f(3)))
-      }
-    val cF = Paths.get(metaDir, "consumers.tsv")
-    if (Files.exists(cF))
-      Files.readString(cF).split("\n").filter(_.nonEmpty).foreach { l =>
-        val f = l.split("\t", -1)
-        val c = Consumer(f(0).toInt, f(1), f(2), f(3), f(4), unesc(f(5)),
-          unesc(f(6)), unesc(f(7)), f(8).toLong, f(9).toInt, f(10).toLong)
-        consumers((c.endpoint, c.stream, c.relation)) = c
-        nextId = math.max(nextId, c.id + 1)
-      }
+    def rows(file: String): Seq[Array[String]] = {
+      val p = Paths.get(metaDir, file)
+      if (!Files.exists(p)) Nil
+      else Files.readString(p).split("\n").filter(_.nonEmpty)
+        .map(_.split("\t", -1)).toSeq
+    }
+    rows("endpoints.tsv").foreach { f =>
+      val name = unesc(f(0))
+      endpoints(name) = Endpoint(name, unesc(f(1)), unesc(f(2)), unesc(f(3)))
+    }
+    rows("consumers.tsv").foreach { f =>
+      val c = Consumer(f(0).toInt, unesc(f(1)), unesc(f(2)), unesc(f(3)),
+        unesc(f(4)), unesc(f(5)), unesc(f(6)), unesc(f(7)), f(8).toLong,
+        f(9).toInt, f(10).toLong)
+      consumers((c.endpoint, c.stream, c.relation)) = c
+      nextId = math.max(nextId, c.id + 1)
+    }
+    rows("streams.tsv").foreach { f =>
+      streams(unesc(f(0))) =
+        org.apache.spark.sql.types.DataType.fromJson(unesc(f(1)))
+          .asInstanceOf[StructType]
+    }
+    rows("views.tsv").foreach { f =>
+      val (name, relation, sql, mat) =
+        (unesc(f(0)), unesc(f(1)), unesc(f(2)), unesc(f(3)))
+      views(name) = View(relation, sqlAgg(relation, sql), mat, Some(sql))
+    }
   }
 
   // --- catalog (C1/C2/C3) -------------------------------------------------
+
+  /** Catalog inspection (the reference's SELECT over pipeline_kinesis
+    * catalog tables). */
+  def listEndpoints: Seq[Endpoint] = synchronized(endpoints.values.toSeq)
+  def listConsumers: Seq[Consumer] = synchronized(consumers.values.toSeq)
+  def listStreams: Map[String, StructType] = synchronized(streams.toMap)
+  def listViewSql: Map[String, String] =
+    synchronized(views.collect { case (n, v) if v.sql.isDefined => n -> v.sql.get }.toMap)
 
   def addEndpoint(name: String, region: String, credfile: String = null,
                   url: String = null): Unit = synchronized {
@@ -118,30 +163,39 @@ class KinesisEngine(spark: SparkSession, metaDir: String) {
     require(!schema.fieldNames.contains("arrival_timestamp"),
       "arrival_timestamp is implicit and cannot be declared") // pipeline_kinesis.c:249-256
     streams(relation) = schema
+    saveCatalog()
   }
 
   /** @param materialize "memory" (queryable via spark.table(name); test/
     *        demo scale) or "parquet" (complete-mode snapshot per batch at
     *        metaDir/views/name via foreachBatch — the production path for
-    *        compact aggregates, readable with [[viewTable]]). */
+    *        compact aggregates, readable with [[viewTable]]).
+    *
+    * A closure view does NOT persist across engine restarts (a Scala
+    * lambda has no durable representation); use
+    * [[createContinuousViewSql]] for catalog-durable views. */
   def createContinuousView(name: String, relation: String,
                            agg: DataFrame => DataFrame,
                            materialize: String = "memory"): Unit = synchronized {
     require(Set("memory", "parquet")(materialize), s"materialize=$materialize")
-    views(name) = View(relation, agg, materialize)
+    views(name) = View(relation, agg, materialize, None)
   }
+
+  private def sqlAgg(relation: String, sql: String): DataFrame => DataFrame =
+    df => { df.createOrReplaceTempView(relation); spark.sql(sql) }
 
   /** CREATE CONTINUOUS VIEW … AS <sql> — the reference's actual UX
     * (README.md:66): the view is declared as SQL over the stream
     * relation's name. The parsed stream is registered as a temp view
     * named after the relation at consume time, so the SQL references it
-    * directly. */
+    * directly. SQL views persist in the catalog and are restored by a
+    * fresh engine over the same metaDir. */
   def createContinuousViewSql(name: String, relation: String, sql: String,
-                              materialize: String = "memory"): Unit =
-    createContinuousView(name, relation, df => {
-      df.createOrReplaceTempView(relation)
-      spark.sql(sql)
-    }, materialize)
+                              materialize: String = "memory"): Unit = synchronized {
+    require(Set("memory", "parquet")(materialize), s"materialize=$materialize")
+    views(name) = View(relation, sqlAgg(relation, sql), materialize, Some(sql))
+    saveCatalog()
+  }
 
   /** Read a parquet-materialized view's current snapshot. */
   def viewTable(name: String): DataFrame =
@@ -347,33 +401,74 @@ class KinesisEngine(spark: SparkSession, metaDir: String) {
 
   // --- observability (seqnums view, README.md:119-126) --------------------
 
+  /** List a directory's entries, closing the underlying stream
+    * (`Files.list` holds a file handle until closed — leaked handles
+    * accumulate under repeated polling). */
+  private def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] =
+    if (!Files.exists(p)) Nil
+    else {
+      val s = Files.list(p)
+      try { val it = s.iterator(); val b = Seq.newBuilder[java.nio.file.Path]
+            while (it.hasNext) b += it.next(); b.result() }
+      finally s.close()
+    }
+
+  /** Highest batch id recorded in a checkpoint subdirectory (offsets/ or
+    * commits/ — files are named by batch id). */
+  private def maxBatchId(dir: java.nio.file.Path): Option[Long] = {
+    val ids = listDir(dir).map(_.getFileName.toString).filter(_.forall(_.isDigit))
+    if (ids.isEmpty) None else Some(ids.map(_.toLong).max)
+  }
+
+  /** Per-(consumer, shard) committed sequence number plus how far behind
+    * the shard tip it is — the reference's seqnums table + the
+    * millisBehindLatest metric re-expressed in records
+    * (pipeline_kinesis--0.9.0.sql:26-31; kinesis_consumer.cpp:446-465).
+    *
+    * COMMITTED means exactly that: the reported batch's offsets are only
+    * used once `commits/<id>` exists, matching the reference's
+    * upsert-after-COPY semantics (pipeline_kinesis.c:543-579) — the
+    * offsets log alone is a write-ahead *intent* and would over-report
+    * after a crash between offset write and batch commit. */
   def seqnums: DataFrame = {
     import spark.implicits._
-    val rows = synchronized(running.keys.toSeq).flatMap { id =>
-      val cpRoot = Paths.get(s"$metaDir/checkpoints/$id")
-      if (!Files.exists(cpRoot)) Nil
-      else Files.list(cpRoot).toArray.map(_.toString).flatMap { vdir =>
-        val offDir = Paths.get(vdir, "offsets")
-        if (!Files.exists(offDir)) Nil
-        else {
-          val latest = Files.list(offDir).toArray.map(_.toString)
-            .filter(_.split("/").last.forall(_.isDigit))
-            .sortBy(f => f.split("/").last.toLong).lastOption
-          latest.toSeq.flatMap { f =>
-            // offset-log format: v1 header, metadata json, then one offset
-            // json line per source — ours is the {shard: nextSeq} map.
-            scala.io.Source.fromFile(f).getLines().toSeq.drop(2)
-              .filter(l => l.startsWith("{") && l.contains(":"))
-              .flatMap(l => ShardedLog.parseOffsetJson(l).toSeq)
-              .map { case (shard, seq) => (id, shard.stripSuffix(".log"), seq) }
+    val consumerById = synchronized(consumers.values.map(c => c.id -> c).toMap)
+    val ids = synchronized(running.keys.toSeq)
+    val rows = ids.flatMap { id =>
+      val committed = listDir(Paths.get(s"$metaDir/checkpoints/$id"))
+        .flatMap { vdir =>
+          maxBatchId(vdir.resolve("commits")).toSeq.flatMap { batch =>
+            val offF = vdir.resolve("offsets").resolve(batch.toString)
+            if (!Files.exists(offF)) Nil
+            else {
+              // offset-log format: v1 header, metadata json, then one
+              // offset json line per source — ours is the
+              // {shard: [bytePos, nextSeq]} map. readAllLines closes.
+              import scala.jdk.CollectionConverters._
+              Files.readAllLines(offF).asScala.toSeq.drop(2)
+                .filter(l => l.startsWith("{") && l.contains(":"))
+                .flatMap(l => ShardedLog.parseOffsetJson(l).toSeq)
+                .map { case (shard, pos) => shard -> pos.recs }
+            }
           }
+        }
+      if (committed.isEmpty) Nil
+      else {
+        // Multiple standing queries (stream table + each view) checkpoint
+        // independently; report the furthest-committed seqnum per shard —
+        // every reported record is durably ingested by at least one query
+        // (each query's own checkpoint protects the laggards from loss).
+        val bestCommitted = committed.groupBy(_._1)
+          .map { case (shard, xs) => shard -> xs.map(_._2).max }
+        val latest = consumerById.get(id).map { c =>
+          ShardedLog.lineCounts(s"${endpoints(c.endpoint).url}/${c.stream}")
+        }.getOrElse(Map.empty[String, Long])
+        bestCommitted.toSeq.map { case (shard, seq) =>
+          val behind = math.max(latest.getOrElse(shard, seq) - seq, 0L)
+          (id, shard.stripSuffix(".log"), seq, behind)
         }
       }
     }
-    // Multiple standing queries (stream table + each view) checkpoint
-    // independently; report the furthest-committed seqnum per shard.
-    rows.toDF("consumer_id", "shard_id", "seqnum")
-      .groupBy("consumer_id", "shard_id")
-      .agg(org.apache.spark.sql.functions.max("seqnum").as("seqnum"))
+    rows.toDF("consumer_id", "shard_id", "seqnum", "records_behind_latest")
   }
 }

@@ -16,15 +16,37 @@ class PropertySpec extends AnyFunSuite {
     assert(res.passed, s"$name: $res")
   }
 
-  private val shardMapGen: Gen[Map[String, Long]] =
+  private val shardMapGen: Gen[Map[String, ShardedLog.ShardPos]] =
     Gen.mapOf(for {
       i <- Gen.choose(0, 9999)
+      b <- Gen.choose(0L, Long.MaxValue / 2)
       n <- Gen.choose(0L, Long.MaxValue / 2)
-    } yield s"shard-$i.log" -> n)
+    } yield s"shard-$i.log" -> ShardedLog.ShardPos(b, n))
 
   test("offset JSON round-trips for arbitrary shard maps") {
     check("offset-roundtrip", Prop.forAll(shardMapGen) { m =>
       ShardedLog.parseOffsetJson(ShardedLog.offsetJson(m)) == m
+    })
+  }
+
+  test("record framing round-trips arbitrary payloads incl. tabs/newlines") {
+    // the reference treats records as opaque bytes (kinesis_consumer.h:65-69);
+    // escaped framing must survive any partition key / data content
+    val sGen = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf('\t', '\n', '\r', '\\', '"', ' ', 'é')))
+      .map(_.mkString)
+    check("framing-roundtrip", Prop.forAll(sGen, sGen) { (pk, data) =>
+      val dir = java.nio.file.Files.createTempDirectory("framing").toString
+      ShardedLog.append(dir, 0, Seq((pk, data)))
+      val f = new java.io.File(dir, "shard-0.log")
+      val pos = ShardedLog.scanForward(f, 0L, Long.MaxValue)
+      val line = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        .stripSuffix("\n")
+      // non-null pk ⇒ the first raw tab is always the field separator
+      val tab = line.indexOf('\t')
+      pos.recs == 1L && pos.bytes == f.length() && tab >= 0 &&
+        ShardedLog.unescField(line.substring(0, tab)) == pk &&
+        ShardedLog.unescField(line.substring(tab + 1)) == data
     })
   }
 

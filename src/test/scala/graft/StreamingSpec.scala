@@ -44,7 +44,26 @@ class StreamingSpec extends SparkSpec {
     val sq = eng.seqnums.collect().map(r => r.getString(1) -> r.getLong(2)).toMap
     assert(sq.keySet === Set("shard-0", "shard-1", "shard-2", "shard-3"))
     assert(sq.values.toSeq.sorted === Seq(50L, 50L, 50L, 50L))
-    assert(eng.seqnums.columns.toSeq === Seq("consumer_id", "shard_id", "seqnum"))
+    assert(eng.seqnums.columns.toSeq ===
+      Seq("consumer_id", "shard_id", "seqnum", "records_behind_latest"))
+    // lag metric (millisBehindLatest analog): fully drained → 0 everywhere
+    assert(eng.seqnums.collect().forall(_.getLong(3) === 0L))
+
+    // Commit-gating: a written-but-uncommitted offsets entry (the
+    // write-ahead intent a crash leaves behind) must NOT advance seqnums.
+    val cpRoot = java.nio.file.Paths.get(s"$meta/checkpoints/$id")
+    val vdir = java.nio.file.Files.list(cpRoot).findFirst().get()
+    val phantomBatch = java.nio.file.Files.list(vdir.resolve("offsets"))
+      .toArray.map(_.toString.split("/").last).filter(_.forall(_.isDigit))
+      .map(_.toLong).max + 1
+    java.nio.file.Files.writeString(
+      vdir.resolve("offsets").resolve(phantomBatch.toString),
+      "v1\n{}\n" + ShardedLog.offsetJson(Map(
+        "shard-0.log" -> ShardedLog.ShardPos(999999L, 999L))))
+    val gated = eng.seqnums.collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(gated("shard-0") === 50L,
+      "uncommitted offsets are intent, not progress")
+    java.nio.file.Files.delete(vdir.resolve("offsets").resolve(phantomBatch.toString))
 
     // Stop, append while down, restart → resumes from checkpoint: counts
     // reach exactly 3 (no reprocessing, no loss).
@@ -390,5 +409,66 @@ class StreamingSpec extends SparkSpec {
     val df = spark.read.format(ShardedLog.FORMAT).option("path", dir).load()
     assert(df.count() === 3)
     assert(df.select("shard_id").distinct().count() === 2)
+  }
+
+  test("catalog alone restarts ingestion: stream schemas + SQL views persist") {
+    // consume_begin_all parity (pipeline_kinesis.c:1038-1079): the second
+    // engine declares NOTHING — endpoints, consumers, the stream schema and
+    // the SQL view definition all come back from the metaDir catalog.
+    val root = tmpDir("kin-dur")
+    val meta = tmpDir("kin-dur-meta")
+    ShardedLog.append(s"$root/s", 0, Seq(("a", "x"), ("b", "y")))
+    val eng = new KinesisEngine(spark, meta)
+    eng.addEndpoint("ep", "r", url = root)
+    eng.createStream("dur_stream", StructType(Seq(StructField("payload", StringType))))
+    eng.createContinuousViewSql("dur_view", "dur_stream",
+      "SELECT payload, count(*) AS count FROM dur_stream GROUP BY payload")
+    eng.consumeBegin("ep", "s", "dur_stream", format = "text")
+    eng.processAllAvailable()
+    eng.consumeEndAll()
+
+    ShardedLog.append(s"$root/s", 0, Seq(("c", "x")))
+    val eng2 = new KinesisEngine(spark, meta) // fresh engine, zero re-declaration
+    assert(eng2.listStreams.contains("dur_stream"), "stream schema restored")
+    assert(eng2.listViewSql.get("dur_view").exists(_.contains("GROUP BY payload")),
+      "SQL view definition restored")
+    eng2.consumeBeginAll()
+    eng2.processAllAvailable()
+    val m = spark.table("dur_view").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m === Map("x" -> 2L, "y" -> 1L), "resumed from checkpoint, no replay")
+    eng2.consumeEndAll()
+  }
+
+  test("payloads containing tabs, newlines and backslashes survive framing") {
+    // the reference's records are opaque bytes (kinesis_consumer.h:65-69);
+    // escaped framing must round-trip hostile content and keep one
+    // sequence number per record.
+    val dir = tmpDir("kin-frame")
+    val hostile = Seq(
+      ("k\t1", "col1\tcol2\nrow2"), ("k\\2", "back\\slash\r\n"), (null, "plain"))
+    ShardedLog.append(dir, 0, hostile)
+    val rows = spark.read.format(ShardedLog.FORMAT).option("path", dir).load()
+      .orderBy("sequence_number")
+      .select("partition_key", "data").collect()
+    assert(rows.length === 3, "one record per put, regardless of content")
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      hostile.map { case (pk, d) => (pk, d) })
+  }
+
+  test("catalog round-trips hostile names (tabs/newlines in fields)") {
+    val meta = tmpDir("kin-hostile-meta")
+    val eng = new KinesisEngine(spark, meta)
+    eng.addEndpoint("ep\tތ\nX", "re\tgion", credfile = "c\nred",
+      url = "/tmp/u\trl")
+    eng.createStream("h_stream", StructType(Seq(StructField("payload", StringType))))
+    eng.createContinuousViewSql("h_view", "h_stream",
+      "SELECT payload, count(*) AS c\nFROM h_stream\tGROUP BY payload")
+    val eng2 = new KinesisEngine(spark, meta)
+    assert(eng2.listEndpoints.map(e => (e.name, e.region, e.credfile, e.url)) ===
+      Seq(("ep\tތ\nX", "re\tgion", "c\nred", "/tmp/u\trl")))
+    assert(eng2.listStreams("h_stream").fieldNames.toSeq === Seq("payload"))
+    assert(eng2.listViewSql("h_view") ===
+      "SELECT payload, count(*) AS c\nFROM h_stream\tGROUP BY payload")
   }
 }
