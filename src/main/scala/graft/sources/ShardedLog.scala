@@ -126,6 +126,12 @@ object ShardedLog {
     finally f.close()
   }
 
+  /** Test instrumentation: cumulative bytes consumed by driver-side
+    * [[scanForward]] calls. Lets specs assert the scale contract directly:
+    * per-trigger scan cost must track the appended delta, not the file
+    * size. */
+  val bytesScanned = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Scan `file` forward from byte `fromBytes`, counting newline-terminated
     * records, stopping after `maxRecs` records or EOF. Returns the position
     * after the last counted record's newline (a trailing partial line —
@@ -148,6 +154,7 @@ object ShardedLog {
         pos += i
         n = if (recs < maxRecs && i == n) in.read(buf) else 0
       }
+      bytesScanned.addAndGet(pos - fromBytes)
       ShardPos(lastBoundary, recs)
     } finally in.close()
   }

@@ -47,6 +47,8 @@ import org.apache.spark.sql.types.{StructField, StructType, TimestampType}
   */
 class KinesisEngine(spark: SparkSession, metaDir: String) {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[KinesisEngine])
+
   case class Endpoint(name: String, region: String, credfile: String, url: String)
   case class Consumer(id: Int, endpoint: String, stream: String, relation: String,
                       format: String, delimiter: String, quote: String, escape: String,
@@ -294,6 +296,16 @@ class KinesisEngine(spark: SparkSession, metaDir: String) {
         // beyond the reference's text/csv: JSON records parsed against the
         // declared stream schema, same PERMISSIVE poison policy
         raw.select(from_json(col("data"), schema).as("r")).select(col("r.*"))
+      case "binary" =>
+        // opaque-bytes parity (kinesis_consumer.h:65-69): producers put
+        // base64(payload); the stream column receives the raw bytes. A
+        // malformed base64 record yields null (PERMISSIVE), not a dropped
+        // batch.
+        require(schema.fields.length == 1 &&
+                schema.fields.head.dataType == org.apache.spark.sql.types.BinaryType,
+          "binary format needs a 1-column BINARY stream")
+        raw.select(try_to_binary(col("data"), lit("base64"))
+          .as(schema.fields.head.name))
       case other => throw new IllegalArgumentException(s"format $other")
     }
     parsed.withColumn("arrival_timestamp", current_timestamp())
@@ -359,6 +371,10 @@ class KinesisEngine(spark: SparkSession, metaDir: String) {
       val viewQs = views.toSeq.collect { case (vname, v) if v.relation == relation =>
         val writer = v.materialize match {
           case "memory" =>
+            // demo/test default; the snapshot lives on the driver
+            log.warn(s"continuous view '$vname' uses the in-memory complete-mode " +
+              "sink: the full aggregate accumulates on the driver. Use " +
+              "materialize=\"parquet\" for high-cardinality aggregates.")
             v.agg(df).writeStream.queryName(vname)
               .outputMode("complete").format("memory")
           case "parquet" =>

@@ -456,6 +456,56 @@ class StreamingSpec extends SparkSpec {
       hostile.map { case (pk, d) => (pk, d) })
   }
 
+  test("binary format delivers opaque payload bytes (base64 at put)") {
+    val root = tmpDir("kin-bin")
+    val meta = tmpDir("kin-bin-meta")
+    val payload = Array[Byte](0, 1, 9, 10, 13, -1, 92) // incl. \t \n \r bytes
+    val b64 = java.util.Base64.getEncoder.encodeToString(payload)
+    ShardedLog.append(s"$root/s", 0, Seq(("k1", b64), ("k2", "!!not-base64!!")))
+    val eng = new KinesisEngine(spark, meta)
+    eng.addEndpoint("ep", "r", url = root)
+    eng.createStream("bin_stream", StructType(Seq(StructField("payload", BinaryType))))
+    eng.createContinuousView("bin_view", "bin_stream",
+      df => df.select(col("payload")).groupBy("payload").count())
+    eng.consumeBegin("ep", "s", "bin_stream", format = "binary")
+    eng.processAllAvailable()
+    val rows = spark.table("bin_view").collect()
+      .map(r => Option(r.getAs[Array[Byte]](0)).map(_.toSeq))
+    assert(rows.toSet === Set(Some(payload.toSeq), None),
+      "raw bytes round-trip; malformed base64 is a null, not a dropped batch")
+    eng.consumeEndAll()
+  }
+
+  test("per-trigger driver scan cost tracks the appended delta, not file size") {
+    // The scale contract of the byte-offset source: after a 5000-record
+    // backlog is consumed, ingesting one more record must scan only that
+    // record's bytes (old design: every trigger re-counted the whole file).
+    val dir = tmpDir("kin-incr")
+    ShardedLog.append(dir, 0, (1 to 5000).map(i => (s"key$i", s"value-payload-$i")))
+    val q = spark.readStream.format(ShardedLog.FORMAT)
+      .option("path", dir).load()
+      .writeStream.queryName("incr_view").outputMode("append")
+      .format("memory").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("incr_view").count() === 5000L)
+      val fileSize = new java.io.File(dir, "shard-0.log").length()
+      val before = ShardedLog.bytesScanned.get()
+      ShardedLog.append(dir, 0, Seq(("kx", "one-tail-record")))
+      q.processAllAvailable()
+      val delta = ShardedLog.bytesScanned.get() - before
+      assert(spark.table("incr_view").count() === 5001L)
+      assert(delta > 0L, "the new record was scanned")
+      assert(delta < fileSize / 10,
+        s"scanned $delta bytes for a 1-record append on a $fileSize-byte shard " +
+          "— the prefix must not be re-read")
+      // idle trigger: nothing appended → nothing scanned
+      val idle = ShardedLog.bytesScanned.get()
+      q.processAllAvailable()
+      assert(ShardedLog.bytesScanned.get() === idle, "no-data poll scans zero bytes")
+    } finally q.stop()
+  }
+
   test("catalog round-trips hostile names (tabs/newlines in fields)") {
     val meta = tmpDir("kin-hostile-meta")
     val eng = new KinesisEngine(spark, meta)
