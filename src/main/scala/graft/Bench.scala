@@ -52,7 +52,8 @@ object Bench {
           }
         }
       }
-      if (times.nonEmpty) timings(name) = times.min
+      // a query that failed on ANY iteration is an error, never a timing
+      if (times.nonEmpty && !errors.contains(name)) timings(name) = times.min
     }
     val qs = timings.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -60,6 +61,9 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (timings.nonEmpty) timings.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
+    // short trailer AFTER the big line: survives tail-capture truncation so
+    // the round-over-round total never has to be reconstructed by summing
+    println(s"""{"metric":"total_summary","total_s":$total,"n_queries":${timings.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -39,11 +39,14 @@ object StreamingIngest {
         StructType(Seq(StructField("payload", StringType))))
       eng.createContinuousView("bench_ingest_view", "bench_stream",
         _.groupBy("payload").count())
+      // parallelism=4: one task per shard (the reference's worker knob);
+      // the view materializes incrementally (update-mode parquet deltas),
+      // so the bench times the scale path, not the driver memory sink.
       eng.consumeBegin("bench-ep", "stream", "bench_stream",
-        format = "text", batchsize = 5000)
+        format = "text", batchsize = 5000, parallelism = 4)
       eng.processAllAvailable()
       eng.consumeEndAll()
-      s.table("bench_ingest_view").orderBy("payload")
+      eng.viewTable("bench_ingest_view").orderBy("payload")
     })
   )
 }

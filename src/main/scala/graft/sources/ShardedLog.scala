@@ -13,19 +13,30 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Emulated sharded record log — the Kinesis-wire-protocol stand-in.
   *
-  * Layout: `<path>/shard-<i>.log`, one record per line
-  * (`partitionKey\tdata`, both fields backslash-escaped so payloads
-  * containing tab/newline survive framing — the reference treats records
-  * as opaque bytes, kinesis_consumer.h:65-69); a record's sequence number
-  * is its line index. This models the reference's
+  * Layout: `<path>/shard-<i>.log`, length-prefixed binary records (format
+  * v2): `[arrivalMillis:long][pkLen:int][pk utf8][dataLen:int][data raw]`,
+  * big-endian, length −1 encoding a null field. A record's sequence number
+  * is its record index. This models the reference's
   * shard/sequence-number/iterator surface (reference
   * kinesis_consumer.cpp:200-242 shard discovery, 296-325 shard iterators,
   * 364-434 GetRecords loop) without the AWS SDK (offline env — see
-  * SURVEY.md §0).
+  * SURVEY.md §0), and carries the two per-record fields the reference
+  * fixes at ingest time:
+  *
+  *  - **approximate arrival timestamp** is written into the record by
+  *    `append` (the put-record analog), exactly like the reference stores
+  *    it on the record object (kinesis_consumer.cpp:485-489,
+  *    kinesis_consumer.h:68). A replayed partition therefore reproduces
+  *    byte-identical rows — timestamps no longer depend on when a reader
+  *    happened to run.
+  *  - **data is raw bytes** (kinesis_consumer.h:65-69): binary payloads
+  *    ride with zero inflation (the old escaped-text framing forced
+  *    base64, +33%), and text formats decode UTF-8 at parse time.
   *
   * Spark-native mapping:
-  *  - shard discovery → `planInputPartitions` (one InputPartition per
-  *    shard, so executor tasks are the per-shard reader threads);
+  *  - shard discovery → `planInputPartitions` (shard slices grouped into
+  *    at most `parallelism` tasks — the reference's worker-process knob,
+  *    pipeline_kinesis.c:439-451; 0 = one task per shard);
   *  - per-(consumer, shard) seqnum checkpoints → the streaming offset log
   *    ({shard → [bytePos, nextSeq]} JSON), committed by the engine's
   *    single commit log — strictly stronger than the reference's
@@ -40,26 +51,32 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - the driver's `latestOffset` scans only [lastOffset, lastOffset +
   *    batchsize records) of each shard — per-trigger cost is O(admitted
   *    batch), not O(total shard file);
-  *  - `reportLatestOffset` advances a monotone in-memory tail cache by
+  *  - `reportLatestOffset` advances a monotone in-memory [[TailCache]] by
   *    scanning only bytes appended since the previous call;
   *  - each `PartitionReader` seeks straight to its slice's first byte —
-  *    cumulative read cost over a stream's lifetime is O(data), where the
-  *    old line-index scheme re-read every prefix (O(n²)) and silently
-  *    truncated past 2³¹ records via `.toInt`.
+  *    cumulative read cost over a stream's lifetime is O(data);
+  *  - driver-side scans ([[scanForward]]) walk record *headers* and skip
+  *    payloads, so offset planning costs O(records), not O(bytes).
+  *
+  * Offset-format compatibility: [[parseOffsetJson]] also accepts the
+  * legacy `{"shard":nextSeq}` bare-number form; the byte position is
+  * recovered once per shard with a bounded [[scanForward]] at
+  * deserialization ([[ShardedLogMicroBatchStream.deserializeOffset]]).
   */
 object ShardedLog {
   val SCHEMA: StructType = StructType(Seq(
     StructField("shard_id", StringType, nullable = false),
     StructField("sequence_number", LongType, nullable = false),
     StructField("partition_key", StringType, nullable = true),
-    StructField("data", StringType, nullable = true),
+    StructField("data", BinaryType, nullable = true),
     StructField("approximate_arrival_timestamp", TimestampType, nullable = false)))
 
   val FORMAT = "graft.sources.ShardedLogProvider"
 
   /** Position within one shard: byte offset (for seeking) and record
     * count (the user-visible sequence number). `bytes` always sits on a
-    * record boundary. */
+    * record boundary; `bytes == -1` marks a legacy offset whose byte
+    * position must be recovered by scanning `recs` records from 0. */
   case class ShardPos(bytes: Long, recs: Long)
 
   def shardFiles(dir: String): Seq[java.io.File] = {
@@ -69,61 +86,39 @@ object ShardedLog {
       .sortBy(_.getName).toSeq
   }
 
-  // --- record framing ------------------------------------------------------
-  // One record per '\n'-terminated line, fields separated by a literal
-  // tab; tab/newline/CR/backslash inside a field are backslash-escaped, so
-  // arbitrary payloads round-trip and a raw 0x0A byte in the file is
-  // always a record boundary (UTF-8 continuation bytes never equal 0x0A).
+  // --- record framing (format v2: length-prefixed binary) ------------------
 
-  def escField(s: String): String = {
-    val sb = new StringBuilder(s.length + 8)
-    var i = 0
-    while (i < s.length) {
-      s.charAt(i) match {
-        case '\\' => sb.append("\\\\")
-        case '\t' => sb.append("\\t")
-        case '\n' => sb.append("\\n")
-        case '\r' => sb.append("\\r")
-        case c => sb.append(c)
-      }
-      i += 1
-    }
-    sb.toString
-  }
+  /** Test/demo helper: append UTF-8 text records to one shard
+    * (`put-record` analog). Arrival time is fixed HERE, at append — the
+    * reference's per-record approximateArrivalTimestamp semantics
+    * (kinesis_consumer.cpp:485-489). */
+  def append(dir: String, shard: Int, records: Seq[(String, String)]): Unit =
+    appendBytes(dir, shard, records.map { case (pk, d) =>
+      (pk, if (d == null) null else d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    })
 
-  def unescField(s: String): String = {
-    if (s.indexOf('\\') < 0) return s
-    val sb = new StringBuilder(s.length)
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '\\' && i + 1 < s.length) {
-        s.charAt(i + 1) match {
-          case 't' => sb.append('\t'); case 'n' => sb.append('\n')
-          case 'r' => sb.append('\r'); case '\\' => sb.append('\\')
-          case other => sb.append(other)
-        }
-        i += 2
-      } else { sb.append(c); i += 1 }
-    }
-    sb.toString
-  }
-
-  /** Test/demo helper: append records to one shard (`put-record` analog).
-    * Writes UTF-8 explicitly — FileWriter's platform-default charset would
-    * silently mangle non-ASCII payloads on a C-locale JVM while the reader
-    * always decodes UTF-8. */
-  def append(dir: String, shard: Int, records: Seq[(String, String)]): Unit = {
+  /** Append raw-byte records (opaque-payload parity,
+    * kinesis_consumer.h:65-69). One buffered write per call so concurrent
+    * readers observe whole records (a partial tail is dropped by
+    * [[scanForward]] until complete). */
+  def appendBytes(dir: String, shard: Int, records: Seq[(String, Array[Byte])],
+                  arrivalMillis: Long = System.currentTimeMillis()): Unit = {
     val d = new java.io.File(dir); d.mkdirs()
-    val f = new java.io.OutputStreamWriter(
-      new java.io.FileOutputStream(new java.io.File(d, s"shard-$shard.log"), true),
-      java.nio.charset.StandardCharsets.UTF_8)
-    try records.foreach { case (pk, data) =>
-      val line = if (pk == null) escField(data)
-                 else s"${escField(pk)}\t${escField(data)}"
-      f.write(line + "\n")
+    val bos = new java.io.ByteArrayOutputStream(4096)
+    val out = new java.io.DataOutputStream(bos)
+    records.foreach { case (pk, data) =>
+      out.writeLong(arrivalMillis)
+      if (pk == null) out.writeInt(-1)
+      else {
+        val b = pk.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        out.writeInt(b.length); out.write(b)
+      }
+      if (data == null) out.writeInt(-1)
+      else { out.writeInt(data.length); out.write(data) }
     }
-    finally f.close()
+    out.flush()
+    val f = new java.io.FileOutputStream(new java.io.File(d, s"shard-$shard.log"), true)
+    try f.write(bos.toByteArray) finally f.close()
   }
 
   /** Test instrumentation: cumulative bytes consumed by driver-side
@@ -132,31 +127,47 @@ object ShardedLog {
     * size. */
   val bytesScanned = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  /** Scan `file` forward from byte `fromBytes`, counting newline-terminated
-    * records, stopping after `maxRecs` records or EOF. Returns the position
-    * after the last counted record's newline (a trailing partial line —
-    * e.g. a concurrent writer mid-append — is never included). */
+  /** Scan `file` forward from byte `fromBytes`, counting whole records,
+    * stopping after `maxRecs` records or EOF. Returns the position after
+    * the last complete record (a trailing partial record — e.g. a
+    * concurrent writer mid-append — is never included). Walks headers and
+    * skips payload bytes. */
   def scanForward(file: java.io.File, fromBytes: Long, maxRecs: Long): ShardPos = {
+    val len = file.length() // stable snapshot under concurrent appends
+    if (fromBytes >= len || maxRecs <= 0) return ShardPos(fromBytes, 0L)
     val in = new java.io.FileInputStream(file)
     try {
       in.getChannel.position(fromBytes)
-      val buf = new Array[Byte](1 << 16)
+      val din = new java.io.DataInputStream(new java.io.BufferedInputStream(in, 1 << 16))
       var pos = fromBytes
-      var lastBoundary = fromBytes
+      var last = fromBytes
       var recs = 0L
-      var n = in.read(buf)
-      while (n > 0 && recs < maxRecs) {
-        var i = 0
-        while (i < n && recs < maxRecs) {
-          if (buf(i) == '\n') { recs += 1; lastBoundary = pos + i + 1 }
-          i += 1
+      var ok = true
+      while (ok && recs < maxRecs && pos + 12 <= len) {
+        din.readLong() // arrival ts (skipped)
+        val pkLen = din.readInt()
+        val pkSkip = math.max(pkLen, 0)
+        if (pkLen < -1 || pos + 12 + pkSkip + 4 > len) ok = false
+        else {
+          din.skipNBytes(pkSkip)
+          val dataLen = din.readInt()
+          val dSkip = math.max(dataLen, 0)
+          val end = pos + 12 + pkSkip + 4 + dSkip
+          if (dataLen < -1 || end > len) ok = false
+          else { din.skipNBytes(dSkip); pos = end; last = end; recs += 1 }
         }
-        pos += i
-        n = if (recs < maxRecs && i == n) in.read(buf) else 0
       }
-      bytesScanned.addAndGet(pos - fromBytes)
-      ShardPos(lastBoundary, recs)
+      bytesScanned.addAndGet(last - fromBytes)
+      ShardPos(last, recs)
     } finally in.close()
+  }
+
+  /** Arrival timestamp (epoch millis) of the record starting at `bytePos`,
+    * or None if the position is past EOF / mid-append. O(1) — one seek. */
+  def arrivalTsAt(file: java.io.File, bytePos: Long): Option[Long] = {
+    if (bytePos < 0 || bytePos + 8 > file.length()) return None
+    val raf = new java.io.RandomAccessFile(file, "r")
+    try { raf.seek(bytePos); Some(raf.readLong()) } finally raf.close()
   }
 
   /** Full positions of every shard (one complete scan — observability /
@@ -165,9 +176,23 @@ object ShardedLog {
   def latestPositions(dir: String): Map[String, ShardPos] =
     shardFiles(dir).map(f => f.getName -> scanForward(f, 0L, Long.MaxValue)).toMap
 
-  /** Record counts per shard (full scan; see [[latestPositions]]). */
-  def lineCounts(dir: String): Map[String, Long] =
-    latestPositions(dir).map { case (k, v) => k -> v.recs }
+  /** Monotone tail cache over one log directory: every [[advance]] scans
+    * only bytes appended since the previous call, so cumulative scan cost
+    * is O(data ingested), never O(data × polls). Shared by the micro-batch
+    * driver and the engine's seqnums observability view. */
+  final class TailCache(dir: String) {
+    private val tail = scala.collection.mutable.Map[String, ShardPos]()
+    def advance(): Map[String, ShardPos] = synchronized {
+      shardFiles(dir).foreach { f =>
+        val t = tail.getOrElse(f.getName, ShardPos(0L, 0L))
+        if (f.length() > t.bytes) {
+          val d = scanForward(f, t.bytes, Long.MaxValue)
+          tail(f.getName) = ShardPos(d.bytes, t.recs + d.recs)
+        }
+      }
+      tail.toMap
+    }
+  }
 
   /** {"shard-0.log":[120,12],...} with sorted keys; [bytePos, nextSeq]. */
   def offsetJson(m: Map[String, ShardPos]): String =
@@ -175,14 +200,42 @@ object ShardedLog {
       .map { case (k, p) => s""""$k":[${p.bytes},${p.recs}]""" }
       .mkString("{", ",", "}")
 
+  private val OffsetEntry =
+    """"((?:[^"\\]|\\.)*)"\s*:\s*(?:\[\s*(-?\d+)\s*,\s*(-?\d+)\s*\]|(-?\d+))""".r
+
+  /** Parses both the current `{"shard":[bytes,recs]}` form and the legacy
+    * `{"shard":nextSeq}` bare-number form (checkpoint written by the
+    * previous offset format); legacy entries come back with `bytes = -1`
+    * and are resolved against the log by [[resolveLegacy]]. */
   def parseOffsetJson(s: String): Map[String, ShardPos] =
-    s.trim.stripPrefix("{").stripSuffix("}").split("""(?<=\]),""").filter(_.nonEmpty)
-      .map { kv =>
-        val Array(k, v) = kv.split(":", 2)
-        val Array(b, r) = v.trim.stripPrefix("[").stripSuffix("]").split(",", 2)
-        k.trim.stripPrefix("\"").stripSuffix("\"") ->
-          ShardPos(b.trim.toLong, r.trim.toLong)
-      }.toMap
+    OffsetEntry.findAllMatchIn(s).map { m =>
+      val k = m.group(1)
+      if (m.group(4) != null) k -> ShardPos(-1L, m.group(4).toLong)
+      else k -> ShardPos(m.group(2).toLong, m.group(3).toLong)
+    }.toMap
+
+  /** Recover byte positions for legacy (`bytes == -1`) offsets with a
+    * one-time bounded scan of the first `recs` records. */
+  def resolveLegacy(dir: String, pos: Map[String, ShardPos]): Map[String, ShardPos] =
+    pos.map { case (shard, p) =>
+      if (p.bytes >= 0) shard -> p
+      else {
+        val f = new java.io.File(dir, shard)
+        shard -> (if (f.exists()) scanForward(f, 0L, p.recs) else ShardPos(0L, 0L))
+      }
+    }
+
+  /** Group per-shard slices into at most `parallelism` tasks (round-robin;
+    * 0 = one task per shard). The reference's parallelism knob caps worker
+    * processes and assigns shards modulo worker (pipeline_kinesis.c:439-451,
+    * MAX_PROCS cap at pipeline_kinesis.c:54). */
+  def groupSlices(slices: Seq[ShardedLogSlice], parallelism: Int): Array[InputPartition] = {
+    val n = if (parallelism <= 0) slices.size else math.min(parallelism, slices.size)
+    if (n == 0) Array.empty
+    else slices.zipWithIndex.groupBy(_._2 % n).toSeq.sortBy(_._1)
+      .map { case (_, xs) => ShardedLogPartition(xs.map(_._1)): InputPartition }
+      .toArray
+  }
 }
 
 case class ShardedLogOffset(pos: Map[String, ShardedLog.ShardPos]) extends Offset {
@@ -195,10 +248,11 @@ class ShardedLogProvider extends TableProvider {
                         properties: util.Map[String, String]): Table =
     new ShardedLogTable(properties.get("path"),
       Option(properties.get("batchsize")).map(_.toLong).getOrElse(1000L),
-      Option(properties.get("startingposition")).getOrElse("trim_horizon"))
+      Option(properties.get("startingposition")).getOrElse("trim_horizon"),
+      Option(properties.get("parallelism")).map(_.toInt).getOrElse(0))
 }
 
-class ShardedLogTable(path: String, batchsize: Long, startPos: String)
+class ShardedLogTable(path: String, batchsize: Long, startPos: String, parallelism: Int)
     extends Table with SupportsRead {
   require(path != null, "ShardedLog requires a 'path' option")
   override def name(): String = s"sharded_log($path)"
@@ -206,10 +260,11 @@ class ShardedLogTable(path: String, batchsize: Long, startPos: String)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new ShardedLogScan(path, batchsize, startPos)
+    () => new ShardedLogScan(path, batchsize, startPos, parallelism)
 }
 
-class ShardedLogScan(path: String, batchsize: Long, startPos: String) extends Scan {
+class ShardedLogScan(path: String, batchsize: Long, startPos: String, parallelism: Int)
+    extends Scan {
   override def readSchema(): StructType = ShardedLog.SCHEMA
   override def description(): String = s"ShardedLog($path)"
 
@@ -217,43 +272,30 @@ class ShardedLogScan(path: String, batchsize: Long, startPos: String) extends Sc
     // one whole-shard slice each; no pre-count needed — the reader streams
     // to the file's current length and derives seqnums as it goes
     override def planInputPartitions(): Array[InputPartition] =
-      ShardedLog.shardFiles(path).map { f =>
-        ShardedLogPartition(path, f.getName, 0L, f.length(), 0L): InputPartition
-      }.toArray
+      ShardedLog.groupSlices(
+        ShardedLog.shardFiles(path).map { f =>
+          ShardedLogSlice(path, f.getName, 0L, f.length(), 0L)
+        }, parallelism)
     override def createReaderFactory(): PartitionReaderFactory = ShardedLogReaderFactory
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new ShardedLogMicroBatchStream(path, batchsize, startPos)
+    new ShardedLogMicroBatchStream(path, batchsize, startPos, parallelism)
 }
 
-class ShardedLogMicroBatchStream(path: String, batchsize: Long, startPos: String)
+class ShardedLogMicroBatchStream(path: String, batchsize: Long, startPos: String,
+                                 parallelism: Int)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   import ShardedLog.ShardPos
 
-  // Monotone tail cache: latest known end-of-shard positions. Every
-  // advance scans only bytes appended since the previous call, so the
-  // driver's cumulative scan cost is O(data ingested), never O(data ×
-  // triggers).
-  private val tail = scala.collection.mutable.Map[String, ShardPos]()
-
-  private def advanceTail(): Map[String, ShardPos] = synchronized {
-    ShardedLog.shardFiles(path).foreach { f =>
-      val t = tail.getOrElse(f.getName, ShardPos(0L, 0L))
-      if (f.length() > t.bytes) {
-        val d = ShardedLog.scanForward(f, t.bytes, Long.MaxValue)
-        tail(f.getName) = ShardPos(d.bytes, t.recs + d.recs)
-      }
-    }
-    tail.toMap
-  }
+  private val tailCache = new ShardedLog.TailCache(path)
 
   override def initialOffset(): Offset = {
     val init = startPos.toLowerCase match {
       case "trim_horizon" =>
         ShardedLog.shardFiles(path).map(f => f.getName -> ShardPos(0L, 0L)).toMap
-      case "latest" => advanceTail()
+      case "latest" => tailCache.advance()
       case p if p.startsWith("after_sequence_number:") =>
         val n = p.substring("after_sequence_number:".length).toLong
         // one-time bounded scan: byte position of record n+1 (or EOF)
@@ -286,24 +328,25 @@ class ShardedLogMicroBatchStream(path: String, batchsize: Long, startPos: String
     ShardedLogOffset(next)
   }
 
-  override def reportLatestOffset(): Offset = ShardedLogOffset(advanceTail())
+  override def reportLatestOffset(): Offset = ShardedLogOffset(tailCache.advance())
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
 
   override def deserializeOffset(json: String): Offset =
-    ShardedLogOffset(ShardedLog.parseOffsetJson(json))
+    ShardedLogOffset(ShardedLog.resolveLegacy(path, ShardedLog.parseOffsetJson(json)))
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[ShardedLogOffset].pos
     val e = end.asInstanceOf[ShardedLogOffset].pos
-    e.toSeq.sortBy(_._1).flatMap { case (shard, until) =>
+    val slices = e.toSeq.sortBy(_._1).flatMap { case (shard, until) =>
       val from = s.getOrElse(shard, ShardPos(0L, 0L))
       if (until.bytes > from.bytes)
-        Some(ShardedLogPartition(path, shard, from.bytes, until.bytes, from.recs): InputPartition)
+        Some(ShardedLogSlice(path, shard, from.bytes, until.bytes, from.recs))
       else None
-    }.toArray
+    }
+    ShardedLog.groupSlices(slices, parallelism)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = ShardedLogReaderFactory
@@ -311,57 +354,74 @@ class ShardedLogMicroBatchStream(path: String, batchsize: Long, startPos: String
   override def stop(): Unit = ()
 }
 
-/** One shard slice [fromBytes, untilBytes) — the unit of parallelism,
-  * exactly the reference's shard→worker assignment
-  * (pipeline_kinesis.c:439-451) with Spark's scheduler in place of the
-  * modulo loop. `fromRec` seeds the sequence numbers for the slice; both
-  * bounds sit on record boundaries. */
-case class ShardedLogPartition(path: String, shard: String,
-                               fromBytes: Long, untilBytes: Long, fromRec: Long)
-    extends InputPartition
+/** One shard slice [fromBytes, untilBytes) — the reference's shard→worker
+  * assignment unit (pipeline_kinesis.c:439-451). `fromRec` seeds the
+  * sequence numbers for the slice; both bounds sit on record boundaries. */
+case class ShardedLogSlice(path: String, shard: String,
+                           fromBytes: Long, untilBytes: Long, fromRec: Long)
+
+/** One executor task: one or more shard slices read sequentially (the
+  * parallelism knob maps N shards onto ≤ parallelism tasks, like the
+  * reference's modulo shard→worker loop). */
+case class ShardedLogPartition(slices: Seq[ShardedLogSlice]) extends InputPartition
 
 object ShardedLogReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[ShardedLogPartition]
+    val slices = partition.asInstanceOf[ShardedLogPartition].slices
     new PartitionReader[InternalRow] {
-      // seek straight to the slice: no prefix re-read, Long-safe positions
-      private val in = new java.io.FileInputStream(new java.io.File(p.path, p.shard))
-      in.getChannel.position(p.fromBytes)
-      private val buf = new java.io.BufferedInputStream(in, 1 << 16)
-      private var remaining = p.untilBytes - p.fromBytes
-      private var seq = p.fromRec - 1
-      private var line: String = _
+      private var sliceIdx = -1
+      private var din: java.io.DataInputStream = _
+      private var remaining = 0L
+      private var seq = 0L
+      private var shardName: UTF8String = _
+      private var row: InternalRow = _
 
-      private def readLine(): String = {
-        if (remaining <= 0) return null
-        val out = new java.io.ByteArrayOutputStream(128)
-        var b = 0
-        while (remaining > 0 && { b = buf.read(); b >= 0 } && b != '\n') {
-          out.write(b); remaining -= 1
-        }
-        if (b == '\n') { remaining -= 1 }
-        else { remaining = 0; return null } // EOF before '\n': drop partial tail
-        new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+      private def openNext(): Boolean = {
+        if (din != null) { din.close(); din = null }
+        sliceIdx += 1
+        if (sliceIdx >= slices.length) return false
+        val p = slices(sliceIdx)
+        // seek straight to the slice: no prefix re-read, Long-safe positions
+        val in = new java.io.FileInputStream(new java.io.File(p.path, p.shard))
+        in.getChannel.position(p.fromBytes)
+        din = new java.io.DataInputStream(new java.io.BufferedInputStream(in, 1 << 16))
+        remaining = p.untilBytes - p.fromBytes
+        seq = p.fromRec - 1
+        shardName = UTF8String.fromString(p.shard.stripSuffix(".log"))
+        true
+      }
+
+      /** Read one whole record from the current slice, or null at its end.
+        * Both slice bounds sit on record boundaries, so a header that
+        * would cross `remaining` indicates a planner/writer bug, not EOF. */
+      private def readRecord(): InternalRow = {
+        if (remaining < 12) return null
+        val ts = din.readLong()
+        val pkLen = din.readInt()
+        val pk =
+          if (pkLen < 0) null
+          else {
+            val b = new Array[Byte](pkLen); din.readFully(b)
+            UTF8String.fromBytes(b)
+          }
+        val dataLen = din.readInt()
+        val data =
+          if (dataLen < 0) null
+          else { val b = new Array[Byte](dataLen); din.readFully(b); b }
+        remaining -= 16L + math.max(pkLen, 0) + math.max(dataLen, 0)
+        seq += 1
+        InternalRow(shardName, seq, pk, data, ts * 1000L)
       }
 
       override def next(): Boolean = {
-        line = readLine()
-        if (line != null) { seq += 1; true } else false
+        row = if (din == null) null else readRecord()
+        while (row == null && openNext()) row = readRecord()
+        row != null
       }
 
-      override def get(): InternalRow = {
-        val tab = line.indexOf('\t') // fields are escaped: first raw tab is the separator
-        val (pk, data) = if (tab >= 0) (line.substring(0, tab), line.substring(tab + 1))
-                         else (null, line)
-        InternalRow(
-          UTF8String.fromString(p.shard.stripSuffix(".log")),
-          seq,
-          if (pk == null) null else UTF8String.fromString(ShardedLog.unescField(pk)),
-          UTF8String.fromString(ShardedLog.unescField(data)),
-          System.currentTimeMillis() * 1000L)
-      }
+      override def get(): InternalRow = row
 
-      override def close(): Unit = buf.close()
+      override def close(): Unit = if (din != null) din.close()
     }
   }
 }

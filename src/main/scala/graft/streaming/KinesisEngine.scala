@@ -6,9 +6,12 @@ import scala.collection.mutable
 
 import graft.sources.ShardedLog
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, NamedExpression}
+import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
-import org.apache.spark.sql.types.{StructField, StructType, TimestampType}
+import org.apache.spark.sql.types.{StringType, StructField, StructType, TimestampType}
 
 /** Control-plane facade with the reference extension's API surface
   * (reference pipeline_kinesis--0.9.0.sql:33-83), re-expressed as plain
@@ -18,32 +21,51 @@ import org.apache.spark.sql.types.{StructField, StructType, TimestampType}
   *    pipeline_kinesis.c:120-188). `url` points at a sharded-log root dir.
   *  - `createStream` — CREATE STREAM: a named relation schema; the
   *    implicit `arrival_timestamp` column is injected at ingest and never
-  *    user-supplied (pipeline_kinesis.c:249-256).
+  *    user-supplied (pipeline_kinesis.c:249-256). Arrival time is the
+  *    PER-RECORD timestamp fixed when the record was put
+  *    (kinesis_consumer.cpp:485-489) — replaying a batch reproduces
+  *    identical rows, timestamps included.
   *  - `createContinuousView` — a standing aggregation over a stream
-  *    (PipelineDB CV, reference README.md:66), materialized to an
-  *    in-memory queryable sink (`spark.table(viewName)`).
+  *    (PipelineDB CV, reference README.md:66). Default materialization is
+  *    INCREMENTAL: the view runs in update mode and each micro-batch
+  *    appends only the changed groups as a parquet delta; [[viewTable]]
+  *    merges deltas at read time (last write per group key wins) and
+  *    [[compactViewTable]] folds them down. Per-trigger sink cost is
+  *    O(groups touched by the batch), never O(all groups) — PipelineDB's
+  *    in-place CV update semantics (README.md:78-88) at Spark scale.
+  *    Appends are atomic (each delta file appears wholesale), so readers
+  *    never observe a partial snapshot. `materialize = "memory"` remains
+  *    an opt-in demo sink (complete mode, driver-resident).
   *  - `consumeBegin`/`consumeEnd`(`All`) — upsert the consumer (C3),
   *    start/stop one StreamingQuery per continuous view on the target
   *    relation (the bgworker-launch analog, pipeline_kinesis.c:774-823;
-  *    query handles play the shmem-registry role, D5).
+  *    query handles play the shmem-registry role, D5). `parallelism` maps
+  *    to the source's task grouping: N shards read by ≤ parallelism tasks,
+  *    the reference's worker-process knob (pipeline_kinesis.c:439-451).
   *  - `seqnums` — per-(consumer, shard) next sequence number, read from
   *    the streaming checkpoint's *committed* batches only (commit-gated,
-  *    like the reference's upsert-after-COPY), plus a
-  *    records_behind_latest lag column — the observability view of
-  *    pipeline_kinesis--0.9.0.sql:26-31 / README.md:119-126 and the
-  *    millisBehindLatest analog of kinesis_consumer.cpp:446-465.
+  *    like the reference's upsert-after-COPY), plus
+  *    `records_behind_latest` and `millis_behind_latest` — the
+  *    observability view of pipeline_kinesis--0.9.0.sql:26-31 /
+  *    README.md:119-126 with the exact millisBehindLatest metric of
+  *    kinesis_consumer.cpp:446-465 (now − arrival time of the first
+  *    unconsumed record). Tip discovery runs through a monotone per-stream
+  *    tail cache, so polling seqnums costs O(appended delta), not O(log).
   *
   * Catalog durability: endpoints, consumers, stream schemas and
-  * SQL-declared views all persist under metaDir — a fresh engine over the
-  * same metaDir resumes ingestion with `consumeBeginAll()` alone
-  * (pipeline_kinesis.c:1038-1079). Closure-based views are application
-  * code and must be re-registered by it.
+  * SQL-declared views all persist under metaDir (format-versioned TSV —
+  * an unversioned/older metaDir fails fast instead of mis-decoding) — a
+  * fresh engine over the same metaDir resumes ingestion with
+  * `consumeBeginAll()` alone (pipeline_kinesis.c:1038-1079).
+  * Closure-based views are application code and must be re-registered.
   *
   * Delivery: the reference commits seqnums in a second transaction after
   * COPY (at-least-once, with poison batches dropped —
   * pipeline_kinesis.c:738-758). Here source replay + checkpointed state
   * give exactly-once view updates; parse failures are PERMISSIVE (nulls),
-  * not batch drops.
+  * not batch drops. A retried view micro-batch appends a byte-identical
+  * delta (same offsets → same aggregate rows), which the read-time merge
+  * collapses — the view read is idempotent under replay.
   */
 class KinesisEngine(spark: SparkSession, metaDir: String) {
 
@@ -55,13 +77,15 @@ class KinesisEngine(spark: SparkSession, metaDir: String) {
                       batchsize: Long, parallelism: Int, startSeq: Long)
 
   private case class View(relation: String, agg: DataFrame => DataFrame,
-                          materialize: String, sql: Option[String])
+                          materialize: String, sql: Option[String],
+                          keys: Option[Seq[String]])
 
   private val endpoints = mutable.LinkedHashMap[String, Endpoint]()
   private val streams = mutable.LinkedHashMap[String, StructType]()
   private val views = mutable.LinkedHashMap[String, View]()
   private val consumers = mutable.LinkedHashMap[(String, String, String), Consumer]()
   private val running = mutable.LinkedHashMap[Int, Seq[StreamingQuery]]()
+  private val tails = mutable.Map[String, ShardedLog.TailCache]()
   private var nextId = 1
 
   Files.createDirectories(Paths.get(metaDir))
@@ -69,11 +93,12 @@ class KinesisEngine(spark: SparkSession, metaDir: String) {
 
   // --- catalog persistence (the reference's endpoints/consumers tables
   // plus stream schemas and SQL view definitions,
-  // pipeline_kinesis--0.9.0.sql:4-24): tab-separated rows under metaDir so
-  // a fresh engine over the same metaDir restarts ingestion from the
-  // catalog alone (consume_begin_all parity, pipeline_kinesis.c:1038-1079).
-  // Only SQL-declared views persist — a closure view is application code
-  // and must be re-registered by that code, like any UDF.
+  // pipeline_kinesis--0.9.0.sql:4-24): format-versioned tab-separated rows
+  // under metaDir so a fresh engine over the same metaDir restarts
+  // ingestion from the catalog alone (consume_begin_all parity,
+  // pipeline_kinesis.c:1038-1079). Only SQL-declared views persist — a
+  // closure view is application code and must be re-registered by that
+  // code, like any UDF.
 
   // EVERY string field is base64-wrapped: the csv delimiter defaults to a
   // literal tab, and user-chosen names (endpoint/stream/relation/format)
@@ -86,33 +111,47 @@ class KinesisEngine(spark: SparkSession, metaDir: String) {
     if (s == "-") null
     else new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
 
+  /** First line of every catalog TSV. Bumped whenever the row format
+    * changes; a file without the current marker (e.g. written by an older
+    * build that stored raw names) fails fast with a migration error
+    * instead of base64-decoding raw names into garbage. */
+  // a def, not a val: the constructor runs loadCatalog() before class-body
+  // vals below the constructor statements would have been initialized
+  private def CatalogVersion = "#graft-catalog-v1"
+
   private def saveCatalog(): Unit = {
-    val ep = endpoints.values.map(e =>
-      Seq(esc(e.name), esc(e.region), esc(e.credfile), esc(e.url)).mkString("\t"))
-    Files.writeString(Paths.get(metaDir, "endpoints.tsv"), ep.mkString("\n"))
-    val cs = consumers.values.map(c =>
+    def save(file: String, rows: Iterable[String]): Unit =
+      Files.writeString(Paths.get(metaDir, file),
+        (CatalogVersion +: rows.toSeq).mkString("\n"))
+    save("endpoints.tsv", endpoints.values.map(e =>
+      Seq(esc(e.name), esc(e.region), esc(e.credfile), esc(e.url)).mkString("\t")))
+    save("consumers.tsv", consumers.values.map(c =>
       Seq(c.id.toString, esc(c.endpoint), esc(c.stream), esc(c.relation),
           esc(c.format), esc(c.delimiter), esc(c.quote), esc(c.escape),
           c.batchsize.toString, c.parallelism.toString, c.startSeq.toString)
-        .mkString("\t"))
-    Files.writeString(Paths.get(metaDir, "consumers.tsv"), cs.mkString("\n"))
-    val st = streams.map { case (rel, schema) =>
+        .mkString("\t")))
+    save("streams.tsv", streams.map { case (rel, schema) =>
       Seq(esc(rel), esc(schema.json)).mkString("\t")
-    }
-    Files.writeString(Paths.get(metaDir, "streams.tsv"), st.mkString("\n"))
-    val vw = views.collect { case (name, v) if v.sql.isDefined =>
+    })
+    save("views.tsv", views.collect { case (name, v) if v.sql.isDefined =>
       Seq(esc(name), esc(v.relation), esc(v.sql.get), esc(v.materialize))
         .mkString("\t")
-    }
-    Files.writeString(Paths.get(metaDir, "views.tsv"), vw.mkString("\n"))
+    })
   }
 
   private def loadCatalog(): Unit = {
     def rows(file: String): Seq[Array[String]] = {
       val p = Paths.get(metaDir, file)
       if (!Files.exists(p)) Nil
-      else Files.readString(p).split("\n").filter(_.nonEmpty)
-        .map(_.split("\t", -1)).toSeq
+      else {
+        val lines = Files.readString(p).split("\n", -1).toSeq
+        if (lines.head != CatalogVersion)
+          throw new IllegalStateException(
+            s"$p: unrecognized catalog format (expected '$CatalogVersion' " +
+              "header line). This metaDir was written by an incompatible " +
+              "graft version — migrate or remove it before starting the engine.")
+        lines.tail.filter(_.nonEmpty).map(_.split("\t", -1))
+      }
     }
     rows("endpoints.tsv").foreach { f =>
       val name = unesc(f(0))
@@ -133,7 +172,7 @@ class KinesisEngine(spark: SparkSession, metaDir: String) {
     rows("views.tsv").foreach { f =>
       val (name, relation, sql, mat) =
         (unesc(f(0)), unesc(f(1)), unesc(f(2)), unesc(f(3)))
-      views(name) = View(relation, sqlAgg(relation, sql), mat, Some(sql))
+      views(name) = View(relation, sqlAgg(relation, sql), mat, Some(sql), None)
     }
   }
 
@@ -168,19 +207,24 @@ class KinesisEngine(spark: SparkSession, metaDir: String) {
     saveCatalog()
   }
 
-  /** @param materialize "memory" (queryable via spark.table(name); test/
-    *        demo scale) or "parquet" (complete-mode snapshot per batch at
-    *        metaDir/views/name via foreachBatch — the production path for
-    *        compact aggregates, readable with [[viewTable]]).
+  /** @param materialize "parquet" (default — incremental delta upsert,
+    *        merged by [[viewTable]]; the scale path) or "memory" (opt-in
+    *        demo: complete-mode snapshot queryable via
+    *        `spark.table(name)`, accumulates on the driver).
+    * @param keys group-key columns for the read-time merge; null = infer
+    *        from the view's aggregation (topmost groupBy). Pass explicitly
+    *        when the view uses custom stateful operators the inference
+    *        can't see (e.g. flatMapGroupsWithState in update mode).
     *
     * A closure view does NOT persist across engine restarts (a Scala
     * lambda has no durable representation); use
     * [[createContinuousViewSql]] for catalog-durable views. */
   def createContinuousView(name: String, relation: String,
                            agg: DataFrame => DataFrame,
-                           materialize: String = "memory"): Unit = synchronized {
+                           materialize: String = "parquet",
+                           keys: Seq[String] = null): Unit = synchronized {
     require(Set("memory", "parquet")(materialize), s"materialize=$materialize")
-    views(name) = View(relation, agg, materialize, None)
+    views(name) = View(relation, agg, materialize, None, Option(keys))
   }
 
   private def sqlAgg(relation: String, sql: String): DataFrame => DataFrame =
@@ -193,15 +237,102 @@ class KinesisEngine(spark: SparkSession, metaDir: String) {
     * directly. SQL views persist in the catalog and are restored by a
     * fresh engine over the same metaDir. */
   def createContinuousViewSql(name: String, relation: String, sql: String,
-                              materialize: String = "memory"): Unit = synchronized {
+                              materialize: String = "parquet"): Unit = synchronized {
     require(Set("memory", "parquet")(materialize), s"materialize=$materialize")
-    views(name) = View(relation, sqlAgg(relation, sql), materialize, Some(sql))
+    views(name) = View(relation, sqlAgg(relation, sql), materialize, Some(sql), None)
     saveCatalog()
   }
 
-  /** Read a parquet-materialized view's current snapshot. */
-  def viewTable(name: String): DataFrame =
-    spark.read.parquet(s"$metaDir/views/$name")
+  // --- incremental view materialization ------------------------------------
+
+  /** Merge-key metadata for a view: `Some(keys)` when the view's top
+    * operator is an aggregation (empty = global aggregate, one standing
+    * row set), `None` for a stateless transform (pure append, no merge).
+    * Inferred from the analyzed plan's topmost Aggregate so closure and
+    * SQL views both work without declaring keys. */
+  private def inferViewKeys(aggDf: DataFrame): Option[Seq[String]] =
+    aggDf.queryExecution.analyzed.collectFirst { case a: Aggregate => a }.map { a =>
+      val out = aggDf.schema.fieldNames.toSet
+      val aliases = a.aggregateExpressions.collect { case al: Alias => al }
+      val names = a.groupingExpressions.map {
+        case ne: NamedExpression => ne.name
+        case e => aliases.find(_.child.semanticEquals(e)).map(_.name).getOrElse(
+          throw new IllegalArgumentException(
+            s"cannot infer a merge key for grouping expression $e — " +
+              "alias it in the select list or pass keys=... explicitly"))
+      }
+      val missing = names.filterNot(out)
+      require(missing.isEmpty, s"grouping columns ${missing.mkString(", ")} " +
+        "must appear in the view output for incremental materialization")
+      names
+    }
+
+  private def viewMetaPath(name: String) = Paths.get(metaDir, "views", name, "_graft_keys")
+
+  private def writeViewMeta(name: String, keysOpt: Option[Seq[String]]): Unit = {
+    Files.createDirectories(Paths.get(metaDir, "views", name))
+    val body = keysOpt match {
+      case None => "append"
+      case Some(ks) => ("merge" +: ks.map(esc)).mkString("\t")
+    }
+    Files.writeString(viewMetaPath(name), body)
+  }
+
+  private def readViewMeta(name: String): Option[Seq[String]] = {
+    val p = viewMetaPath(name)
+    require(Files.exists(p), s"view '$name' has no materialized state yet")
+    Files.readString(p).split("\t", -1).toSeq match {
+      case Seq("append") => None
+      case "merge" +: ks => Some(ks.map(unesc))
+      case other => throw new IllegalStateException(s"$p: bad view meta $other")
+    }
+  }
+
+  /** Current contents of an incrementally-materialized view: parquet
+    * deltas merged so the newest write per group key wins. Merge cost is
+    * O(deltas since compaction), not O(history) — run [[compactViewTable]]
+    * periodically to fold the log down. */
+  def viewTable(name: String): DataFrame = {
+    val delta = spark.read.parquet(s"$metaDir/views/$name/delta")
+    readViewMeta(name) match {
+      case None => delta.drop("__batch")
+      case Some(keys) =>
+        // global aggregates (no keys) merge under a single partition — the
+        // delta there is one row per trigger, so the unpartitioned window
+        // is a handful of rows, not a scale hazard.
+        val w = if (keys.isEmpty) Window.orderBy(col("__batch").desc)
+                else Window.partitionBy(keys.map(col): _*).orderBy(col("__batch").desc)
+        delta.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn", "__batch")
+    }
+  }
+
+  /** Fold a view's delta log down to one merged snapshot (keeping the
+    * highest batch id so future deltas still win the merge). Same
+    * stop-then-swap contract as [[compactStreamTable]]. */
+  def compactViewTable(name: String, targetPartitions: Int = 8): Unit = {
+    synchronized {
+      val rel = views.get(name).map(_.relation)
+      val active = consumers.values.exists(c => rel.contains(c.relation) &&
+        running.contains(c.id))
+      require(!active, s"stop consumers feeding view '$name' before compacting")
+    }
+    val deltaDir = s"$metaDir/views/$name/delta"
+    val maxBatch = spark.read.parquet(deltaDir)
+      .agg(max("__batch")).head().getLong(0)
+    val dir = Paths.get(deltaDir)
+    val tmp = Paths.get(s"$metaDir/views/$name/__compact_delta")
+    val old = Paths.get(s"$metaDir/views/$name/__old_delta")
+    viewTable(name).withColumn("__batch", lit(maxBatch))
+      .repartition(targetPartitions)
+      .write.mode("overwrite").parquet(tmp.toString)
+    Files.move(dir, old)
+    Files.move(tmp, dir)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(old.toFile)
+  }
 
   /** Read the persistent stream table (every ingested row of a relation —
     * the B4 COPY-into-stream analog, parquet-append with its own
@@ -273,42 +404,45 @@ class KinesisEngine(spark: SparkSession, metaDir: String) {
   // --- data plane ---------------------------------------------------------
 
   /** The parsed stream for a consumer config: source → parse (B2) →
-    * implicit-column injection (B3). Exposed for tests/batch inspection. */
+    * implicit-column injection (B3). `arrival_timestamp` is the source's
+    * per-record approximate_arrival_timestamp — fixed at put time
+    * (kinesis_consumer.cpp:485-489), so replayed batches are identical. */
   private def parsedStream(c: Consumer, url: String): DataFrame = {
     val schema = streams(c.relation)
     val raw = spark.readStream.format(ShardedLog.FORMAT)
       .option("path", s"$url/${c.stream}")
       .option("batchsize", c.batchsize)
       .option("startingposition", c.startPosOption)
+      .option("parallelism", c.parallelism)
       .load()
-    val parsed = c.format match {
+    val at = col("approximate_arrival_timestamp").as("arrival_timestamp")
+    c.format match {
       case "text" =>
         // text COPY: the whole record lands in the relation's single
         // payload column (reference README.md:65 `foo_stream (payload text)`)
         require(schema.fields.length == 1, "text format needs a 1-column stream")
-        raw.select(col("data").cast(schema.fields.head.dataType)
-          .as(schema.fields.head.name))
+        raw.select(col("data").cast(StringType).cast(schema.fields.head.dataType)
+          .as(schema.fields.head.name), at)
       case "csv" =>
         val opts = Map("sep" -> c.delimiter) ++
           Option(c.quote).map("quote" -> _) ++ Option(c.escape).map("escape" -> _)
-        raw.select(from_csv(col("data"), schema, opts).as("r")).select(col("r.*"))
+        raw.select(from_csv(col("data").cast(StringType), schema, opts).as("r"), at)
+          .select(col("r.*"), col("arrival_timestamp"))
       case "json" =>
         // beyond the reference's text/csv: JSON records parsed against the
         // declared stream schema, same PERMISSIVE poison policy
-        raw.select(from_json(col("data"), schema).as("r")).select(col("r.*"))
+        raw.select(from_json(col("data").cast(StringType), schema).as("r"), at)
+          .select(col("r.*"), col("arrival_timestamp"))
       case "binary" =>
-        // opaque-bytes parity (kinesis_consumer.h:65-69): producers put
-        // base64(payload); the stream column receives the raw bytes. A
-        // malformed base64 record yields null (PERMISSIVE), not a dropped
-        // batch.
+        // opaque-bytes parity (kinesis_consumer.h:65-69): the v2 record
+        // framing carries raw payload bytes, so the stream column receives
+        // them verbatim — no base64 detour, zero size inflation.
         require(schema.fields.length == 1 &&
                 schema.fields.head.dataType == org.apache.spark.sql.types.BinaryType,
           "binary format needs a 1-column BINARY stream")
-        raw.select(try_to_binary(col("data"), lit("base64"))
-          .as(schema.fields.head.name))
+        raw.select(col("data").as(schema.fields.head.name), at)
       case other => throw new IllegalArgumentException(s"format $other")
     }
-    parsed.withColumn("arrival_timestamp", current_timestamp())
   }
 
   private implicit class ConsumerOps(c: Consumer) {
@@ -332,9 +466,9 @@ class KinesisEngine(spark: SparkSession, metaDir: String) {
                    quote: String = null, escape: String = null,
                    batchsize: Long = 1000L, parallelism: Int = 1,
                    startSeq: Long = -2L): Int = synchronized {
-    // MAX_PROCS parity: the reference silently caps worker processes at 8
-    // (pipeline_kinesis.c:54,786-791); here parallelism is advisory (tasks
-    // already scale with shards) but the recorded value keeps the cap.
+    // MAX_PROCS parity: the reference caps worker processes at 8
+    // (pipeline_kinesis.c:54,786-791); the capped value feeds the source's
+    // task grouping (shards are read by ≤ parallelism concurrent tasks).
     val par = math.min(parallelism, 8)
     val ep = endpoints.getOrElse(endpoint, sys.error(s"no endpoint $endpoint"))
     val key = (endpoint, stream, relation)
@@ -371,18 +505,24 @@ class KinesisEngine(spark: SparkSession, metaDir: String) {
       val viewQs = views.toSeq.collect { case (vname, v) if v.relation == relation =>
         val writer = v.materialize match {
           case "memory" =>
-            // demo/test default; the snapshot lives on the driver
+            // opt-in demo; the snapshot lives on the driver
             log.warn(s"continuous view '$vname' uses the in-memory complete-mode " +
-              "sink: the full aggregate accumulates on the driver. Use " +
-              "materialize=\"parquet\" for high-cardinality aggregates.")
+              "sink: the full aggregate accumulates on the driver. The default " +
+              "materialize=\"parquet\" is the scale path.")
             v.agg(df).writeStream.queryName(vname)
               .outputMode("complete").format("memory")
           case "parquet" =>
-            v.agg(df).writeStream.queryName(vname)
-              .outputMode("complete")
-              .foreachBatch { (batch: DataFrame, _: Long) =>
-                batch.write.mode("overwrite")
-                  .parquet(s"$metaDir/views/$vname")
+            // incremental: update mode emits only the groups each batch
+            // touched; the delta append is atomic and the merge happens at
+            // read ([[viewTable]]) — per-trigger cost ∝ touched groups.
+            val aggDf = v.agg(df)
+            val keysOpt = v.keys.orElse(inferViewKeys(aggDf))
+            writeViewMeta(vname, keysOpt)
+            aggDf.writeStream.queryName(vname)
+              .outputMode(if (keysOpt.isDefined) "update" else "append")
+              .foreachBatch { (batch: DataFrame, batchId: Long) =>
+                batch.withColumn("__batch", lit(batchId))
+                  .write.mode("append").parquet(s"$metaDir/views/$vname/delta")
               }
         }
         writer.option("checkpointLocation",
@@ -436,10 +576,18 @@ class KinesisEngine(spark: SparkSession, metaDir: String) {
     if (ids.isEmpty) None else Some(ids.map(_.toLong).max)
   }
 
+  /** Monotone tail cache per log directory: repeated seqnums polls scan
+    * only bytes appended since the previous poll (the
+    * ShardedLogMicroBatchStream.advanceTail pattern), never the whole log. */
+  private def tailFor(dir: String): ShardedLog.TailCache =
+    synchronized(tails.getOrElseUpdate(dir, new ShardedLog.TailCache(dir)))
+
   /** Per-(consumer, shard) committed sequence number plus how far behind
-    * the shard tip it is — the reference's seqnums table + the
-    * millisBehindLatest metric re-expressed in records
-    * (pipeline_kinesis--0.9.0.sql:26-31; kinesis_consumer.cpp:446-465).
+    * the shard tip it is, in records and in milliseconds — the reference's
+    * seqnums table + millisBehindLatest (pipeline_kinesis--0.9.0.sql:26-31;
+    * kinesis_consumer.cpp:446-465). `millis_behind_latest` = now − arrival
+    * time of the first unconsumed record (0 when fully drained; null when
+    * the log is unreachable, e.g. a partially-saved catalog row).
     *
     * COMMITTED means exactly that: the reported batch's offsets are only
     * used once `commits/<id>` exists, matching the reference's
@@ -448,8 +596,15 @@ class KinesisEngine(spark: SparkSession, metaDir: String) {
     * after a crash between offset write and batch commit. */
   def seqnums: DataFrame = {
     import spark.implicits._
-    val consumerById = synchronized(consumers.values.map(c => c.id -> c).toMap)
-    val ids = synchronized(running.keys.toSeq)
+    import ShardedLog.ShardPos
+    val (consumerById, eps) = synchronized {
+      (consumers.values.map(c => c.id -> c).toMap, endpoints.toMap)
+    }
+    // like the reference's persistent seqnums table, stopped consumers
+    // still report their committed position (and accumulate lag)
+    val ids = consumerById.keys.toSeq.sorted
+      .filter(id => Files.exists(Paths.get(s"$metaDir/checkpoints/$id")))
+    val now = System.currentTimeMillis()
     val rows = ids.flatMap { id =>
       val committed = listDir(Paths.get(s"$metaDir/checkpoints/$id"))
         .flatMap { vdir =>
@@ -459,12 +614,12 @@ class KinesisEngine(spark: SparkSession, metaDir: String) {
             else {
               // offset-log format: v1 header, metadata json, then one
               // offset json line per source — ours is the
-              // {shard: [bytePos, nextSeq]} map. readAllLines closes.
+              // {shard: [bytePos, nextSeq]} map (legacy bare-number form
+              // accepted, bytes resolved below). readAllLines closes.
               import scala.jdk.CollectionConverters._
               Files.readAllLines(offF).asScala.toSeq.drop(2)
                 .filter(l => l.startsWith("{") && l.contains(":"))
                 .flatMap(l => ShardedLog.parseOffsetJson(l).toSeq)
-                .map { case (shard, pos) => shard -> pos.recs }
             }
           }
         }
@@ -474,17 +629,31 @@ class KinesisEngine(spark: SparkSession, metaDir: String) {
         // independently; report the furthest-committed seqnum per shard —
         // every reported record is durably ingested by at least one query
         // (each query's own checkpoint protects the laggards from loss).
-        val bestCommitted = committed.groupBy(_._1)
-          .map { case (shard, xs) => shard -> xs.map(_._2).max }
-        val latest = consumerById.get(id).map { c =>
-          ShardedLog.lineCounts(s"${endpoints(c.endpoint).url}/${c.stream}")
-        }.getOrElse(Map.empty[String, Long])
-        bestCommitted.toSeq.map { case (shard, seq) =>
-          val behind = math.max(latest.getOrElse(shard, seq) - seq, 0L)
-          (id, shard.stripSuffix(".log"), seq, behind)
+        val best = committed.groupBy(_._1)
+          .map { case (shard, xs) => shard -> xs.map(_._2).maxBy(_.recs) }
+        // guarded lookup: a consumers.tsv row whose endpoint is missing
+        // (non-atomic multi-file catalog save interrupted by a crash) must
+        // degrade to unknown lag, not throw.
+        val dirOpt = consumerById.get(id).flatMap(c =>
+          eps.get(c.endpoint).map(e => s"${e.url}/${c.stream}"))
+        val latest = dirOpt.map(tailFor(_).advance())
+          .getOrElse(Map.empty[String, ShardPos])
+        best.toSeq.map { case (shard, p) =>
+          val behindRecs = latest.get(shard)
+            .map(t => math.max(t.recs - p.recs, 0L)).getOrElse(0L)
+          val millis: java.lang.Long =
+            if (behindRecs == 0L) java.lang.Long.valueOf(0L)
+            else dirOpt.flatMap { d =>
+              val f = new java.io.File(d, shard)
+              val pb = if (p.bytes >= 0) p.bytes
+                       else ShardedLog.scanForward(f, 0L, p.recs).bytes // legacy
+              ShardedLog.arrivalTsAt(f, pb).map(ts => math.max(now - ts, 0L))
+            }.map(java.lang.Long.valueOf).orNull
+          (id, shard.stripSuffix(".log"), p.recs, behindRecs, millis)
         }
       }
     }
-    rows.toDF("consumer_id", "shard_id", "seqnum", "records_behind_latest")
+    rows.toDF("consumer_id", "shard_id", "seqnum", "records_behind_latest",
+      "millis_behind_latest")
   }
 }

@@ -1,0 +1,182 @@
+package graft
+
+import graft.sources.{ShardedLog, ShardedLogMicroBatchStream}
+import graft.streaming.KinesisEngine
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-4 scale/fidelity contracts: replay-stable arrival timestamps,
+  * incremental (update-mode) continuous-view materialization, tail-cached
+  * seqnums with the millisecond lag metric, the parallelism knob, and
+  * catalog format versioning. */
+class EngineScaleSpec extends SparkSpec {
+
+  private def mkEngine(meta: String, root: String, stream: String,
+                       view: String): KinesisEngine = {
+    val eng = new KinesisEngine(spark, meta)
+    eng.addEndpoint("ep", "r", url = root)
+    eng.createStream(stream, StructType(Seq(StructField("payload", StringType))))
+    eng.createContinuousView(view, stream, _.groupBy("payload").count())
+    eng
+  }
+
+  test("arrival timestamps are fixed at put time — replay reproduces identical rows") {
+    // reference parity: approximateArrivalTimestamp lives ON the record
+    // (kinesis_consumer.cpp:485-489); a replayed batch must yield the same
+    // rows, timestamps included (the r3 read-time stamping did not).
+    val root = tmpDir("rp-root")
+    ShardedLog.append(s"$root/s", 0, Seq(("a", "1"), ("b", "2")))
+    Thread.sleep(5)
+    ShardedLog.append(s"$root/s", 0, Seq(("c", "3")))
+
+    def ingest(meta: String): Seq[(String, java.sql.Timestamp)] = {
+      val eng = mkEngine(meta, root, "rp_stream", "rp_view")
+      eng.consumeBegin("ep", "s", "rp_stream", format = "text")
+      eng.processAllAvailable(); eng.consumeEndAll()
+      eng.streamTable("rp_stream").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1))).toSeq.sortBy(_._1)
+    }
+    // two independent engines over the SAME log = a full replay
+    val first = ingest(tmpDir("rp-m1"))
+    val second = ingest(tmpDir("rp-m2"))
+    assert(first.map(_._1) === Seq("1", "2", "3"))
+    assert(first === second, "replayed ingest is identical, timestamps included")
+    assert(first.map(_._2).distinct.size >= 2,
+      "timestamps are per-put, not one constant")
+  }
+
+  test("incremental view: per-batch delta ∝ touched groups, not total groups") {
+    val root = tmpDir("hc-root"); val meta = tmpDir("hc-meta")
+    ShardedLog.append(s"$root/s", 0, (1 to 2000).map(i => (s"k$i", s"k$i")))
+    val eng = mkEngine(meta, root, "hc_stream", "hc_view")
+    eng.consumeBegin("ep", "s", "hc_stream", format = "text", batchsize = 10000)
+    eng.processAllAvailable()
+    val deltaDir = s"$meta/views/hc_view/delta"
+    val afterLoad = spark.read.parquet(deltaDir).count()
+    assert(afterLoad >= 2000L)
+    // touch ONE group: the batch must append ~1 row, not rewrite 2000
+    ShardedLog.append(s"$root/s", 0, Seq(("k42", "k42")))
+    eng.processAllAvailable()
+    val afterOne = spark.read.parquet(deltaDir).count()
+    assert(afterOne - afterLoad <= 2L,
+      s"1-group update appended ${afterOne - afterLoad} delta rows — " +
+        "per-trigger sink cost must track touched groups (complete-mode rewrite is gone)")
+    // the merged read is still the full, correct aggregate
+    val m = eng.viewTable("hc_view").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m.size === 2000 && m("k42") === 2L && m("k1") === 1L)
+    eng.consumeEndAll()
+  }
+
+  test("view compaction folds deltas; merge stays correct; newer deltas still win") {
+    val root = tmpDir("vc-root"); val meta = tmpDir("vc-meta")
+    val eng = mkEngine(meta, root, "vc_stream", "vc_view")
+    ShardedLog.append(s"$root/s", 0, Seq(("x", "a"), ("y", "b")))
+    eng.consumeBegin("ep", "s", "vc_stream", format = "text")
+    eng.processAllAvailable()
+    ShardedLog.append(s"$root/s", 0, Seq(("z", "a")))
+    eng.processAllAvailable()
+    eng.consumeEndAll()
+    assert(eng.viewTable("vc_view").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap === Map("a" -> 2L, "b" -> 1L))
+    eng.compactViewTable("vc_view", targetPartitions = 1)
+    assert(eng.viewTable("vc_view").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap === Map("a" -> 2L, "b" -> 1L),
+      "compaction preserves the merged result")
+    // deltas written after compaction must override the compacted rows
+    ShardedLog.append(s"$root/s", 0, Seq(("w", "a")))
+    eng.consumeBegin("ep", "s", "vc_stream", format = "text")
+    eng.processAllAvailable()
+    assert(eng.viewTable("vc_view").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap === Map("a" -> 3L, "b" -> 1L))
+    eng.consumeEndAll()
+  }
+
+  test("seqnums lag accumulates while stopped (records + millis) and drains to 0") {
+    val root = tmpDir("lag-root"); val meta = tmpDir("lag-meta")
+    val eng = mkEngine(meta, root, "lag_stream", "lag_view")
+    ShardedLog.append(s"$root/s", 0, (1 to 10).map(i => (s"k$i", s"v$i")))
+    eng.consumeBegin("ep", "s", "lag_stream", format = "text")
+    eng.processAllAvailable()
+    eng.consumeEndAll()
+    // stopped consumers still report their committed position (the
+    // reference's seqnums table is a persistent catalog relation)
+    ShardedLog.append(s"$root/s", 0, (1 to 3).map(i => (s"n$i", s"w$i")))
+    Thread.sleep(10)
+    val lag = eng.seqnums.collect()
+    assert(lag.length === 1 && lag.head.getLong(2) === 10L)
+    assert(lag.head.getLong(3) === 3L, "3 unconsumed records behind the tip")
+    assert(lag.head.getLong(4) >= 10L,
+      "millis_behind_latest = now − arrival of first unconsumed record")
+    eng.consumeBegin("ep", "s", "lag_stream", format = "text")
+    eng.processAllAvailable()
+    eng.consumeEndAll()
+    val drained = eng.seqnums.collect()
+    assert(drained.head.getLong(2) === 13L)
+    assert(drained.head.getLong(3) === 0L && drained.head.getLong(4) === 0L,
+      "lag drains to 0 after processAllAvailable (README.md:119-126 loop)")
+  }
+
+  test("seqnums polling scans only the appended delta (engine tail cache)") {
+    val root = tmpDir("tc-root"); val meta = tmpDir("tc-meta")
+    val eng = mkEngine(meta, root, "tc_stream", "tc_view")
+    ShardedLog.append(s"$root/s", 0, (1 to 1000).map(i => (s"k$i", s"v$i")))
+    eng.consumeBegin("ep", "s", "tc_stream", format = "text")
+    eng.processAllAvailable()
+    eng.consumeEndAll() // no background pollers left to move the counter
+    eng.seqnums.collect() // first poll: tail cache catches up once
+    val before = ShardedLog.bytesScanned.get()
+    eng.seqnums.collect()
+    assert(ShardedLog.bytesScanned.get() === before,
+      "second idle poll scans zero bytes — no full lineCounts rescan")
+    ShardedLog.append(s"$root/s", 0, Seq(("kx", "vx")))
+    val mid = ShardedLog.bytesScanned.get()
+    eng.seqnums.collect()
+    val delta = ShardedLog.bytesScanned.get() - mid
+    assert(delta > 0L && delta < 200L,
+      s"poll after a 1-record append scans only that record ($delta bytes)")
+  }
+
+  test("parallelism caps source tasks — batch and micro-batch planning") {
+    val dir = tmpDir("par")
+    (0 until 4).foreach(sh => ShardedLog.append(dir, sh, Seq((s"k$sh", s"v$sh"))))
+    val df2 = spark.read.format(ShardedLog.FORMAT)
+      .option("path", dir).option("parallelism", "2").load()
+    assert(df2.rdd.getNumPartitions === 2, "4 shards grouped into 2 tasks")
+    assert(df2.count() === 4, "grouping loses no records")
+    val df0 = spark.read.format(ShardedLog.FORMAT).option("path", dir).load()
+    assert(df0.rdd.getNumPartitions === 4, "default: one task per shard")
+    // parallelism=1 = the reference's single-bgworker serial consumer
+    val ms = new ShardedLogMicroBatchStream(dir, 1000L, "trim_horizon", 1)
+    val start = ms.initialOffset()
+    val end = ms.latestOffset(start, null)
+    assert(ms.planInputPartitions(start, end).length === 1)
+  }
+
+  test("unversioned catalog metaDir is refused with a migration error") {
+    val meta = tmpDir("cat-ver")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(meta, "endpoints.tsv"),
+      "ep\tus-west-2\t-\t/tmp/x") // pre-versioning row format (raw names)
+    val e = intercept[IllegalStateException](new KinesisEngine(spark, meta))
+    assert(e.getMessage.contains("catalog format"))
+  }
+
+  test("stateless (no-aggregate) views materialize append-only") {
+    val root = tmpDir("st-root"); val meta = tmpDir("st-meta")
+    val eng = new KinesisEngine(spark, meta)
+    eng.addEndpoint("ep", "r", url = root)
+    eng.createStream("st_stream", StructType(Seq(StructField("payload", StringType))))
+    // a transform, not an aggregate: PipelineDB CONTINUOUS TRANSFORM analog
+    eng.createContinuousView("st_view", "st_stream",
+      _.select(upper(col("payload")).as("p")))
+    ShardedLog.append(s"$root/s", 0, Seq(("a", "x"), ("b", "y")))
+    eng.consumeBegin("ep", "s", "st_stream", format = "text")
+    eng.processAllAvailable()
+    ShardedLog.append(s"$root/s", 0, Seq(("c", "z")))
+    eng.processAllAvailable()
+    assert(eng.viewTable("st_view").collect().map(_.getString(0)).sorted.toSeq ===
+      Seq("X", "Y", "Z"), "every row kept — append semantics, no merge")
+    eng.consumeEndAll()
+  }
+}

@@ -29,25 +29,61 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
-  test("record framing round-trips arbitrary payloads incl. tabs/newlines") {
+  test("v2 framing round-trips arbitrary payload bytes with zero inflation") {
     // the reference treats records as opaque bytes (kinesis_consumer.h:65-69);
-    // escaped framing must survive any partition key / data content
-    val sGen = Gen.listOf(Gen.oneOf(
+    // length-prefixed framing must survive any partition key / raw byte
+    // payload (nulls included) at exactly header + payload size on disk,
+    // and persist the put-time arrival timestamp for replay determinism.
+    import graft.sources.{ShardedLogPartition, ShardedLogReaderFactory, ShardedLogSlice}
+    val pkGen = Gen.option(Gen.listOf(Gen.oneOf(
       Gen.alphaNumChar, Gen.oneOf('\t', '\n', '\r', '\\', '"', ' ', 'é')))
-      .map(_.mkString)
-    check("framing-roundtrip", Prop.forAll(sGen, sGen) { (pk, data) =>
+      .map(_.mkString))
+    val dataGen = Gen.option(
+      Gen.containerOf[Array, Byte](Gen.choose(Byte.MinValue, Byte.MaxValue)))
+    check("framing-roundtrip", Prop.forAll(pkGen, dataGen) { (pkOpt, dataOpt) =>
       val dir = java.nio.file.Files.createTempDirectory("framing").toString
-      ShardedLog.append(dir, 0, Seq((pk, data)))
+      val pk = pkOpt.orNull
+      val data = dataOpt.orNull
+      ShardedLog.appendBytes(dir, 0, Seq((pk, data)),
+        arrivalMillis = 1234567890123L)
       val f = new java.io.File(dir, "shard-0.log")
+      val pkBytes = if (pk == null) 0 else pk.getBytes("UTF-8").length
+      val dataBytes = if (data == null) 0 else data.length
       val pos = ShardedLog.scanForward(f, 0L, Long.MaxValue)
-      val line = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-        .stripSuffix("\n")
-      // non-null pk ⇒ the first raw tab is always the field separator
-      val tab = line.indexOf('\t')
-      pos.recs == 1L && pos.bytes == f.length() && tab >= 0 &&
-        ShardedLog.unescField(line.substring(0, tab)) == pk &&
-        ShardedLog.unescField(line.substring(tab + 1)) == data
+      // read back through the actual partition reader (no Spark session)
+      val reader = ShardedLogReaderFactory.createReader(
+        ShardedLogPartition(Seq(ShardedLogSlice(dir, "shard-0.log", 0L, f.length(), 0L))))
+      val ok = reader.next()
+      val row = reader.get()
+      val gotPk = if (row.isNullAt(2)) null else row.getUTF8String(2).toString
+      val gotData = if (row.isNullAt(3)) null else row.getBinary(3)
+      val more = reader.next()
+      reader.close()
+      f.length() == 16L + pkBytes + dataBytes &&
+        pos == ShardedLog.ShardPos(f.length(), 1L) &&
+        ok && !more &&
+        row.getLong(4) == 1234567890123L * 1000L &&
+        gotPk == pk &&
+        (gotData == null) == (data == null) &&
+        (data == null || java.util.Arrays.equals(gotData, data))
     })
+  }
+
+  test("legacy bare-number offset JSON parses alongside the [bytes,recs] form") {
+    // backward compat with checkpoints written by the {shard: nextSeq}
+    // offset format: bare numbers surface as bytes = -1 (resolved against
+    // the log by resolveLegacy / deserializeOffset)
+    val m = ShardedLog.parseOffsetJson("""{"shard-0.log":7,"shard-1.log":[30,2]}""")
+    assert(m === Map("shard-0.log" -> ShardedLog.ShardPos(-1L, 7L),
+                     "shard-1.log" -> ShardedLog.ShardPos(30L, 2L)))
+    val dir = java.nio.file.Files.createTempDirectory("legacyoff").toString
+    ShardedLog.append(dir, 0, (0 until 10).map(i => (s"k$i", s"v$i")))
+    val f = new java.io.File(dir, "shard-0.log")
+    val want = ShardedLog.scanForward(f, 0L, 7L)
+    val resolved = ShardedLog.resolveLegacy(dir,
+      Map("shard-0.log" -> ShardedLog.ShardPos(-1L, 7L)))
+    assert(resolved === Map("shard-0.log" -> want))
+    assert(want.recs === 7L)
   }
 
   test("md5 prefix hash stays within [0, 16^n) for any string") {

@@ -30,24 +30,24 @@ class StreamingSpec extends SparkSpec {
     val id = eng.consumeBegin("ep", "test", "foo_stream", format = "text")
     eng.processAllAvailable()
 
-    val v1 = spark.table("foo_view").collect()
+    val v1 = eng.viewTable("foo_view").collect()
     assert(v1.length === 100, "one row per distinct payload")
     assert(v1.forall(_.getLong(1) === 1L), "count 1 each (README.md:78-88)")
 
     // Re-put the same 100 → counts advance to 2 (README.md:101-117).
     (1 to 100).foreach(i => ShardedLog.append(logDir, i % 4, Seq((s"foo$i", s"foo$i"))))
     eng.processAllAvailable()
-    val v2 = spark.table("foo_view").collect()
+    val v2 = eng.viewTable("foo_view").collect()
     assert(v2.length === 100 && v2.forall(_.getLong(1) === 2L))
 
     // seqnums observability (README.md:119-126): 4 shards, 50 records each.
     val sq = eng.seqnums.collect().map(r => r.getString(1) -> r.getLong(2)).toMap
     assert(sq.keySet === Set("shard-0", "shard-1", "shard-2", "shard-3"))
     assert(sq.values.toSeq.sorted === Seq(50L, 50L, 50L, 50L))
-    assert(eng.seqnums.columns.toSeq ===
-      Seq("consumer_id", "shard_id", "seqnum", "records_behind_latest"))
-    // lag metric (millisBehindLatest analog): fully drained → 0 everywhere
-    assert(eng.seqnums.collect().forall(_.getLong(3) === 0L))
+    assert(eng.seqnums.columns.toSeq === Seq("consumer_id", "shard_id",
+      "seqnum", "records_behind_latest", "millis_behind_latest"))
+    // lag metrics (millisBehindLatest analog): fully drained → 0 everywhere
+    assert(eng.seqnums.collect().forall(r => r.getLong(3) === 0L && r.getLong(4) === 0L))
 
     // Commit-gating: a written-but-uncommitted offsets entry (the
     // write-ahead intent a crash leaves behind) must NOT advance seqnums.
@@ -73,7 +73,7 @@ class StreamingSpec extends SparkSpec {
     val id2 = eng.consumeBegin("ep", "test", "foo_stream", format = "text")
     assert(id2 === id, "consume_begin upserts, id is stable (C3)")
     eng.processAllAvailable()
-    val v3 = spark.table("foo_view").collect()
+    val v3 = eng.viewTable("foo_view").collect()
     assert(v3.length === 100 && v3.forall(_.getLong(1) === 3L))
 
     // B4: the persistent stream table holds every ingested row with the
@@ -116,8 +116,10 @@ class StreamingSpec extends SparkSpec {
     eng.createStream("typed_stream", StructType(Seq(
       StructField("name", StringType), StructField("n", LongType),
       StructField("x", DoubleType))))
+    // memory materialization exercised here: the opt-in demo sink
     eng.createContinuousView("typed_view", "typed_stream",
-      df => df.groupBy("name").agg(sum("n").as("sn"), sum("x").as("sx")))
+      df => df.groupBy("name").agg(sum("n").as("sn"), sum("x").as("sx")),
+      materialize = "memory")
     eng.consumeBegin("ep", "s", "typed_stream", format = "csv", delimiter = ",")
     eng.processAllAvailable()
     val rows = spark.table("typed_view").orderBy("name").collect()
@@ -141,7 +143,7 @@ class StreamingSpec extends SparkSpec {
       df => df.groupBy().agg(count(lit(1)).as("rows"), sum("n").as("total")))
     eng.consumeBegin("ep", "s", "j_stream", format = "json")
     eng.processAllAvailable()
-    val r = spark.table("j_view").head()
+    val r = eng.viewTable("j_view").head()
     assert(r.getLong(0) === 3L, "poison record survives as nulls")
     assert(r.getLong(1) === 3L, "1 + 2; malformed contributes null")
     eng.consumeEndAll()
@@ -205,7 +207,8 @@ class StreamingSpec extends SparkSpec {
     val eng = new KinesisEngine(spark, meta)
     eng.addEndpoint("ep", "r", url = root)
     eng.createStream("ss_stream", StructType(Seq(StructField("payload", StringType))))
-    eng.createContinuousView("ss_view", "ss_stream", _.groupBy().count())
+    eng.createContinuousView("ss_view", "ss_stream", _.groupBy().count(),
+      materialize = "memory") // queried before any batch may have run
     eng.consumeBegin("ep", "s", "ss_stream", startSeq = -1L) // latest
     eng.processAllAvailable()
     val before = spark.table("ss_view").collect()
@@ -221,7 +224,7 @@ class StreamingSpec extends SparkSpec {
     eng2.createContinuousView("ss_view2", "ss_stream", _.groupBy().count())
     eng2.consumeBegin("ep", "s", "ss_stream", startSeq = 29L) // after seq 29
     eng2.processAllAvailable()
-    assert(spark.table("ss_view2").head().getLong(0) === 5L,
+    assert(eng2.viewTable("ss_view2").head().getLong(0) === 5L,
       "after_sequence_number:29 reads only records 30-34")
     eng2.consumeEndAll()
   }
@@ -241,7 +244,8 @@ class StreamingSpec extends SparkSpec {
         .groupBy(window(col("ts"), "1 hour"), col("etype")).count())
     eng.consumeBegin("ep", "s", "ev_stream", format = "csv", delimiter = ",")
     eng.processAllAvailable()
-    val rows = spark.table("ev_win_view")
+    // incremental merge keys inferred through the window() grouping
+    val rows = eng.viewTable("ev_win_view")
       .select(col("window.start").cast("string"), col("etype"), col("count"))
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(rows === Map(
@@ -266,7 +270,7 @@ class StreamingSpec extends SparkSpec {
     wire(eng)
     val id = eng.consumeBegin("ep", "s", "cat_stream", format = "text")
     eng.processAllAvailable()
-    assert(spark.table("cat_view").count() === 2)
+    assert(eng.viewTable("cat_view").count() === 2)
     eng.consumeEndAll()
 
     ShardedLog.append(s"$root/s", 0, Seq(("c", "x")))
@@ -274,7 +278,7 @@ class StreamingSpec extends SparkSpec {
     wire(eng2)
     eng2.consumeBeginAll() // resumes from the persisted catalog
     eng2.processAllAvailable()
-    val m = spark.table("cat_view").collect()
+    val m = eng2.viewTable("cat_view").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(m === Map("x" -> 2L, "y" -> 1L), "resumed from checkpoint, same id")
     assert(eng2.seqnums.head().getInt(0) === id)
@@ -348,8 +352,8 @@ class StreamingSpec extends SparkSpec {
     val idB = eng.consumeBegin("ep", "s2", "two_b", format = "text")
     assert(idA !== idB)
     eng.processAllAvailable()
-    assert(spark.table("two_a_view").head().getLong(1) === 2L)
-    assert(spark.table("two_b_view").head().getLong(1) === 1L)
+    assert(eng.viewTable("two_a_view").head().getLong(1) === 2L)
+    assert(eng.viewTable("two_b_view").head().getLong(1) === 1L)
     assert(eng.seqnums.select("consumer_id").distinct().count() === 2)
     eng.consumeEnd("ep", "s1", "two_a")
     assert(eng.activeQueries.nonEmpty, "consumer B still running")
@@ -368,7 +372,7 @@ class StreamingSpec extends SparkSpec {
       "SELECT payload, count(*) AS count FROM sql_stream GROUP BY payload")
     eng.consumeBegin("ep", "s", "sql_stream", format = "text")
     eng.processAllAvailable()
-    val m = spark.table("sql_cv_view").collect()
+    val m = eng.viewTable("sql_cv_view").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(m === Map("p0" -> 3L, "p1" -> 4L, "p2" -> 3L))
     eng.consumeEndAll()
@@ -434,7 +438,7 @@ class StreamingSpec extends SparkSpec {
       "SQL view definition restored")
     eng2.consumeBeginAll()
     eng2.processAllAvailable()
-    val m = spark.table("dur_view").collect()
+    val m = eng2.viewTable("dur_view").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(m === Map("x" -> 2L, "y" -> 1L), "resumed from checkpoint, no replay")
     eng2.consumeEndAll()
@@ -442,7 +446,7 @@ class StreamingSpec extends SparkSpec {
 
   test("payloads containing tabs, newlines and backslashes survive framing") {
     // the reference's records are opaque bytes (kinesis_consumer.h:65-69);
-    // escaped framing must round-trip hostile content and keep one
+    // length-prefixed framing must round-trip hostile content and keep one
     // sequence number per record.
     val dir = tmpDir("kin-frame")
     val hostile = Seq(
@@ -452,16 +456,20 @@ class StreamingSpec extends SparkSpec {
       .orderBy("sequence_number")
       .select("partition_key", "data").collect()
     assert(rows.length === 3, "one record per put, regardless of content")
-    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq ===
-      hostile.map { case (pk, d) => (pk, d) })
+    assert(rows.map(r => (r.getString(0),
+      new String(r.getAs[Array[Byte]](1), "UTF-8"))).toSeq === hostile)
   }
 
-  test("binary format delivers opaque payload bytes (base64 at put)") {
+  test("binary format delivers opaque payload bytes raw — no base64, no inflation") {
     val root = tmpDir("kin-bin")
     val meta = tmpDir("kin-bin-meta")
     val payload = Array[Byte](0, 1, 9, 10, 13, -1, 92) // incl. \t \n \r bytes
-    val b64 = java.util.Base64.getEncoder.encodeToString(payload)
-    ShardedLog.append(s"$root/s", 0, Seq(("k1", b64), ("k2", "!!not-base64!!")))
+    ShardedLog.appendBytes(s"$root/s", 0, Seq(("k1", payload), ("k2", null)))
+    // v2 framing stores payloads verbatim: 16-byte header + pk + data —
+    // the base64 detour (+33%) of the escaped-text framing is gone
+    val f = new java.io.File(s"$root/s", "shard-0.log")
+    assert(f.length() === (16 + 2 + payload.length) + (16 + 2),
+      "on-disk size is header + raw bytes, zero inflation")
     val eng = new KinesisEngine(spark, meta)
     eng.addEndpoint("ep", "r", url = root)
     eng.createStream("bin_stream", StructType(Seq(StructField("payload", BinaryType))))
@@ -469,10 +477,10 @@ class StreamingSpec extends SparkSpec {
       df => df.select(col("payload")).groupBy("payload").count())
     eng.consumeBegin("ep", "s", "bin_stream", format = "binary")
     eng.processAllAvailable()
-    val rows = spark.table("bin_view").collect()
+    val rows = eng.viewTable("bin_view").collect()
       .map(r => Option(r.getAs[Array[Byte]](0)).map(_.toSeq))
     assert(rows.toSet === Set(Some(payload.toSeq), None),
-      "raw bytes round-trip; malformed base64 is a null, not a dropped batch")
+      "raw bytes round-trip; a null payload stays null")
     eng.consumeEndAll()
   }
 

@@ -125,7 +125,7 @@ class StreamingStateSpec extends SparkSpec {
     eng.processAllAvailable()
     ShardedLog.append(s"$root/s", 0, Seq(("d3", "spark wins")))
     eng.processAllAvailable()
-    val m = spark.table("trend_view").collect()
+    val m = eng.viewTable("trend_view").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(m("spark") === 3L && m("fast") === 2L && m("wins") === 1L)
     eng.consumeEndAll()
@@ -148,7 +148,7 @@ class StreamingStateSpec extends SparkSpec {
                              count(col("n")).as("valid_n")))
     eng.consumeBegin("ep", "s", "p_stream", format = "csv", delimiter = ",")
     eng.processAllAvailable()
-    val r = spark.table("p_view").head()
+    val r = eng.viewTable("p_view").head()
     assert(r.getLong(0) === 3L, "all records ingested, poison included")
     assert(r.getLong(1) === 2L, "malformed numeric parsed as null")
     eng.consumeEndAll()
