@@ -124,6 +124,44 @@ object TextAnalysis {
                           (a, h) => (a * 31L + h) % 1000000007L).as("fp_roll"))
         .orderBy("doc_id")),
 
+    // PII scrubbing (training-data compliance pass): redact emails, phone
+    // numbers and IPv4s with fixed-order regex rewrites, and count the
+    // redactions. PII is planted deterministically from doc_id so the
+    // redaction paths actually fire and hash-check. Narrow per-row map —
+    // at 100 TB this is a single codegen'd stage over the pruned scan.
+    "q_pii_scrub" -> ((s, d) => {
+      val raw = concat(lit("u"), col("doc_id").cast("string"),
+        lit("@ex.com call 555-0199 ip 10.0.0.1 :: "), col("text"))
+      val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val ipRe = "\\d+\\.\\d+\\.\\d+\\.\\d+"
+      val phoneRe = "\\d{3}-\\d{4}"
+      val nPii = (size(regexp_extract_all(raw, lit(emailRe), lit(0))) +
+        size(regexp_extract_all(raw, lit(ipRe), lit(0))) +
+        size(regexp_extract_all(raw, lit(phoneRe), lit(0)))).cast("long")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          regexp_replace(regexp_replace(regexp_replace(raw,
+            lit(emailRe), lit("[EMAIL]")),
+            lit(ipRe), lit("[IP]")),
+            lit(phoneRe), lit("[PHONE]")).as("scrubbed"),
+          nPii.as("n_pii"))
+        .orderBy("doc_id")
+    }),
+
+    // Benchmark decontamination: flag documents containing any benchmark
+    // phrase (here: the 5-token prefixes of a deterministic doc sample).
+    // The phrase set is tiny → broadcast nested-loop substring probe, the
+    // scale-correct shape for small benchmark suites; for large ones the
+    // inverted n-gram index of q_dedup_ngram is the swap-in.
+    "q_decontam" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select(array_join(slice(toks, 1, 5), " ").as("phrase")).distinct()
+      docs.join(broadcast(bench), col("text").contains(col("phrase")), "left_semi")
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     // Multimodal plumbing demo on a real oracle-checkable path: treat text
     // as an opaque binary payload (the image/audio column pattern), compute
     // byte-level features. Real media decode lives in
@@ -191,6 +229,25 @@ object TextAnalysis {
                       t -> CAST(concat('0x', substr(md5(t),1,7)) AS BIGINT))),
                   (a, h) -> (a * 31 + h) % 1000000007) AS fp_roll
          FROM documents ORDER BY doc_id""",
+    "q_pii_scrub" ->
+      """SELECT doc_id,
+                regexp_replace(regexp_replace(regexp_replace(
+                    concat('u', CAST(doc_id AS VARCHAR), '@ex.com call 555-0199 ip 10.0.0.1 :: ', text),
+                    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+                    '\d+\.\d+\.\d+\.\d+', '[IP]', 'g'),
+                    '\d{3}-\d{4}', '[PHONE]', 'g') AS scrubbed,
+                CAST(len(regexp_extract_all(concat('u', CAST(doc_id AS VARCHAR), '@ex.com call 555-0199 ip 10.0.0.1 :: ', text), '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))
+                   + len(regexp_extract_all(concat('u', CAST(doc_id AS VARCHAR), '@ex.com call 555-0199 ip 10.0.0.1 :: ', text), '\d+\.\d+\.\d+\.\d+'))
+                   + len(regexp_extract_all(concat('u', CAST(doc_id AS VARCHAR), '@ex.com call 555-0199 ip 10.0.0.1 :: ', text), '\d{3}-\d{4}')) AS BIGINT) AS n_pii
+         FROM documents ORDER BY doc_id""",
+    "q_decontam" ->
+      """SELECT doc_id FROM documents d
+         WHERE EXISTS (
+           SELECT 1 FROM (
+             SELECT DISTINCT array_to_string(list_slice(string_split(text,' '), 1, 5), ' ') AS phrase
+             FROM documents WHERE doc_id % 97 = 0) b
+           WHERE contains(d.text, b.phrase))
+         ORDER BY doc_id""",
     "q_binary_cols" ->
       """SELECT doc_id,
                 CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

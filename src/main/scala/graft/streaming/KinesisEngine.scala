@@ -120,9 +120,17 @@ class KinesisEngine(spark: SparkSession, metaDir: String) {
   private def CatalogVersion = "#graft-catalog-v1"
 
   private def saveCatalog(): Unit = {
-    def save(file: String, rows: Iterable[String]): Unit =
-      Files.writeString(Paths.get(metaDir, file),
-        (CatalogVersion +: rows.toSeq).mkString("\n"))
+    // temp-write + atomic move per file: a crash mid-save leaves the old
+    // complete file, never a torn one (the multi-file save is still not
+    // transactional across files — seqnums degrades gracefully on a
+    // consumer row whose endpoint is missing).
+    def save(file: String, rows: Iterable[String]): Unit = {
+      val tmp = Paths.get(metaDir, s".$file.tmp")
+      Files.writeString(tmp, (CatalogVersion +: rows.toSeq).mkString("\n"))
+      Files.move(tmp, Paths.get(metaDir, file),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
     save("endpoints.tsv", endpoints.values.map(e =>
       Seq(esc(e.name), esc(e.region), esc(e.credfile), esc(e.url)).mkString("\t")))
     save("consumers.tsv", consumers.values.map(c =>
@@ -226,6 +234,16 @@ class KinesisEngine(spark: SparkSession, metaDir: String) {
     require(Set("memory", "parquet")(materialize), s"materialize=$materialize")
     views(name) = View(relation, agg, materialize, None, Option(keys))
   }
+
+  /** CREATE CONTINUOUS TRANSFORM parity (PipelineDB's second CV kind): a
+    * stateless per-row transform over the stream whose output rows are
+    * all kept — exactly the no-aggregate path of the incremental
+    * materializer (append mode, no merge). A thin alias so the intent is
+    * explicit at the call site. */
+  def createContinuousTransform(name: String, relation: String,
+                                transform: DataFrame => DataFrame,
+                                materialize: String = "parquet"): Unit =
+    createContinuousView(name, relation, transform, materialize)
 
   private def sqlAgg(relation: String, sql: String): DataFrame => DataFrame =
     df => { df.createOrReplaceTempView(relation); spark.sql(sql) }

@@ -167,8 +167,8 @@ class EngineScaleSpec extends SparkSpec {
     val eng = new KinesisEngine(spark, meta)
     eng.addEndpoint("ep", "r", url = root)
     eng.createStream("st_stream", StructType(Seq(StructField("payload", StringType))))
-    // a transform, not an aggregate: PipelineDB CONTINUOUS TRANSFORM analog
-    eng.createContinuousView("st_view", "st_stream",
+    // a transform, not an aggregate: CREATE CONTINUOUS TRANSFORM parity
+    eng.createContinuousTransform("st_view", "st_stream",
       _.select(upper(col("payload")).as("p")))
     ShardedLog.append(s"$root/s", 0, Seq(("a", "x"), ("b", "y")))
     eng.consumeBegin("ep", "s", "st_stream", format = "text")
