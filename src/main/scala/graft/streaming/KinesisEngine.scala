@@ -235,6 +235,117 @@ class KinesisEngine(spark: SparkSession, metaDir: String) {
     views(name) = View(relation, agg, materialize, None, Option(keys))
   }
 
+  // --- sliding-window continuous views (PipelineDB `WITH (sw = ...)`) ----
+
+  /** Parse one aggregate spec: outCol -> "count" | "sum:col" | "min:col" |
+    * "max:col". Restricted to combinable (algebraic) aggregates — the same
+    * restriction PipelineDB imposes on sw views, because bucket partials
+    * must recombine at read time. */
+  private def swAggExpr(spec: (String, String)): org.apache.spark.sql.Column =
+    spec._2.split(":", 2) match {
+      case Array("count") => count(lit(1)).as(spec._1)
+      case Array("sum", c) => sum(col(c)).as(spec._1)
+      case Array("min", c) => min(col(c)).as(spec._1)
+      case Array("max", c) => max(col(c)).as(spec._1)
+      case _ => throw new IllegalArgumentException(
+        s"unsupported sw aggregate '${spec._2}' (count | sum:col | min:col | max:col)")
+    }
+
+  private def swCombineExpr(spec: (String, String)): org.apache.spark.sql.Column =
+    spec._2.split(":", 2)(0) match {
+      case "count" | "sum" => sum(col(spec._1)).as(spec._1)
+      case "min" => min(col(spec._1)).as(spec._1)
+      case "max" => max(col(spec._1)).as(spec._1)
+    }
+
+  private def swMetaPath(name: String) = Paths.get(metaDir, "views", name, "_graft_sw")
+
+  private def readSwMeta(name: String): (Seq[String], Seq[(String, String)], String) = {
+    require(Files.exists(swMetaPath(name)), s"'$name' is not a sliding view")
+    val f = Files.readString(swMetaPath(name)).split("\t", -1)
+    val keys = if (f(1).isEmpty) Nil else f(1).split(",", -1).toSeq.map(unesc)
+    val aggs = f(2).split(",", -1).toSeq.map { kv =>
+      val Array(k, v) = kv.split(":", 2); (unesc(k), unesc(v))
+    }
+    (keys, aggs, unesc(f(0)))
+  }
+
+  /** PipelineDB sliding-window continuous view (`CREATE CONTINUOUS VIEW …
+    * WITH (sw = '1 hour')`): a standing aggregate whose result
+    * continuously ages out old data. The stream is bucketed into tumbling
+    * `slide` windows on arrival_timestamp and aggregated incrementally per
+    * (bucket, keys) — the same update-mode delta materialization as any
+    * view, so per-trigger cost ∝ touched (bucket, key) groups.
+    * [[slidingViewTable]] then keeps only buckets inside `width` of now
+    * and recombines the partials — read cost is O(live buckets × keys),
+    * never O(raw rows in the window) (the [[slidingView]] raw-scan analog)
+    * and never O(history).
+    *
+    * A watermark of `width` bounds streaming state to the live buckets:
+    * records arriving later than `width` after the stream's max arrival
+    * time are dropped from the aggregate (they could only land in buckets
+    * already outside every read window).
+    *
+    * @param aggs outCol -> "count" | "sum:col" | "min:col" | "max:col"
+    *             (combinable aggregates only, as in PipelineDB)
+    * @param slide bucket granularity in `window()` duration syntax
+    *              (e.g. "5 minutes"); width in INTERVAL syntax (e.g.
+    *              "1 HOUR"). */
+  def createSlidingView(name: String, relation: String, keys: Seq[String],
+                        aggs: Seq[(String, String)], width: String,
+                        slide: String): Unit = synchronized {
+    require(aggs.nonEmpty, "at least one aggregate")
+    val agg: DataFrame => DataFrame = df =>
+      df.withWatermark("arrival_timestamp", width)
+        .groupBy(window(col("arrival_timestamp"), slide).as("__bucket") +:
+                 keys.map(col): _*)
+        .agg(swAggExpr(aggs.head), aggs.tail.map(swAggExpr): _*)
+    views(name) = View(relation, agg, "parquet", None, Some("__bucket" +: keys))
+    Files.createDirectories(Paths.get(metaDir, "views", name))
+    Files.writeString(swMetaPath(name),
+      Seq(esc(width), keys.map(esc).mkString(","),
+          aggs.map(a => esc(a._1) + ":" + esc(a._2)).mkString(","))
+        .mkString("\t"))
+  }
+
+  /** Current sliding-window result: merge bucket partials (viewTable),
+    * keep buckets overlapping (now − width, now], recombine. */
+  def slidingViewTable(name: String): DataFrame = {
+    val (keys, aggs, width) = readSwMeta(name)
+    val live = viewTable(name).filter(
+      col("__bucket.end") > current_timestamp() - expr(s"INTERVAL $width"))
+    val combined = aggs.map(swCombineExpr)
+    if (keys.isEmpty) live.agg(combined.head, combined.tail: _*)
+    else live.groupBy(keys.map(col): _*).agg(combined.head, combined.tail: _*)
+  }
+
+  /** Physically drop bucket partials that have aged out of the window —
+    * the sw-view TTL (PipelineDB reaps expired sw groups the same way).
+    * Same stop-then-swap contract as [[compactViewTable]]. */
+  def expireSlidingViewTable(name: String, targetPartitions: Int = 8): Unit = {
+    val (_, _, width) = readSwMeta(name)
+    synchronized {
+      val rel = views.get(name).map(_.relation)
+      val active = consumers.values.exists(c => rel.contains(c.relation) &&
+        running.contains(c.id))
+      require(!active, s"stop consumers feeding view '$name' before expiring")
+    }
+    val deltaDir = s"$metaDir/views/$name/delta"
+    val dir = Paths.get(deltaDir)
+    val tmp = Paths.get(s"$metaDir/views/$name/__expire_delta")
+    val old = Paths.get(s"$metaDir/views/$name/__oldx_delta")
+    spark.read.parquet(deltaDir)
+      .filter(col("__bucket.end") > current_timestamp() - expr(s"INTERVAL $width"))
+      .repartition(targetPartitions)
+      .write.mode("overwrite").parquet(tmp.toString)
+    Files.move(dir, old)
+    Files.move(tmp, dir)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(old.toFile)
+  }
+
   /** CREATE CONTINUOUS TRANSFORM parity (PipelineDB's second CV kind): a
     * stateless per-row transform over the stream whose output rows are
     * all kept — exactly the no-aggregate path of the incremental

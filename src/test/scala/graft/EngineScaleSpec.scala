@@ -162,6 +162,41 @@ class EngineScaleSpec extends SparkSpec {
     assert(e.getMessage.contains("catalog format"))
   }
 
+  test("sliding-window CV: bucketed incremental agg, read-time aging, expiry") {
+    // PipelineDB `WITH (sw = '1 hour')` parity: old data ages out of the
+    // result without recomputing from raw rows — reads combine only the
+    // live bucket partials.
+    val root = tmpDir("sw-root"); val meta = tmpDir("sw-meta")
+    val dir = s"$root/s"
+    def put(recs: Seq[(String, String)], ageMs: Long): Unit =
+      ShardedLog.appendBytes(dir, 0,
+        recs.map { case (k, v) => (k, v.getBytes("UTF-8")) },
+        arrivalMillis = System.currentTimeMillis() - ageMs)
+    put(Seq(("a", "x"), ("b", "x"), ("c", "y")), 7200 * 1000L) // 2h old
+    put(Seq(("d", "x"), ("e", "y")), 30 * 1000L)               // 30s old
+    val eng = new KinesisEngine(spark, meta)
+    eng.addEndpoint("ep", "r", url = root)
+    eng.createStream("swv_stream", StructType(Seq(StructField("payload", StringType))))
+    eng.createSlidingView("swv_view", "swv_stream", keys = Seq("payload"),
+      aggs = Seq("n" -> "count"), width = "1 HOUR", slide = "5 minutes")
+    eng.consumeBegin("ep", "s", "swv_stream", format = "text")
+    eng.processAllAvailable(); eng.consumeEndAll()
+    // the merged standing state holds dead AND live bucket partials...
+    assert(eng.viewTable("swv_view").count() === 4L,
+      "(old: x=2, y=1) + (live: x=1, y=1) bucket partials")
+    // ...but the sliding read combines only buckets inside the window
+    def sw = eng.slidingViewTable("swv_view").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sw === Map("x" -> 1L, "y" -> 1L),
+      "the 2-hour-old bucket aged out of the 1-hour window")
+    // expiry physically drops dead partials; the sliding result is stable
+    val before = spark.read.parquet(s"$meta/views/swv_view/delta").count()
+    eng.expireSlidingViewTable("swv_view", targetPartitions = 1)
+    val after = spark.read.parquet(s"$meta/views/swv_view/delta").count()
+    assert(after === 2L && after < before, "only live bucket partials remain")
+    assert(sw === Map("x" -> 1L, "y" -> 1L))
+  }
+
   test("stateless (no-aggregate) views materialize append-only") {
     val root = tmpDir("st-root"); val meta = tmpDir("st-meta")
     val eng = new KinesisEngine(spark, meta)
