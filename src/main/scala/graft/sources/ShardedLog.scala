@@ -269,12 +269,15 @@ class ShardedLogScan(path: String, batchsize: Long, startPos: String, parallelis
   override def description(): String = s"ShardedLog($path)"
 
   override def toBatch: Batch = new Batch {
-    // one whole-shard slice each; no pre-count needed — the reader streams
-    // to the file's current length and derives seqnums as it goes
+    // slice bounds MUST sit on record boundaries (the reader trusts them),
+    // so plan to the last complete record, not the raw file length — a
+    // concurrent writer's torn tail is excluded, exactly like the
+    // micro-batch offsets from scanForward.
     override def planInputPartitions(): Array[InputPartition] =
       ShardedLog.groupSlices(
         ShardedLog.shardFiles(path).map { f =>
-          ShardedLogSlice(path, f.getName, 0L, f.length(), 0L)
+          ShardedLogSlice(path, f.getName, 0L,
+            ShardedLog.scanForward(f, 0L, Long.MaxValue).bytes, 0L)
         }, parallelism)
     override def createReaderFactory(): PartitionReaderFactory = ShardedLogReaderFactory
   }
@@ -392,10 +395,10 @@ object ShardedLogReaderFactory extends PartitionReaderFactory {
       }
 
       /** Read one whole record from the current slice, or null at its end.
-        * Both slice bounds sit on record boundaries, so a header that
-        * would cross `remaining` indicates a planner/writer bug, not EOF. */
+        * Both slice bounds sit on record boundaries (scanForward-derived),
+        * so remaining is 0 or ≥ one 16-byte header at every boundary. */
       private def readRecord(): InternalRow = {
-        if (remaining < 12) return null
+        if (remaining < 16) return null
         val ts = din.readLong()
         val pkLen = din.readInt()
         val pk =

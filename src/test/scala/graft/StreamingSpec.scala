@@ -415,6 +415,25 @@ class StreamingSpec extends SparkSpec {
     assert(df.select("shard_id").distinct().count() === 2)
   }
 
+  test("a torn tail (writer mid-append) is excluded from batch reads") {
+    val dir = tmpDir("kin-torn")
+    ShardedLog.append(dir, 0, Seq(("k1", "v1"), ("k2", "v2")))
+    val f = new java.io.File(dir, "shard-0.log")
+    // simulate a concurrent writer flushed mid-record: 6 bytes of a header
+    val out = new java.io.FileOutputStream(f, true)
+    out.write(Array[Byte](0, 0, 0, 0, 0, 0))
+    out.close()
+    val df = spark.read.format(ShardedLog.FORMAT).option("path", dir).load()
+    assert(df.count() === 2, "only whole records are planned")
+    // a complete-header, missing-payload tail is torn too
+    val out2 = new java.io.FileOutputStream(f, true)
+    val d = new java.io.DataOutputStream(out2)
+    d.writeLong(1L); d.writeInt(3); d.write("ab".getBytes) // claims 3, has 2
+    d.close()
+    assert(spark.read.format(ShardedLog.FORMAT).option("path", dir).load()
+      .count() === 2)
+  }
+
   test("catalog alone restarts ingestion: stream schemas + SQL views persist") {
     // consume_begin_all parity (pipeline_kinesis.c:1038-1079): the second
     // engine declares NOTHING — endpoints, consumers, the stream schema and
