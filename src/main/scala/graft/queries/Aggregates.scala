@@ -64,6 +64,28 @@ object Aggregates {
              count(lit(1)).as("n"))
         .orderBy("event_type")),
 
+    // Mergeable HLL sketches (Apache DataSketches, deterministic): the
+    // PipelineDB pattern of keeping a sketch PER GROUP in a continuous
+    // view and unioning sketches at query time for rollups — distinct
+    // users per event type, plus an 'ALL' row whose estimate comes from
+    // hll_union_agg over the per-group sketches (NOT a rescan). At 100 TB
+    // the union reads fixed-size sketch state, never raw rows. No oracle
+    // (approximate); error bound asserted in SemanticsSpec.
+    "q_sketch_hll" -> ((s, d) => {
+      val perType = Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"),
+             count(lit(1)).as("n"))
+      val all = perType
+        .agg(hll_union_agg(col("sk"), lit(true)).as("sk"), sum(col("n")).as("n"))
+        .select(lit("ALL").as("event_type"), col("sk"), col("n"))
+      perType.select(col("event_type"), col("sk"), col("n"))
+        .unionAll(all)
+        .select(col("event_type"),
+                hll_sketch_estimate(col("sk")).as("approx_users"), col("n"))
+        .orderBy("event_type")
+    }),
+
     // ROLLUP over region→nation customer revenue.
     "q_grouping_sets" -> ((s, d) => {
       val o = Tables.orders(s, d)

@@ -97,6 +97,27 @@ class SemanticsSpec extends SparkSpec {
       s"approx=$approx exact=$exact")
   }
 
+  test("q_sketch_hll: per-group estimates and the sketch-union ALL row stay within 2%") {
+    import graft.queries.Aggregates
+    val rows = Aggregates.queries("q_sketch_hll")(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val e = Tables.events(spark, sf0001)
+    val exactAll = e.select(countDistinct(col("user_id"))).head().getLong(0)
+    val exactByType = e.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id"))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    (exactByType + ("ALL" -> exactAll)).foreach { case (k, exact) =>
+      val approx = rows(k)
+      assert(math.abs(approx - exact).toDouble / exact <= 0.02,
+        s"$k: approx=$approx exact=$exact")
+    }
+    // determinism (DataSketches HLL has no random seed): two runs agree,
+    // so the driver's rows-only check is stable across rounds
+    val again = Aggregates.queries("q_sketch_hll")(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again === rows)
+  }
+
   test("csv round-trip under delimiter/quote variations (B2 COPY options)") {
     import spark.implicits._
     val schema = "name STRING, n BIGINT, x DOUBLE"
