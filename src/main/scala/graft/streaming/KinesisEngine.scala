@@ -120,17 +120,13 @@ class KinesisEngine(spark: SparkSession, metaDir: String) {
   private def CatalogVersion = "#graft-catalog-v1"
 
   private def saveCatalog(): Unit = {
-    // temp-write + atomic move per file: a crash mid-save leaves the old
-    // complete file, never a torn one (the multi-file save is still not
-    // transactional across files — seqnums degrades gracefully on a
-    // consumer row whose endpoint is missing).
-    def save(file: String, rows: Iterable[String]): Unit = {
-      val tmp = Paths.get(metaDir, s".$file.tmp")
-      Files.writeString(tmp, (CatalogVersion +: rows.toSeq).mkString("\n"))
-      Files.move(tmp, Paths.get(metaDir, file),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
+    // atomic per file: a crash mid-save leaves the old complete file,
+    // never a torn one (the multi-file save is still not transactional
+    // across files — seqnums degrades gracefully on a consumer row whose
+    // endpoint is missing).
+    def save(file: String, rows: Iterable[String]): Unit =
+      writeAtomic(Paths.get(metaDir, file),
+        (CatalogVersion +: rows.toSeq).mkString("\n"))
     save("endpoints.tsv", endpoints.values.map(e =>
       Seq(esc(e.name), esc(e.region), esc(e.credfile), esc(e.url)).mkString("\t")))
     save("consumers.tsv", consumers.values.map(c =>
@@ -302,7 +298,7 @@ class KinesisEngine(spark: SparkSession, metaDir: String) {
         .agg(swAggExpr(aggs.head), aggs.tail.map(swAggExpr): _*)
     views(name) = View(relation, agg, "parquet", None, Some("__bucket" +: keys))
     Files.createDirectories(Paths.get(metaDir, "views", name))
-    Files.writeString(swMetaPath(name),
+    writeAtomic(swMetaPath(name),
       Seq(esc(width), keys.map(esc).mkString(","),
           aggs.map(a => esc(a._1) + ":" + esc(a._2)).mkString(","))
         .mkString("\t"))
@@ -398,13 +394,22 @@ class KinesisEngine(spark: SparkSession, metaDir: String) {
 
   private def viewMetaPath(name: String) = Paths.get(metaDir, "views", name, "_graft_keys")
 
+  /** Atomic single-file write (tmp + move): a concurrent reader sees the
+    * old complete content or the new one, never a truncated file. */
+  private def writeAtomic(path: java.nio.file.Path, body: String): Unit = {
+    val tmp = path.resolveSibling("." + path.getFileName + ".tmp")
+    Files.writeString(tmp, body)
+    Files.move(tmp, path, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   private def writeViewMeta(name: String, keysOpt: Option[Seq[String]]): Unit = {
     Files.createDirectories(Paths.get(metaDir, "views", name))
     val body = keysOpt match {
       case None => "append"
       case Some(ks) => ("merge" +: ks.map(esc)).mkString("\t")
     }
-    Files.writeString(viewMetaPath(name), body)
+    writeAtomic(viewMetaPath(name), body)
   }
 
   private def readViewMeta(name: String): Option[Seq[String]] = {
