@@ -618,7 +618,18 @@ class KinesisEngine(spark: SparkSession, metaDir: String) {
         nextId += 1; consumers(key) = c; c
     }
     saveCatalog()
-    if (!running.contains(c.id)) {
+    // Additive launch: a repeated consume_begin attaches queries that are
+    // not yet running — in particular, a continuous view declared AFTER
+    // the consumer started (PipelineDB CVs attach to live streams without
+    // a consumer restart; here the new view backfills per the consumer's
+    // start position, since the log — unlike a PipelineDB stream — is
+    // durable). Already-running queries are left untouched.
+    val have = running.getOrElse(c.id, Seq.empty)
+    val haveNames = have.map(_.name).toSet
+    val wanted = views.toSeq.collect {
+      case (vname, v) if v.relation == relation && !haveNames.contains(vname) => (vname, v)
+    }
+    if (!haveNames.contains(s"${relation}__table") || wanted.nonEmpty) {
       val df = parsedStream(c, ep.url)
       // B4: every parsed row also lands in the persistent stream table —
       // rows flow whether or not any view aggregates them, like COPY into
@@ -628,15 +639,17 @@ class KinesisEngine(spark: SparkSession, metaDir: String) {
       // at-least-once (a batch retried between write and checkpoint commit
       // can duplicate) — exactly the reference's stream semantics
       // (pipeline_kinesis.c:754-758); views stay exactly-once via state.
-      val tableQ = df.writeStream
-        .queryName(s"${relation}__table")
-        .outputMode("append")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.write.mode("append").parquet(s"$metaDir/tables/$relation")
-        }
-        .option("checkpointLocation", s"$metaDir/checkpoints/${c.id}/__table")
-        .start()
-      val viewQs = views.toSeq.collect { case (vname, v) if v.relation == relation =>
+      val tableQ =
+        if (haveNames.contains(s"${relation}__table")) Nil
+        else Seq(df.writeStream
+          .queryName(s"${relation}__table")
+          .outputMode("append")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.write.mode("append").parquet(s"$metaDir/tables/$relation")
+          }
+          .option("checkpointLocation", s"$metaDir/checkpoints/${c.id}/__table")
+          .start())
+      val viewQs = wanted.map { case (vname, v) =>
         val writer = v.materialize match {
           case "memory" =>
             // opt-in demo; the snapshot lives on the driver
@@ -663,7 +676,7 @@ class KinesisEngine(spark: SparkSession, metaDir: String) {
             s"$metaDir/checkpoints/${c.id}/$vname")
           .start()
       }
-      running(c.id) = tableQ +: viewQs
+      running(c.id) = have ++ tableQ ++ viewQs
     }
     c.id
   }

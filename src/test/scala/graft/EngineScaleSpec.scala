@@ -197,6 +197,36 @@ class EngineScaleSpec extends SparkSpec {
     assert(sw === Map("x" -> 1L, "y" -> 1L))
   }
 
+  test("a view declared after consume_begin attaches without a consumer restart") {
+    // PipelineDB CVs attach to live streams; here a repeated consume_begin
+    // is additive — it starts only the missing queries, leaving running
+    // ones untouched, and the late view backfills from the consumer's
+    // start position (the log is durable, unlike a PipelineDB stream).
+    val root = tmpDir("late-root"); val meta = tmpDir("late-meta")
+    ShardedLog.append(s"$root/s", 0, Seq(("a", "x"), ("b", "y"), ("c", "x")))
+    val eng = mkEngine(meta, root, "late_stream", "early_view")
+    val id = eng.consumeBegin("ep", "s", "late_stream", format = "text")
+    eng.processAllAvailable()
+    assert(eng.viewTable("early_view").count() === 2)
+    val runningBefore = eng.activeQueries.map(_.name).toSet
+
+    eng.createContinuousView("late_view", "late_stream",
+      _.groupBy().count())
+    assert(eng.consumeBegin("ep", "s", "late_stream", format = "text") === id)
+    eng.processAllAvailable()
+    assert(eng.activeQueries.map(_.name).toSet ===
+      runningBefore + "late_view", "only the missing query was started")
+    assert(eng.viewTable("late_view").head().getLong(0) === 3L,
+      "late view backfilled the whole log (trim_horizon)")
+    // both views keep advancing together
+    ShardedLog.append(s"$root/s", 0, Seq(("d", "x")))
+    eng.processAllAvailable()
+    assert(eng.viewTable("late_view").head().getLong(0) === 4L)
+    assert(eng.viewTable("early_view").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap === Map("x" -> 3L, "y" -> 1L))
+    eng.consumeEndAll()
+  }
+
   test("stateless (no-aggregate) views materialize append-only") {
     val root = tmpDir("st-root"); val meta = tmpDir("st-meta")
     val eng = new KinesisEngine(spark, meta)
