@@ -211,6 +211,48 @@ class KinesisEngine(spark: SparkSession, metaDir: String) {
     saveCatalog()
   }
 
+  /** DROP CONTINUOUS VIEW parity: stop the view's standing query (if
+    * running), unregister it, and delete its materialized state. The
+    * consumer and its other views keep running. */
+  def dropView(name: String): Unit = synchronized {
+    views.remove(name)
+    running.keys.toSeq.foreach { id =>
+      val (dead, alive) = running(id).partition(_.name == name)
+      dead.foreach(_.stop())
+      if (dead.nonEmpty) running(id) = alive
+    }
+    saveCatalog()
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(Paths.get(metaDir, "views", name).toFile)
+  }
+
+  /** DROP STREAM parity: refuses while any consumer targets the relation;
+    * drops the schema, its views, and the persistent stream table. */
+  def dropStream(relation: String): Unit = synchronized {
+    require(!consumers.valuesIterator.exists(_.relation == relation),
+      s"consumers exist for '$relation' — consume_end and remove them first")
+    streams.remove(relation)
+    views.filter(_._2.relation == relation).keys.toSeq.foreach(dropView)
+    saveCatalog()
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(Paths.get(metaDir, "tables", relation).toFile)
+  }
+
+  /** Remove a (stopped) consumer from the catalog — the DELETE the
+    * reference runs on its consumers table. */
+  def removeConsumer(endpoint: String, stream: String, relation: String): Unit =
+    synchronized {
+      consumers.get((endpoint, stream, relation)).foreach { c =>
+        require(!running.contains(c.id), "consume_end first")
+        consumers.remove((endpoint, stream, relation))
+        saveCatalog()
+      }
+    }
+
   /** @param materialize "parquet" (default — incremental delta upsert,
     *        merged by [[viewTable]]; the scale path) or "memory" (opt-in
     *        demo: complete-mode snapshot queryable via

@@ -227,6 +227,35 @@ class EngineScaleSpec extends SparkSpec {
     eng.consumeEndAll()
   }
 
+  test("drop_view / drop_stream / remove_consumer lifecycle") {
+    val root = tmpDir("drop-root"); val meta = tmpDir("drop-meta")
+    ShardedLog.append(s"$root/s", 0, Seq(("a", "x"), ("b", "y")))
+    val eng = mkEngine(meta, root, "dr_stream", "dr_v1")
+    eng.createContinuousView("dr_v2", "dr_stream", _.groupBy().count())
+    eng.consumeBegin("ep", "s", "dr_stream", format = "text")
+    eng.processAllAvailable()
+    assert(eng.viewTable("dr_v2").head().getLong(0) === 2L)
+
+    eng.dropView("dr_v2")
+    assert(!eng.activeQueries.map(_.name).contains("dr_v2"), "query stopped")
+    intercept[Exception](eng.viewTable("dr_v2")) // state deleted
+    ShardedLog.append(s"$root/s", 0, Seq(("c", "x")))
+    eng.processAllAvailable() // surviving view still advances
+    assert(eng.viewTable("dr_v1").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap === Map("x" -> 2L, "y" -> 1L))
+
+    val e = intercept[IllegalArgumentException](eng.dropStream("dr_stream"))
+    assert(e.getMessage.contains("consumers exist"))
+    eng.consumeEnd("ep", "s", "dr_stream")
+    eng.removeConsumer("ep", "s", "dr_stream")
+    eng.dropStream("dr_stream")
+    assert(!eng.listStreams.contains("dr_stream"))
+    assert(!new java.io.File(s"$meta/tables/dr_stream").exists())
+    // a fresh engine over the same metaDir agrees (catalog persisted)
+    val eng2 = new KinesisEngine(spark, meta)
+    assert(eng2.listStreams.isEmpty && eng2.listConsumers.isEmpty)
+  }
+
   test("stateless (no-aggregate) views materialize append-only") {
     val root = tmpDir("st-root"); val meta = tmpDir("st-meta")
     val eng = new KinesisEngine(spark, meta)
