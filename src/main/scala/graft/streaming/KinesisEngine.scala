@@ -67,7 +67,8 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType, Timestam
   * delta (same offsets → same aggregate rows), which the read-time merge
   * collapses — the view read is idempotent under replay.
   */
-class KinesisEngine(spark: SparkSession, metaDir: String) {
+class KinesisEngine(spark: SparkSession, metaDir: String,
+                    autoCompactEvery: Int = 64) {
 
   private val log = org.slf4j.LoggerFactory.getLogger(classOf[KinesisEngine])
 
@@ -359,29 +360,21 @@ class KinesisEngine(spark: SparkSession, metaDir: String) {
 
   /** Physically drop bucket partials that have aged out of the window —
     * the sw-view TTL (PipelineDB reaps expired sw groups the same way).
-    * Same stop-then-swap contract as [[compactViewTable]]. */
+    * ONLINE like [[compactViewTable]]: versioned rewrite + pointer swap,
+    * safe while the view's query runs. */
   def expireSlidingViewTable(name: String, targetPartitions: Int = 8): Unit = {
     val (_, _, width) = readSwMeta(name)
-    synchronized {
-      val rel = views.get(name).map(_.relation)
-      val active = consumers.values.exists(c => rel.contains(c.relation) &&
-        running.contains(c.id))
-      require(!active, s"stop consumers feeding view '$name' before expiring")
+    viewLock(name).synchronized {
+      val curDir = viewDeltaDir(name)
+      if (!Files.exists(Paths.get(curDir))) return
+      val v = Paths.get(curDir).getFileName.toString.stripPrefix("delta-").toLong
+      spark.read.parquet(curDir)
+        .filter(col("__bucket.end") > current_timestamp() - expr(s"INTERVAL $width"))
+        .repartition(targetPartitions)
+        .write.mode("overwrite").parquet(s"$metaDir/views/$name/delta-${v + 1}")
+      writeAtomic(viewPtrPath(name), s"delta-${v + 1}")
+      dropDeltaVersionsBelow(name, v)
     }
-    val deltaDir = s"$metaDir/views/$name/delta"
-    val dir = Paths.get(deltaDir)
-    val tmp = Paths.get(s"$metaDir/views/$name/__expire_delta")
-    val old = Paths.get(s"$metaDir/views/$name/__oldx_delta")
-    spark.read.parquet(deltaDir)
-      .filter(col("__bucket.end") > current_timestamp() - expr(s"INTERVAL $width"))
-      .repartition(targetPartitions)
-      .write.mode("overwrite").parquet(tmp.toString)
-    Files.move(dir, old)
-    Files.move(tmp, dir)
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-    }
-    rm(old.toFile)
   }
 
   /** CREATE CONTINUOUS TRANSFORM parity (PipelineDB's second CV kind): a
@@ -464,13 +457,33 @@ class KinesisEngine(spark: SparkSession, metaDir: String) {
     }
   }
 
-  /** Current contents of an incrementally-materialized view: parquet
-    * deltas merged so the newest write per group key wins. Merge cost is
-    * O(deltas since compaction), not O(history) — run [[compactViewTable]]
-    * periodically to fold the log down. */
-  def viewTable(name: String): DataFrame = {
-    val delta = spark.read.parquet(s"$metaDir/views/$name/delta")
-    readViewMeta(name) match {
+  // Versioned delta layout: views/<name>/delta-<v>/ plus a `_graft_current`
+  // pointer file naming the live version. Appends and compactions for one
+  // view serialize on a per-view lock; readers resolve the pointer
+  // lock-free. Compaction writes the folded log as version v+1, swaps the
+  // pointer atomically, and deletes versions ≤ v−1 — the immediately
+  // previous version survives one compaction cycle as a grace window for
+  // in-flight readers, so compacting does NOT require stopping consumers.
+  private val viewLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def viewLock(name: String): Object =
+    viewLocks.computeIfAbsent(name, _ => new Object)
+
+  private def viewPtrPath(name: String) = Paths.get(metaDir, "views", name, "_graft_current")
+
+  /** Resolve the view's current delta directory (initializing the pointer
+    * on first use). Exposed for tests/inspection. */
+  def viewDeltaDir(name: String): String = {
+    val p = viewPtrPath(name)
+    val v =
+      if (Files.exists(p)) Files.readString(p)
+      else { Files.createDirectories(p.getParent); writeAtomic(p, "delta-0"); "delta-0" }
+    s"$metaDir/views/$name/$v"
+  }
+
+  /** The read-time merge: newest write per group key wins (keys from the
+    * view meta; None = stateless append, Nil = global aggregate). */
+  private def mergeDeltas(delta: DataFrame, keysOpt: Option[Seq[String]]): DataFrame =
+    keysOpt match {
       case None => delta.drop("__batch")
       case Some(keys) =>
         // global aggregates (no keys) merge under a single partition — the
@@ -481,33 +494,48 @@ class KinesisEngine(spark: SparkSession, metaDir: String) {
         delta.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn", "__batch")
     }
-  }
+
+  /** Current contents of an incrementally-materialized view: parquet
+    * deltas merged so the newest write per group key wins. Merge cost is
+    * O(deltas since compaction), not O(history) — the engine folds the
+    * log automatically every `autoCompactEvery` batches (and
+    * [[compactViewTable]] can be called any time, consumers running or
+    * not). */
+  def viewTable(name: String): DataFrame =
+    mergeDeltas(spark.read.parquet(viewDeltaDir(name)), readViewMeta(name))
 
   /** Fold a view's delta log down to one merged snapshot (keeping the
-    * highest batch id so future deltas still win the merge). Same
-    * stop-then-swap contract as [[compactStreamTable]]. */
-  def compactViewTable(name: String, targetPartitions: Int = 8): Unit = {
-    synchronized {
-      val rel = views.get(name).map(_.relation)
-      val active = consumers.values.exists(c => rel.contains(c.relation) &&
-        running.contains(c.id))
-      require(!active, s"stop consumers feeding view '$name' before compacting")
+    * highest batch id so future deltas still win the merge). ONLINE: safe
+    * while the view's query runs — appends serialize on the per-view
+    * lock, readers keep the one-version grace window. */
+  def compactViewTable(name: String, targetPartitions: Int = 8): Unit =
+    viewLock(name).synchronized {
+      val curDir = viewDeltaDir(name)
+      if (!Files.exists(Paths.get(curDir))) return // nothing materialized yet
+      val v = Paths.get(curDir).getFileName.toString.stripPrefix("delta-").toLong
+      val delta = spark.read.parquet(curDir)
+      val maxRow = delta.agg(max("__batch")).head()
+      if (maxRow.isNullAt(0)) return // only empty batches so far
+      mergeDeltas(delta, readViewMeta(name))
+        .withColumn("__batch", lit(maxRow.getLong(0)))
+        .repartition(targetPartitions)
+        .write.mode("overwrite").parquet(s"$metaDir/views/$name/delta-${v + 1}")
+      writeAtomic(viewPtrPath(name), s"delta-${v + 1}")
+      dropDeltaVersionsBelow(name, v)
     }
-    val deltaDir = s"$metaDir/views/$name/delta"
-    val maxBatch = spark.read.parquet(deltaDir)
-      .agg(max("__batch")).head().getLong(0)
-    val dir = Paths.get(deltaDir)
-    val tmp = Paths.get(s"$metaDir/views/$name/__compact_delta")
-    val old = Paths.get(s"$metaDir/views/$name/__old_delta")
-    viewTable(name).withColumn("__batch", lit(maxBatch))
-      .repartition(targetPartitions)
-      .write.mode("overwrite").parquet(tmp.toString)
-    Files.move(dir, old)
-    Files.move(tmp, dir)
+
+  /** Delete delta versions strictly below `keepFrom` (grace cleanup). */
+  private def dropDeltaVersionsBelow(name: String, keepFrom: Long): Unit = {
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
     }
-    rm(old.toFile)
+    listDir(Paths.get(metaDir, "views", name)).foreach { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith("delta-") &&
+          n.stripPrefix("delta-").forall(_.isDigit) &&
+          n.stripPrefix("delta-").toLong < keepFrom)
+        rm(p.toFile)
+    }
   }
 
   /** Read the persistent stream table (every ingested row of a relation —
@@ -710,8 +738,16 @@ class KinesisEngine(spark: SparkSession, metaDir: String) {
             aggDf.writeStream.queryName(vname)
               .outputMode(if (keysOpt.isDefined) "update" else "append")
               .foreachBatch { (batch: DataFrame, batchId: Long) =>
-                batch.withColumn("__batch", lit(batchId))
-                  .write.mode("append").parquet(s"$metaDir/views/$vname/delta")
+                viewLock(vname).synchronized {
+                  batch.withColumn("__batch", lit(batchId))
+                    .write.mode("append").parquet(viewDeltaDir(vname))
+                }
+                // online fold: bounds read-time merge cost to
+                // O(groups + autoCompactEvery batch deltas) on a stream
+                // that never stops
+                if (autoCompactEvery > 0 && batchId > 0 &&
+                    batchId % autoCompactEvery == 0)
+                  compactViewTable(vname)
               }
         }
         writer.option("checkpointLocation",

@@ -51,7 +51,7 @@ class EngineScaleSpec extends SparkSpec {
     val eng = mkEngine(meta, root, "hc_stream", "hc_view")
     eng.consumeBegin("ep", "s", "hc_stream", format = "text", batchsize = 10000)
     eng.processAllAvailable()
-    val deltaDir = s"$meta/views/hc_view/delta"
+    val deltaDir = eng.viewDeltaDir("hc_view")
     val afterLoad = spark.read.parquet(deltaDir).count()
     assert(afterLoad >= 2000L)
     // touch ONE group: the batch must append ~1 row, not rewrite 2000
@@ -190,11 +190,37 @@ class EngineScaleSpec extends SparkSpec {
     assert(sw === Map("x" -> 1L, "y" -> 1L),
       "the 2-hour-old bucket aged out of the 1-hour window")
     // expiry physically drops dead partials; the sliding result is stable
-    val before = spark.read.parquet(s"$meta/views/swv_view/delta").count()
+    val before = spark.read.parquet(eng.viewDeltaDir("swv_view")).count()
     eng.expireSlidingViewTable("swv_view", targetPartitions = 1)
-    val after = spark.read.parquet(s"$meta/views/swv_view/delta").count()
+    val after = spark.read.parquet(eng.viewDeltaDir("swv_view")).count()
     assert(after === 2L && after < before, "only live bucket partials remain")
     assert(sw === Map("x" -> 1L, "y" -> 1L))
+  }
+
+  test("delta log auto-compacts online — no consumer stop, bounded merge cost") {
+    val root = tmpDir("ac-root"); val meta = tmpDir("ac-meta")
+    val eng = new KinesisEngine(spark, meta, autoCompactEvery = 2)
+    eng.addEndpoint("ep", "r", url = root)
+    eng.createStream("ac_stream", StructType(Seq(StructField("payload", StringType))))
+    eng.createContinuousView("ac_view", "ac_stream", _.groupBy("payload").count())
+    ShardedLog.append(s"$root/s", 0, Seq(("k", "k0")))
+    eng.consumeBegin("ep", "s", "ac_stream", format = "text")
+    eng.processAllAvailable()
+    for (i <- 1 to 5) {
+      ShardedLog.append(s"$root/s", 0, Seq(("k", s"k$i")))
+      eng.processAllAvailable()
+    }
+    // compaction fired mid-stream: the pointer moved past delta-0 while
+    // the consumer never stopped
+    assert(!eng.viewDeltaDir("ac_view").endsWith("delta-0"),
+      "auto-compaction advanced the delta version during ingest")
+    val m = eng.viewTable("ac_view").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m === (0 to 5).map(i => s"k$i" -> 1L).toMap, "merge unchanged")
+    // folded: the live delta holds ~one row per group, not one per batch
+    val rows = spark.read.parquet(eng.viewDeltaDir("ac_view")).count()
+    assert(rows <= 8L, s"delta folded (rows=$rows)")
+    eng.consumeEndAll()
   }
 
   test("a view declared after consume_begin attaches without a consumer restart") {
