@@ -253,6 +253,28 @@ class EngineScaleSpec extends SparkSpec {
     eng.consumeEndAll()
   }
 
+  test("merge keys infer through computed grouping expressions (SQL view)") {
+    // GROUP BY upper(payload): the grouping expression is not a bare
+    // attribute — inference matches it to its select-list alias.
+    val root = tmpDir("ck-root"); val meta = tmpDir("ck-meta")
+    ShardedLog.append(s"$root/s", 0, Seq(("a", "x"), ("b", "X"), ("c", "y")))
+    val eng = new KinesisEngine(spark, meta)
+    eng.addEndpoint("ep", "r", url = root)
+    eng.createStream("ck_stream", StructType(Seq(StructField("payload", StringType))))
+    eng.createContinuousViewSql("ck_view", "ck_stream",
+      "SELECT upper(payload) AS p, count(*) AS n FROM ck_stream GROUP BY upper(payload)")
+    eng.consumeBegin("ep", "s", "ck_stream", format = "text")
+    eng.processAllAvailable()
+    assert(eng.viewTable("ck_view").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap === Map("X" -> 2L, "Y" -> 1L))
+    // and the merge keeps working across another batch
+    ShardedLog.append(s"$root/s", 0, Seq(("d", "y")))
+    eng.processAllAvailable()
+    assert(eng.viewTable("ck_view").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap === Map("X" -> 2L, "Y" -> 2L))
+    eng.consumeEndAll()
+  }
+
   test("drop_view / drop_stream / remove_consumer lifecycle") {
     val root = tmpDir("drop-root"); val meta = tmpDir("drop-meta")
     ShardedLog.append(s"$root/s", 0, Seq(("a", "x"), ("b", "y")))
