@@ -223,6 +223,38 @@ class EngineScaleSpec extends SparkSpec {
     eng.consumeEndAll()
   }
 
+  test("viewTable stays readable under concurrent appends and compactions") {
+    // worst case: compact EVERY batch; a reader loops concurrently. The
+    // one-version grace window must keep every read serving a complete
+    // snapshot (old or new) — never a deleted or half-written dir.
+    val root = tmpDir("gr-root"); val meta = tmpDir("gr-meta")
+    val eng = new KinesisEngine(spark, meta, autoCompactEvery = 1)
+    eng.addEndpoint("ep", "r", url = root)
+    eng.createStream("gr_stream", StructType(Seq(StructField("payload", StringType))))
+    eng.createContinuousView("gr_view", "gr_stream", _.groupBy("payload").count())
+    ShardedLog.append(s"$root/s", 0, Seq(("k", "k0")))
+    eng.consumeBegin("ep", "s", "gr_stream", format = "text")
+    eng.processAllAvailable()
+    @volatile var err: Throwable = null
+    @volatile var reads = 0
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => {
+      try while (!stop.get()) { eng.viewTable("gr_view").count(); reads += 1 }
+      catch { case t: Throwable => err = t }
+    })
+    reader.start()
+    try
+      for (i <- 1 to 8) {
+        ShardedLog.append(s"$root/s", 0, Seq(("k", s"k$i")))
+        eng.processAllAvailable()
+      }
+    finally { stop.set(true); reader.join(30000) }
+    assert(err == null, s"concurrent read failed: $err")
+    assert(reads > 0, "reader actually overlapped the stream")
+    assert(eng.viewTable("gr_view").count() === 9L)
+    eng.consumeEndAll()
+  }
+
   test("a view declared after consume_begin attaches without a consumer restart") {
     // PipelineDB CVs attach to live streams; here a repeated consume_begin
     // is additive — it starts only the missing queries, leaving running
