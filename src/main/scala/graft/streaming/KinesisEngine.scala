@@ -538,13 +538,58 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
     }
   }
 
+  // Stream tables use the same versioned-dir + atomic-pointer layout as
+  // view deltas (tables/<rel>/data-<v> behind `_graft_current`), so
+  // compaction and TTL expiry run ONLINE — no consumer stop. Appends and
+  // rewrites serialize on a per-relation lock; readers resolve the
+  // pointer lock-free with the one-version grace window.
+  private def tableLock(relation: String): Object =
+    viewLocks.computeIfAbsent(s"table:$relation", _ => new Object)
+
+  private def tablePtrPath(relation: String) =
+    Paths.get(metaDir, "tables", relation, "_graft_current")
+
+  /** Resolve the relation's current table data directory (initializing
+    * the pointer on first use). */
+  def tableDataDir(relation: String): String = {
+    val p = tablePtrPath(relation)
+    val v =
+      if (Files.exists(p)) Files.readString(p)
+      else { Files.createDirectories(p.getParent); writeAtomic(p, "data-0"); "data-0" }
+    s"$metaDir/tables/$relation/$v"
+  }
+
   /** Read the persistent stream table (every ingested row of a relation —
     * the B4 COPY-into-stream analog, parquet-append with its own
     * checkpoint). */
   def streamTable(relation: String): DataFrame =
     spark.read.schema(streams(relation)
         .add(StructField("arrival_timestamp", TimestampType)))
-      .parquet(s"$metaDir/tables/$relation")
+      .parquet(tableDataDir(relation))
+
+  /** Rewrite the stream table through a versioned swap: write the
+    * filtered/refolded rows as data-<v+1>, flip the pointer, grace-delete
+    * versions ≤ v−1. Online — appends serialize on the relation lock. */
+  private def rewriteStreamTable(relation: String, targetPartitions: Int)
+                                (xform: DataFrame => DataFrame): Unit =
+    tableLock(relation).synchronized {
+      val curDir = tableDataDir(relation)
+      if (!Files.exists(Paths.get(curDir))) return // nothing ingested yet
+      val v = Paths.get(curDir).getFileName.toString.stripPrefix("data-").toLong
+      xform(streamTable(relation))
+        .repartition(targetPartitions)
+        .write.mode("overwrite").parquet(s"$metaDir/tables/$relation/data-${v + 1}")
+      writeAtomic(tablePtrPath(relation), s"data-${v + 1}")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      listDir(Paths.get(metaDir, "tables", relation)).foreach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("data-") && n.stripPrefix("data-").forall(_.isDigit) &&
+            n.stripPrefix("data-").toLong < v)
+          rm(p.toFile)
+      }
+    }
 
   /** PipelineDB sliding-window view analog (`WITH (sw = '5 minutes')`):
     * a query-time view over only the rows that arrived within `width` of
@@ -555,55 +600,25 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
       col("arrival_timestamp") >= current_timestamp() - expr(s"INTERVAL $width"))
 
   /** PipelineDB TTL analog: physically drop stream-table rows whose
-    * arrival_timestamp is older than the TTL (rewrite + swap, same
-    * mechanics as compaction; consumer must be stopped). */
+    * arrival_timestamp is older than the TTL. ONLINE (versioned rewrite +
+    * pointer swap) — runs while the consumer keeps ingesting, which is
+    * exactly when a TTL'd stream needs reaping. At 100 TB the rewrite
+    * would be bounded by partitioning the table on arrival date and
+    * dropping whole partitions; here the full-filter rewrite keeps the
+    * demo simple. */
   def expireStreamTable(relation: String, ttl: String,
-                        targetPartitions: Int = 8): Unit = {
-    synchronized {
-      val active = consumers.values.exists(c => c.relation == relation &&
-        running.contains(c.id))
-      require(!active, s"stop consumers of '$relation' before expiring")
-    }
-    val dir = Paths.get(s"$metaDir/tables/$relation")
-    val tmp = Paths.get(s"$metaDir/tables/__expire_$relation")
-    val old = Paths.get(s"$metaDir/tables/__oldx_$relation")
-    streamTable(relation)
-      .filter(col("arrival_timestamp") >=
-              current_timestamp() - expr(s"INTERVAL $ttl"))
-      .repartition(targetPartitions)
-      .write.mode("overwrite").parquet(tmp.toString)
-    Files.move(dir, old)
-    Files.move(tmp, dir)
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-    }
-    rm(old.toFile)
-  }
+                        targetPartitions: Int = 8): Unit =
+    rewriteStreamTable(relation, targetPartitions)(
+      _.filter(col("arrival_timestamp") >=
+               current_timestamp() - expr(s"INTERVAL $ttl")))
 
   /** Compact a stream table: streaming append writes one file per
     * micro-batch per shard, which at continuous-ingest scale degrades
-    * every downstream scan (the small-files problem). Rewrites the table
-    * into `targetPartitions` files and swaps directories. Refuses while
-    * the relation's consumer is running (the sink would keep appending
-    * into the replaced directory). */
-  def compactStreamTable(relation: String, targetPartitions: Int = 8): Unit = {
-    synchronized {
-      val active = consumers.values.exists(c => c.relation == relation &&
-        running.contains(c.id))
-      require(!active, s"stop consumers of '$relation' before compacting")
-    }
-    val dir = Paths.get(s"$metaDir/tables/$relation")
-    val tmp = Paths.get(s"$metaDir/tables/__compact_$relation")
-    val old = Paths.get(s"$metaDir/tables/__old_$relation")
-    streamTable(relation).repartition(targetPartitions)
-      .write.mode("overwrite").parquet(tmp.toString)
-    Files.move(dir, old)
-    Files.move(tmp, dir)
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-    }
-    rm(old.toFile)
-  }
+    * every downstream scan (the small-files problem). ONLINE: rewrites
+    * into `targetPartitions` files behind the version pointer while the
+    * consumer keeps appending. */
+  def compactStreamTable(relation: String, targetPartitions: Int = 8): Unit =
+    rewriteStreamTable(relation, targetPartitions)(identity)
 
   // --- data plane ---------------------------------------------------------
 
@@ -715,7 +730,9 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
           .queryName(s"${relation}__table")
           .outputMode("append")
           .foreachBatch { (batch: DataFrame, _: Long) =>
-            batch.write.mode("append").parquet(s"$metaDir/tables/$relation")
+            tableLock(relation).synchronized {
+              batch.write.mode("append").parquet(tableDataDir(relation))
+            }
           }
           .option("checkpointLocation", s"$metaDir/checkpoints/${c.id}/__table")
           .start())

@@ -319,7 +319,7 @@ class StreamingSpec extends SparkSpec {
       if (i < 4) { eng.consumeEndAll() }
     }
     eng.consumeEndAll()
-    def nFiles = new java.io.File(s"$meta/tables/cmp_stream")
+    def nFiles = new java.io.File(eng.tableDataDir("cmp_stream"))
       .listFiles().count(f => f.getName.endsWith(".parquet"))
     val before = nFiles
     assert(before >= 5, s"expected ≥5 small files, got $before")
@@ -331,9 +331,13 @@ class StreamingSpec extends SparkSpec {
     eng.consumeBegin("ep", "s", "cmp_stream", format = "text")
     eng.processAllAvailable()
     assert(eng.streamTable("cmp_stream").count() === 6)
-    // compaction while running is refused
-    val e = intercept[IllegalArgumentException](eng.compactStreamTable("cmp_stream"))
-    assert(e.getMessage.contains("stop consumers"))
+    // compaction is ONLINE: runs while the consumer ingests, and appends
+    // land in the new version
+    eng.compactStreamTable("cmp_stream", targetPartitions = 1)
+    ShardedLog.append(s"$root/s", 0, Seq(("k10", "v10")))
+    eng.processAllAvailable()
+    assert(eng.streamTable("cmp_stream").count() === 7,
+      "no rows lost across an online compaction")
     eng.consumeEndAll()
   }
 
