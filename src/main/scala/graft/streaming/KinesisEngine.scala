@@ -29,8 +29,10 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType, Timestam
   *    (PipelineDB CV, reference README.md:66). Default materialization is
   *    INCREMENTAL: the view runs in update mode and each micro-batch
   *    appends only the changed groups as a parquet delta; [[viewTable]]
-  *    merges deltas at read time (last write per group key wins) and
-  *    [[compactViewTable]] folds them down. Per-trigger sink cost is
+  *    merges deltas at read time (last write per group key wins) and the
+  *    engine folds the log ONLINE every `autoCompactEvery` batches
+  *    (versioned dirs + atomic pointer — no consumer stop; see
+  *    [[compactViewTable]]). Per-trigger sink cost is
   *    O(groups touched by the batch), never O(all groups) — PipelineDB's
   *    in-place CV update semantics (README.md:78-88) at Spark scale.
   *    Appends are atomic (each delta file appears wholesale), so readers
