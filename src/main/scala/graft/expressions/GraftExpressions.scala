@@ -105,6 +105,90 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+object ShingleHashes {
+  val P = 1000000007L
+
+  /** 3-token shingle hashes of `s`: split on the single-space regex
+    * (exactly Spark's `split(text, " ")` with limit −1, trailing empties
+    * kept), hex7(md5) per token, rolling 65599-combine mod 1e9+7 —
+    * value-identical to the transform/element_at chain in
+    * queries/Dedup.shingled and to the DuckDB oracle's `range(1, len-1)`
+    * formulation (<3 tokens → empty, like DuckDB's empty range). */
+  def compute(s: UTF8String): ArrayData = {
+    val toks = s.split(UTF8String.fromString(" "), -1)
+    val n = toks.length
+    if (n < 3)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) { th(i) = Md5Prefix64.compute(toks(i), 7); i += 1 }
+    val out = new Array[Long](n - 2)
+    i = 0
+    while (i < n - 2) {
+      out(i) = ((th(i) * 65599L + th(i + 1)) % P * 65599L + th(i + 2)) % P
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** min((a·h + b) mod P) over a long array; Long.MinValue marks empty
+    * (the caller's codegen turns it into SQL NULL, matching
+    * `array_min(transform(…))` over an empty array). */
+  def minhash(arr: ArrayData, a: Long, b: Long): Long = {
+    val n = arr.numElements()
+    if (n == 0) return Long.MinValue
+    var m = Long.MaxValue
+    var i = 0
+    while (i < n) {
+      val v = (a * arr.getLong(i) + b) % P
+      if (v < m) m = v
+      i += 1
+    }
+    m
+  }
+}
+
+/** `graft_shingles(text)`: fused tokenize → per-token md5-prefix hash →
+  * rolling shingle combine. Replaces two interpreted higher-order
+  * `transform`s (per-element lambda interpretation + an md5 call each)
+  * with one tight loop per row that stays inside whole-stage codegen. */
+case class ShingleHashes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleHashes.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.ShingleHashes.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** `graft_minhash(arr, a, b)`: fused `array_min(transform(arr, h →
+  * (a·h+b) % P))`; NULL on an empty array exactly like array_min. */
+case class MinHash(child: Expression, a: Long, b: Long) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_minhash"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = ShingleHashes.minhash(input.asInstanceOf[ArrayData], a, b)
+    if (v == Long.MinValue) null else v
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.ShingleHashes.minhash($c, ${a}L, ${b}L);
+      if (${ev.value} == Long.MIN_VALUE) { ${ev.isNull} = true; }
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): MinHash =
+    copy(child = newChild)
+}
+
 /** `spark.sql.extensions=graft.expressions.GraftExtensions` injects the
   * function registry entries; usable from SQL and via
   * `functions.call_function` (including inside higher-order-function
@@ -119,6 +203,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           n.eval().asInstanceOf[Number].intValue())
         case _ => throw new IllegalArgumentException(
           "graft_md5h(str, nHexDigits)")
+      }))
+    e.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingles"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => ShingleHashes(c)
+        case _ => throw new IllegalArgumentException("graft_shingles(text)")
+      }))
+    e.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHash].getName, "graft_minhash"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c, a, b) => MinHash(c,
+          a.eval().asInstanceOf[Number].longValue(),
+          b.eval().asInstanceOf[Number].longValue())
+        case _ => throw new IllegalArgumentException("graft_minhash(arr, a, b)")
       }))
     e.injectFunction((
       FunctionIdentifier("graft_cosine"),

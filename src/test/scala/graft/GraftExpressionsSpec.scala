@@ -35,6 +35,36 @@ class GraftExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("graft_shingles equals the two-transform chain; graft_minhash equals array_min∘transform") {
+    import spark.implicits._
+    val P = 1000000007L
+    def hex7(c: org.apache.spark.sql.Column) = call_function("graft_md5h", c, lit(7))
+    val samples = Seq("the quick brown fox jumps", "a b", "", "x", "a  b c d", // double space
+      "héllo wörld snow melt", "one two three")
+    val df = samples.toDF("text")
+      .withColumn("th", transform(split(col("text"), " "), t => hex7(t)))
+      .withColumn("chain",
+        when(size(col("th")) >= 3,
+          transform(sequence(lit(1), size(col("th")) - 2),
+            i => ((element_at(col("th"), i) * 65599L +
+                   element_at(col("th"), i + 1)) % P * 65599L +
+                  element_at(col("th"), i + 2)) % P))
+        .otherwise(array().cast("array<bigint>")))
+      .withColumn("fused", call_function("graft_shingles", col("text")))
+    df.collect().foreach { r =>
+      assert(r.getSeq[Long](r.fieldIndex("fused")) ===
+             r.getSeq[Long](r.fieldIndex("chain")), r.getString(0))
+    }
+    val mh = df.select(
+        call_function("graft_minhash", col("fused"), lit(7L), lit(101L)).as("fusedMin"),
+        array_min(transform(col("chain"), h => (lit(7L) * h + lit(101L)) % P)).as("chainMin"))
+      .collect()
+    mh.foreach { r =>
+      assert(r.isNullAt(0) === r.isNullAt(1))
+      if (!r.isNullAt(0)) assert(r.getLong(0) === r.getLong(1))
+    }
+  }
+
   test("expressions are SQL-callable via the extensions registry") {
     val r = spark.sql(
       "SELECT graft_md5h('key', 7) AS h, graft_cosine(array(1.0f,0.0f), array(1.0f,0.0f)) AS c")
