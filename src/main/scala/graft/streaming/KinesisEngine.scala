@@ -713,10 +713,25 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
     // durable). Already-running queries are left untouched.
     val have = running.getOrElse(c.id, Seq.empty)
     val haveNames = have.map(_.name).toSet
+    // View queries are singletons ACROSS consumers: a second consumer on
+    // the same relation must not start a duplicate view query — two
+    // update streams with independent checkpoints would interleave
+    // conflicting batch ids into one delta log (and a memory sink would
+    // throw on the name collision). The stream TABLE does union multiple
+    // consumers (each gets its own append query + checkpoint); views are
+    // maintained from the first consumer's stream and that restriction is
+    // logged.
+    val allNames = running.values.flatten.map(_.name).toSet
     val wanted = views.toSeq.collect {
-      case (vname, v) if v.relation == relation && !haveNames.contains(vname) => (vname, v)
+      case (vname, v) if v.relation == relation && !allNames.contains(vname) => (vname, v)
     }
-    if (!haveNames.contains(s"${relation}__table") || wanted.nonEmpty) {
+    views.keys.foreach { vname =>
+      if (views(vname).relation == relation && allNames.contains(vname) &&
+          !haveNames.contains(vname))
+        log.warn(s"view '$vname' is already maintained from another consumer " +
+          s"of '$relation'; consumer ${c.id} feeds only the stream table")
+    }
+    if (!haveNames.contains(s"${relation}__table__${c.id}") || wanted.nonEmpty) {
       val df = parsedStream(c, ep.url)
       // B4: every parsed row also lands in the persistent stream table —
       // rows flow whether or not any view aggregates them, like COPY into
@@ -727,9 +742,11 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
       // can duplicate) — exactly the reference's stream semantics
       // (pipeline_kinesis.c:754-758); views stay exactly-once via state.
       val tableQ =
-        if (haveNames.contains(s"${relation}__table")) Nil
+        if (haveNames.contains(s"${relation}__table__${c.id}")) Nil
         else Seq(df.writeStream
-          .queryName(s"${relation}__table")
+          // unique per consumer: several consumers may feed one relation's
+          // table (their appends union, each with its own checkpoint)
+          .queryName(s"${relation}__table__${c.id}")
           .outputMode("append")
           .foreachBatch { (batch: DataFrame, _: Long) =>
             tableLock(relation).synchronized {

@@ -385,6 +385,30 @@ class EngineScaleSpec extends SparkSpec {
       "committed seqnums add up to the full stream")
   }
 
+  test("two consumers on one relation: table unions, view queries stay singletons") {
+    // the reference lets several consumers COPY into one stream; here each
+    // gets its own table-append query (union semantics) while view
+    // queries must NOT be duplicated — a second update stream with an
+    // independent checkpoint would interleave conflicting batch ids into
+    // the same delta log.
+    val root = tmpDir("mc-root"); val meta = tmpDir("mc-meta")
+    ShardedLog.append(s"$root/s1", 0, Seq(("a", "x"), ("b", "y")))
+    ShardedLog.append(s"$root/s2", 0, Seq(("c", "z")))
+    val eng = mkEngine(meta, root, "mc_stream", "mc_view")
+    val id1 = eng.consumeBegin("ep", "s1", "mc_stream", format = "text")
+    val id2 = eng.consumeBegin("ep", "s2", "mc_stream", format = "text")
+    assert(id1 !== id2)
+    eng.processAllAvailable()
+    // stream table = union of both consumers' streams
+    assert(eng.streamTable("mc_stream").count() === 3L)
+    // exactly one standing query named mc_view across both consumers
+    assert(eng.activeQueries.count(_.name == "mc_view") === 1)
+    // the view is maintained from consumer 1's stream only (documented)
+    assert(eng.viewTable("mc_view").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap === Map("x" -> 1L, "y" -> 1L))
+    eng.consumeEndAll()
+  }
+
   test("stateless (no-aggregate) views materialize append-only") {
     val root = tmpDir("st-root"); val meta = tmpDir("st-meta")
     val eng = new KinesisEngine(spark, meta)
