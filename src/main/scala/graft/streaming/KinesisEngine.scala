@@ -229,6 +229,11 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
     }
     rm(Paths.get(metaDir, "views", name).toFile)
+    // drop the view's checkpoints too: a later view of the same name must
+    // start fresh, not resume this view's aggregate state against an
+    // empty delta log
+    listDir(Paths.get(metaDir, "checkpoints"))
+      .foreach(cdir => rm(cdir.resolve(name).toFile))
   }
 
   /** DROP STREAM parity: refuses while any consumer targets the relation;
@@ -253,6 +258,10 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
         require(!running.contains(c.id), "consume_end first")
         consumers.remove((endpoint, stream, relation))
         saveCatalog()
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(Paths.get(metaDir, "checkpoints", c.id.toString).toFile)
       }
     }
 

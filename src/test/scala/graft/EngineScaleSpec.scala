@@ -324,6 +324,14 @@ class EngineScaleSpec extends SparkSpec {
     assert(eng.viewTable("dr_v1").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap === Map("x" -> 2L, "y" -> 1L))
 
+    // re-creating a dropped view starts FRESH (its checkpoints were
+    // dropped too): it backfills the whole log, not stale resumed state
+    eng.createContinuousView("dr_v2", "dr_stream", _.groupBy().count())
+    eng.consumeBegin("ep", "s", "dr_stream", format = "text")
+    eng.processAllAvailable()
+    assert(eng.viewTable("dr_v2").head().getLong(0) === 3L)
+    eng.dropView("dr_v2")
+
     val e = intercept[IllegalArgumentException](eng.dropStream("dr_stream"))
     assert(e.getMessage.contains("consumers exist"))
     eng.consumeEnd("ep", "s", "dr_stream")
