@@ -1,0 +1,36 @@
+package graft
+
+/** Machine-checked scale contract over EVERY declared query's physical
+  * plan (the claims PLANS.md documents for a sample, enforced for all):
+  * no CartesianProduct anywhere, and BroadcastNestedLoopJoin only in the
+  * whitelisted queries whose non-equi join deliberately broadcasts a tiny
+  * dimension side (a 1-row count, a ≤16-row codebook, a small phrase/
+  * probe set). A new query that accidentally plans an all-pairs join
+  * fails here before it ever reaches the bench. */
+class PlanAuditSpec extends SparkSpec {
+
+  // each entry is a non-equi join over an explicitly broadcast small side
+  private val allowNestedLoop = Set(
+    "q_tfidf",           // 1-row corpus doc-count broadcast
+    "q_decontam",        // tiny benchmark-phrase set broadcast, contains()
+    "q_similarity_topk", // 1-row probe vector broadcast
+    "q_similarity_ivf",  // ≤16-row centroid codebook broadcast
+    "q_similarity_lsh",  // 1-row probe (bucket-filtered) broadcast
+    "q_data_mixture",    // 1-row corpus total broadcast
+    "q_sample_hash",     // 1-row corpus total broadcast
+    "q_histogram")       // 2-row min/max bounds broadcast
+
+  test("no cartesian products; nested-loop joins only on broadcast dims") {
+    SparkEntry.queries.keys.toSeq.sorted
+      .filter(_ != "q_stream_ingest") // streaming e2e: building it runs the engine
+      .foreach { name =>
+        val plan = SparkEntry.queries(name)(spark, sf0001)
+          .queryExecution.executedPlan.toString
+        assert(!plan.contains("CartesianProduct"),
+          s"$name plans a cartesian product")
+        if (!allowNestedLoop(name))
+          assert(!plan.contains("BroadcastNestedLoopJoin"),
+            s"$name plans an unexpected nested-loop join")
+      }
+  }
+}
