@@ -225,15 +225,12 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
       if (dead.nonEmpty) running(id) = alive
     }
     saveCatalog()
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-    }
-    rm(Paths.get(metaDir, "views", name).toFile)
+    rmTree(Paths.get(metaDir, "views", name).toFile)
     // drop the view's checkpoints too: a later view of the same name must
     // start fresh, not resume this view's aggregate state against an
     // empty delta log
     listDir(Paths.get(metaDir, "checkpoints"))
-      .foreach(cdir => rm(cdir.resolve(name).toFile))
+      .foreach(cdir => rmTree(cdir.resolve(name).toFile))
   }
 
   /** DROP STREAM parity: refuses while any consumer targets the relation;
@@ -244,10 +241,7 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
     streams.remove(relation)
     views.filter(_._2.relation == relation).keys.toSeq.foreach(dropView)
     saveCatalog()
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-    }
-    rm(Paths.get(metaDir, "tables", relation).toFile)
+    rmTree(Paths.get(metaDir, "tables", relation).toFile)
   }
 
   /** Remove a (stopped) consumer from the catalog — the DELETE the
@@ -258,10 +252,7 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
         require(!running.contains(c.id), "consume_end first")
         consumers.remove((endpoint, stream, relation))
         saveCatalog()
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-        }
-        rm(Paths.get(metaDir, "checkpoints", c.id.toString).toFile)
+        rmTree(Paths.get(metaDir, "checkpoints", c.id.toString).toFile)
       }
     }
 
@@ -449,6 +440,11 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Recursive delete (grace cleanup / drop DDL). */
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete()
+  }
+
   private def writeViewMeta(name: String, keysOpt: Option[Seq[String]]): Unit = {
     Files.createDirectories(Paths.get(metaDir, "views", name))
     val body = keysOpt match {
@@ -537,15 +533,12 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
 
   /** Delete delta versions strictly below `keepFrom` (grace cleanup). */
   private def dropDeltaVersionsBelow(name: String, keepFrom: Long): Unit = {
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-    }
     listDir(Paths.get(metaDir, "views", name)).foreach { p =>
       val n = p.getFileName.toString
       if (n.startsWith("delta-") &&
           n.stripPrefix("delta-").forall(_.isDigit) &&
           n.stripPrefix("delta-").toLong < keepFrom)
-        rm(p.toFile)
+        rmTree(p.toFile)
     }
   }
 
@@ -591,14 +584,11 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
         .repartition(targetPartitions)
         .write.mode("overwrite").parquet(s"$metaDir/tables/$relation/data-${v + 1}")
       writeAtomic(tablePtrPath(relation), s"data-${v + 1}")
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-      }
       listDir(Paths.get(metaDir, "tables", relation)).foreach { p =>
         val n = p.getFileName.toString
         if (n.startsWith("data-") && n.stripPrefix("data-").forall(_.isDigit) &&
             n.stripPrefix("data-").toLong < v)
-          rm(p.toFile)
+          rmTree(p.toFile)
       }
     }
 
