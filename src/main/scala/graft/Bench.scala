@@ -54,6 +54,13 @@ object Bench {
       }
       // a query that failed on ANY iteration is an error, never a timing
       if (times.nonEmpty && !errors.contains(name)) timings(name) = times.min
+      // Isolation between queries: q_stream_ingest tears down a whole
+      // engine (streaming queries, checkpoints, temp dirs); without a GC +
+      // settle the teardown debt lands in the NEXT query's timing (r4 saw
+      // q_topk at 3.6× its band purely from run order). Outside the timed
+      // region, so it costs wall-clock only, not benched seconds.
+      System.gc()
+      Thread.sleep(250)
     }
     val qs = timings.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -5,7 +5,8 @@ import java.security.MessageDigest
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -108,6 +109,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
 object ShingleHashes {
   val P = 1000000007L
 
+  /** Shared empty result (null-text case); ArrayData is immutable here. */
+  val EMPTY: ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+
   /** 3-token shingle hashes of `s`: split on the single-space regex
     * (exactly Spark's `split(text, " ")` with limit −1, trailing empties
     * kept), hex7(md5) per token, rolling 65599-combine mod 1e9+7 —
@@ -151,17 +156,33 @@ object ShingleHashes {
 /** `graft_shingles(text)`: fused tokenize → per-token md5-prefix hash →
   * rolling shingle combine. Replaces two interpreted higher-order
   * `transform`s (per-element lambda interpretation + an md5 call each)
-  * with one tight loop per row that stays inside whole-stage codegen. */
+  * with one tight loop per row that stays inside whole-stage codegen.
+  *
+  * NULL text yields an EMPTY array (never null) — the same semantics as
+  * the when/otherwise + transform chain it replaced, so a caller filtering
+  * on `size(shingles)` sees no behavior change for null documents. */
 case class ShingleHashes(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
   override def prettyName: String = "graft_shingles"
 
-  override protected def nullSafeEval(input: Any): Any =
-    ShingleHashes.compute(input.asInstanceOf[UTF8String])
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    child.eval(input) match {
+      case null => ShingleHashes.EMPTY
+      case s => ShingleHashes.compute(s.asInstanceOf[UTF8String])
+    }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c =>
-      s"graft.expressions.ShingleHashes.compute($c)")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(
+      code = childGen.code +
+        code"""
+        $javaType ${ev.value} = ${childGen.isNull}
+          ? graft.expressions.ShingleHashes.EMPTY()
+          : graft.expressions.ShingleHashes.compute(${childGen.value});""",
+      isNull = FalseLiteral)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)

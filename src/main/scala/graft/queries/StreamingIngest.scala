@@ -24,29 +24,45 @@ object StreamingIngest {
   private val N_RECORDS = 20000
   private val N_SHARDS = 4
 
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete()
+  }
+
   val queries: Map[String, Qf] = Map(
     "q_stream_ingest" -> ((s, _) => {
       val root = Files.createTempDirectory("graft-ingest").toString
       val meta = Files.createTempDirectory("graft-ingest-meta").toString
-      for (sh <- 0 until N_SHARDS)
-        ShardedLog.append(s"$root/stream", sh,
-          (sh until N_RECORDS by N_SHARDS).map { i =>
-            val p = s"foo${i % 100}"; (p, p)
-          })
-      val eng = new KinesisEngine(s, meta)
-      eng.addEndpoint("bench-ep", "local", url = root)
-      eng.createStream("bench_stream",
-        StructType(Seq(StructField("payload", StringType))))
-      eng.createContinuousView("bench_ingest_view", "bench_stream",
-        _.groupBy("payload").count())
-      // parallelism=4: one task per shard (the reference's worker knob);
-      // the view materializes incrementally (update-mode parquet deltas),
-      // so the bench times the scale path, not the driver memory sink.
-      eng.consumeBegin("bench-ep", "stream", "bench_stream",
-        format = "text", batchsize = 5000, parallelism = 4)
-      eng.processAllAvailable()
-      eng.consumeEndAll()
-      eng.viewTable("bench_ingest_view").orderBy("payload")
+      try {
+        for (sh <- 0 until N_SHARDS)
+          ShardedLog.append(s"$root/stream", sh,
+            (sh until N_RECORDS by N_SHARDS).map { i =>
+              val p = s"foo${i % 100}"; (p, p)
+            })
+        val eng = new KinesisEngine(s, meta)
+        eng.addEndpoint("bench-ep", "local", url = root)
+        eng.createStream("bench_stream",
+          StructType(Seq(StructField("payload", StringType))))
+        eng.createContinuousView("bench_ingest_view", "bench_stream",
+          _.groupBy("payload").count())
+        // parallelism=4: one task per shard (the reference's worker knob);
+        // the view materializes incrementally (update-mode parquet deltas),
+        // so the bench times the scale path, not the driver memory sink.
+        eng.consumeBegin("bench-ep", "stream", "bench_stream",
+          format = "text", batchsize = 5000, parallelism = 4)
+        eng.processAllAvailable()
+        eng.consumeEndAll()
+        // the result is 100 tiny rows: pin them driver-side so the temp
+        // dirs can be deleted NOW rather than leak per bench iteration
+        // (the leak polluted the queries benched after this one)
+        val out = eng.viewTable("bench_ingest_view").orderBy("payload")
+        val rows = out.collect().toIndexedSeq
+        s.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+          out.schema)
+      } finally {
+        rmTree(new java.io.File(root)); rmTree(new java.io.File(meta))
+      }
     })
   )
 }

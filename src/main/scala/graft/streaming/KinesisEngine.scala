@@ -846,8 +846,9 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
     * the shard tip it is, in records and in milliseconds — the reference's
     * seqnums table + millisBehindLatest (pipeline_kinesis--0.9.0.sql:26-31;
     * kinesis_consumer.cpp:446-465). `millis_behind_latest` = now − arrival
-    * time of the first unconsumed record (0 when fully drained; null when
-    * the log is unreachable, e.g. a partially-saved catalog row).
+    * time of the first unconsumed record (0 when fully drained). BOTH lag
+    * columns are null when the log is unreachable (e.g. a partially-saved
+    * catalog row) — unknown lag is never reported as drained.
     *
     * COMMITTED means exactly that: the reported batch's offsets are only
     * used once `commits/<id>` exists, matching the reference's
@@ -899,10 +900,16 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
         val latest = dirOpt.map(tailFor(_).advance())
           .getOrElse(Map.empty[String, ShardPos])
         best.toSeq.map { case (shard, p) =>
-          val behindRecs = latest.get(shard)
-            .map(t => math.max(t.recs - p.recs, 0L)).getOrElse(0L)
+          // unknown lag (log dir unresolvable — e.g. a crash-torn catalog
+          // row) reports NULL in BOTH lag columns: degrading records to 0
+          // would read as "fully drained" and mask real lag in monitoring
+          val behindRecs: java.lang.Long =
+            if (dirOpt.isEmpty) null
+            else java.lang.Long.valueOf(latest.get(shard)
+              .map(t => math.max(t.recs - p.recs, 0L)).getOrElse(0L))
           val millis: java.lang.Long =
-            if (behindRecs == 0L) java.lang.Long.valueOf(0L)
+            if (behindRecs == null) null
+            else if (behindRecs.longValue() == 0L) java.lang.Long.valueOf(0L)
             else dirOpt.flatMap { d =>
               val f = new java.io.File(d, shard)
               val pb = if (p.bytes >= 0) p.bytes

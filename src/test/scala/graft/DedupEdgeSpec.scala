@@ -48,4 +48,15 @@ class DedupEdgeSpec extends SparkSpec {
     assert(rows.length === 1)
     assert(rows.head.getLong(1) === 2L && rows.head.getLong(2) === 4L)
   }
+
+  test("graft_shingles of NULL text is an empty array, not null") {
+    import spark.implicits._
+    // parity with the when/otherwise + transform chain it replaced: a
+    // caller filtering size(shs) >= 0 must not see null-doc rows vanish
+    val rows = Seq(Some("a b c d"), None).toDF("text")
+      .selectExpr("graft_shingles(text) AS shs")
+      .collect()
+    assert(rows(0).getSeq[Long](0).length === 2)
+    assert(!rows(1).isNullAt(0) && rows(1).getSeq[Long](0).isEmpty)
+  }
 }

@@ -115,6 +115,13 @@ class EngineScaleSpec extends SparkSpec {
     assert(drained.head.getLong(2) === 13L)
     assert(drained.head.getLong(3) === 0L && drained.head.getLong(4) === 0L,
       "lag drains to 0 after processAllAvailable (README.md:119-126 loop)")
+    // a crash-torn catalog (consumer row whose endpoint is gone) degrades
+    // to UNKNOWN lag — null in BOTH columns, never a fake "drained" 0
+    eng.removeEndpoint("ep")
+    val unknown = eng.seqnums.collect()
+    assert(unknown.head.getLong(2) === 13L, "committed seqnum still reported")
+    assert(unknown.head.isNullAt(3) && unknown.head.isNullAt(4),
+      "unresolvable log = unknown lag, reported as null not 0")
   }
 
   test("seqnums polling scans only the appended delta (engine tail cache)") {
