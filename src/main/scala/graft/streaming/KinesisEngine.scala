@@ -54,12 +54,13 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType, Timestam
   *    unconsumed record). Tip discovery runs through a monotone per-stream
   *    tail cache, so polling seqnums costs O(appended delta), not O(log).
   *
-  * Catalog durability: endpoints, consumers, stream schemas and
-  * SQL-declared views all persist under metaDir (format-versioned TSV —
-  * an unversioned/older metaDir fails fast instead of mis-decoding) — a
-  * fresh engine over the same metaDir resumes ingestion with
-  * `consumeBeginAll()` alone (pipeline_kinesis.c:1038-1079).
-  * Closure-based views are application code and must be re-registered.
+  * Catalog durability: endpoints, consumers, stream schemas, SQL-declared
+  * views AND sliding views all persist under metaDir (format-versioned
+  * TSV — an unversioned/older metaDir fails fast instead of mis-decoding)
+  * — a fresh engine over the same metaDir resumes ingestion with
+  * `consumeBeginAll()` alone (pipeline_kinesis.c:1038-1079). Sliding
+  * views are rebuilt from their declarative sw meta; only plain
+  * closure-based views are application code and must be re-registered.
   *
   * Delivery: the reference commits seqnums in a second transaction after
   * COPY (at-least-once, with poison batches dropped —
@@ -181,6 +182,20 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
         (unesc(f(0)), unesc(f(1)), unesc(f(2)), unesc(f(3)))
       views(name) = View(relation, sqlAgg(relation, sql), mat, Some(sql), None)
     }
+    // Sliding views are catalog objects too (PipelineDB CVs survive the
+    // database restarting — reference README.md:66,78-88): their spec is
+    // fully declarative and already on disk as sw meta, so rebuild the
+    // standing aggregate from it. Without this, a fresh engine +
+    // consumeBeginAll() would silently stop maintaining the view.
+    listDir(Paths.get(metaDir, "views"))
+      .filter(d => Files.exists(d.resolve("_graft_sw")))
+      .foreach { d =>
+        val name = d.getFileName.toString
+        val m = readSwMeta(name)
+        views(name) = View(m.relation,
+          swClosure(m.keys, m.aggs, m.width, m.slide),
+          "parquet", None, Some("__bucket" +: m.keys))
+      }
   }
 
   // --- catalog (C1/C2/C3) -------------------------------------------------
@@ -278,18 +293,23 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
 
   // --- sliding-window continuous views (PipelineDB `WITH (sw = ...)`) ----
 
-  /** Parse one aggregate spec: outCol -> "count" | "sum:col" | "min:col" |
-    * "max:col". Restricted to combinable (algebraic) aggregates — the same
-    * restriction PipelineDB imposes on sw views, because bucket partials
-    * must recombine at read time. */
-  private def swAggExpr(spec: (String, String)): org.apache.spark.sql.Column =
+  /** Bucket-level partial columns for one aggregate spec: outCol ->
+    * "count" | "sum:col" | "min:col" | "max:col" | "avg:col". Restricted
+    * to combinable (algebraic) aggregates — the same restriction
+    * PipelineDB imposes on sw views, because bucket partials must
+    * recombine at read time. avg is combinable as (sum, count) partials,
+    * folded back to the quotient by [[swCombineExpr]]. */
+  private def swAggExprs(spec: (String, String)): Seq[org.apache.spark.sql.Column] =
     spec._2.split(":", 2) match {
-      case Array("count") => count(lit(1)).as(spec._1)
-      case Array("sum", c) => sum(col(c)).as(spec._1)
-      case Array("min", c) => min(col(c)).as(spec._1)
-      case Array("max", c) => max(col(c)).as(spec._1)
+      case Array("count") => Seq(count(lit(1)).as(spec._1))
+      case Array("sum", c) => Seq(sum(col(c)).as(spec._1))
+      case Array("min", c) => Seq(min(col(c)).as(spec._1))
+      case Array("max", c) => Seq(max(col(c)).as(spec._1))
+      case Array("avg", c) => Seq(sum(col(c)).as(s"__${spec._1}_sum"),
+                                  count(col(c)).as(s"__${spec._1}_cnt"))
       case _ => throw new IllegalArgumentException(
-        s"unsupported sw aggregate '${spec._2}' (count | sum:col | min:col | max:col)")
+        s"unsupported sw aggregate '${spec._2}' " +
+          "(count | sum:col | min:col | max:col | avg:col)")
     }
 
   private def swCombineExpr(spec: (String, String)): org.apache.spark.sql.Column =
@@ -297,18 +317,48 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
       case "count" | "sum" => sum(col(spec._1)).as(spec._1)
       case "min" => min(col(spec._1)).as(spec._1)
       case "max" => max(col(spec._1)).as(spec._1)
+      // null on an all-null/empty window, exactly like batch avg
+      case "avg" => (sum(col(s"__${spec._1}_sum")) /
+                     sum(col(s"__${spec._1}_cnt"))).as(spec._1)
     }
+
+  /** The sw standing aggregate, derived ONLY from the declarative spec —
+    * shared by [[createSlidingView]] and the catalog-restore path so a
+    * restarted engine rebuilds the exact same query. */
+  private def swClosure(keys: Seq[String], aggs: Seq[(String, String)],
+                        width: String, slide: String): DataFrame => DataFrame = {
+    val partials = aggs.flatMap(swAggExprs)
+    df =>
+      df.withWatermark("arrival_timestamp", width)
+        .groupBy(window(col("arrival_timestamp"), slide).as("__bucket") +:
+                 keys.map(col): _*)
+        .agg(partials.head, partials.tail: _*)
+  }
 
   private def swMetaPath(name: String) = Paths.get(metaDir, "views", name, "_graft_sw")
 
-  private def readSwMeta(name: String): (Seq[String], Seq[(String, String)], String) = {
+  private case class SwMeta(width: String, keys: Seq[String],
+                            aggs: Seq[(String, String)],
+                            relation: String, slide: String)
+
+  /** sw meta marker for the full declarative spec (relation + slide added
+    * so the engine can rebuild the standing query at restart). A def for
+    * the same constructor-order reason as [[CatalogVersion]]. */
+  private def SwVersion = "#graft-sw-v2"
+
+  private def readSwMeta(name: String): SwMeta = {
     require(Files.exists(swMetaPath(name)), s"'$name' is not a sliding view")
     val f = Files.readString(swMetaPath(name)).split("\t", -1)
-    val keys = if (f(1).isEmpty) Nil else f(1).split(",", -1).toSeq.map(unesc)
-    val aggs = f(2).split(",", -1).toSeq.map { kv =>
+    if (f(0) != SwVersion)
+      throw new IllegalStateException(
+        s"${swMetaPath(name)}: unrecognized sliding-view meta (expected " +
+          s"'$SwVersion' field). This metaDir was written by an " +
+          "incompatible graft version — migrate or remove it.")
+    val keys = if (f(2).isEmpty) Nil else f(2).split(",", -1).toSeq.map(unesc)
+    val aggs = f(3).split(",", -1).toSeq.map { kv =>
       val Array(k, v) = kv.split(":", 2); (unesc(k), unesc(v))
     }
-    (keys, aggs, unesc(f(0)))
+    SwMeta(unesc(f(1)), keys, aggs, unesc(f(4)), unesc(f(5)))
   }
 
   /** PipelineDB sliding-window continuous view (`CREATE CONTINUOUS VIEW …
@@ -327,8 +377,15 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
     * time are dropped from the aggregate (they could only land in buckets
     * already outside every read window).
     *
-    * @param aggs outCol -> "count" | "sum:col" | "min:col" | "max:col"
-    *             (combinable aggregates only, as in PipelineDB)
+    * Unlike a closure view, a sliding view IS catalog-durable: the spec
+    * is fully declarative and persists in the view's sw meta, so a fresh
+    * engine over the same metaDir rebuilds the standing query at
+    * [[loadCatalog]] and `consumeBeginAll()` resumes maintaining it —
+    * PipelineDB CV-durability semantics (reference README.md:66,78-88:
+    * views survive the database restarting).
+    *
+    * @param aggs outCol -> "count" | "sum:col" | "min:col" | "max:col" |
+    *             "avg:col" (combinable aggregates only, as in PipelineDB)
     * @param slide bucket granularity in `window()` duration syntax
     *              (e.g. "5 minutes"); width in INTERVAL syntax (e.g.
     *              "1 HOUR"). */
@@ -336,28 +393,25 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
                         aggs: Seq[(String, String)], width: String,
                         slide: String): Unit = synchronized {
     require(aggs.nonEmpty, "at least one aggregate")
-    val agg: DataFrame => DataFrame = df =>
-      df.withWatermark("arrival_timestamp", width)
-        .groupBy(window(col("arrival_timestamp"), slide).as("__bucket") +:
-                 keys.map(col): _*)
-        .agg(swAggExpr(aggs.head), aggs.tail.map(swAggExpr): _*)
-    views(name) = View(relation, agg, "parquet", None, Some("__bucket" +: keys))
+    views(name) = View(relation, swClosure(keys, aggs, width, slide),
+      "parquet", None, Some("__bucket" +: keys))
     Files.createDirectories(Paths.get(metaDir, "views", name))
     writeAtomic(swMetaPath(name),
-      Seq(esc(width), keys.map(esc).mkString(","),
-          aggs.map(a => esc(a._1) + ":" + esc(a._2)).mkString(","))
+      Seq(SwVersion, esc(width), keys.map(esc).mkString(","),
+          aggs.map(a => esc(a._1) + ":" + esc(a._2)).mkString(","),
+          esc(relation), esc(slide))
         .mkString("\t"))
   }
 
   /** Current sliding-window result: merge bucket partials (viewTable),
     * keep buckets overlapping (now − width, now], recombine. */
   def slidingViewTable(name: String): DataFrame = {
-    val (keys, aggs, width) = readSwMeta(name)
+    val m = readSwMeta(name)
     val live = viewTable(name).filter(
-      col("__bucket.end") > current_timestamp() - expr(s"INTERVAL $width"))
-    val combined = aggs.map(swCombineExpr)
-    if (keys.isEmpty) live.agg(combined.head, combined.tail: _*)
-    else live.groupBy(keys.map(col): _*).agg(combined.head, combined.tail: _*)
+      col("__bucket.end") > current_timestamp() - expr(s"INTERVAL ${m.width}"))
+    val combined = m.aggs.map(swCombineExpr)
+    if (m.keys.isEmpty) live.agg(combined.head, combined.tail: _*)
+    else live.groupBy(m.keys.map(col): _*).agg(combined.head, combined.tail: _*)
   }
 
   /** Physically drop bucket partials that have aged out of the window —
@@ -365,7 +419,7 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
     * ONLINE like [[compactViewTable]]: versioned rewrite + pointer swap,
     * safe while the view's query runs. */
   def expireSlidingViewTable(name: String, targetPartitions: Int = 8): Unit = {
-    val (_, _, width) = readSwMeta(name)
+    val width = readSwMeta(name).width
     viewLock(name).synchronized {
       val curDir = viewDeltaDir(name)
       if (!Files.exists(Paths.get(curDir))) return

@@ -204,6 +204,34 @@ class EngineScaleSpec extends SparkSpec {
     assert(sw === Map("x" -> 1L, "y" -> 1L))
   }
 
+  test("sliding view avg recombines as weighted sum/count partials") {
+    val root = tmpDir("swa-root"); val meta = tmpDir("swa-meta")
+    val dir = s"$root/s"
+    def put(recs: Seq[(String, String)], ageMs: Long): Unit =
+      ShardedLog.appendBytes(dir, 0,
+        recs.map { case (k, v) => (k, v.getBytes("UTF-8")) },
+        arrivalMillis = System.currentTimeMillis() - ageMs)
+    put(Seq(("a", "x,100"), ("b", "y,100")), 7200 * 1000L)          // dead bucket
+    put(Seq(("c", "x,10")), 600 * 1000L)                            // live bucket A
+    put(Seq(("d", "x,20"), ("e", "x,30"), ("f", "y,7")), 30 * 1000L) // live bucket B
+    val eng = new KinesisEngine(spark, meta)
+    eng.addEndpoint("ep", "r", url = root)
+    eng.createStream("swa_stream", StructType(Seq(
+      StructField("k", StringType), StructField("v", IntegerType))))
+    eng.createSlidingView("swa_view", "swa_stream", keys = Seq("k"),
+      aggs = Seq("n" -> "count", "mean" -> "avg:v"),
+      width = "1 HOUR", slide = "5 minutes")
+    eng.consumeBegin("ep", "s", "swa_stream", format = "csv", delimiter = ",")
+    eng.processAllAvailable(); eng.consumeEndAll()
+    val m = eng.slidingViewTable("swa_view").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // x live values are 10 (bucket A) and 20, 30 (bucket B): the combine
+    // must be Σsum/Σcount = 20.0, NOT the bucket-avg mean 17.5 — and the
+    // 2-hour-old 100s must not contribute at all
+    assert(m === Map("x" -> ((3L, 20.0)), "y" -> ((1L, 7.0))),
+      "avg folds (sum,count) partials weighted across live buckets only")
+  }
+
   test("delta log auto-compacts online — no consumer stop, bounded merge cost") {
     val root = tmpDir("ac-root"); val meta = tmpDir("ac-meta")
     val eng = new KinesisEngine(spark, meta, autoCompactEvery = 2)
@@ -355,25 +383,33 @@ class EngineScaleSpec extends SparkSpec {
     val root = tmpDir("swr-root"); val meta = tmpDir("swr-meta")
     val dir = s"$root/s"
     ShardedLog.append(dir, 0, Seq(("a", "x"), ("b", "y")))
-    def wire(eng: KinesisEngine): Unit = {
-      eng.createStream("swr_stream", StructType(Seq(StructField("payload", StringType))))
-      eng.createSlidingView("swr_view", "swr_stream", keys = Seq("payload"),
-        aggs = Seq("n" -> "count"), width = "1 HOUR", slide = "5 minutes")
-    }
     val eng = new KinesisEngine(spark, meta)
     eng.addEndpoint("ep", "r", url = root)
-    wire(eng)
+    eng.createStream("swr_stream", StructType(Seq(StructField("payload", StringType))))
+    eng.createSlidingView("swr_view", "swr_stream", keys = Seq("payload"),
+      aggs = Seq("n" -> "count"), width = "1 HOUR", slide = "5 minutes")
     eng.consumeBegin("ep", "s", "swr_stream", format = "text")
     eng.processAllAvailable(); eng.consumeEndAll()
 
     ShardedLog.append(dir, 0, Seq(("c", "x")))
-    val eng2 = new KinesisEngine(spark, meta) // fresh engine, same metaDir
-    wire(eng2) // closures re-registered like application code
+    // fresh engine, same metaDir, NO re-registration: the sliding view is
+    // a catalog object (PipelineDB CVs survive the database restarting) —
+    // loadCatalog rebuilds the standing query from the declarative sw meta
+    val eng2 = new KinesisEngine(spark, meta)
     eng2.consumeBeginAll()
     eng2.processAllAvailable()
     assert(eng2.slidingViewTable("swr_view").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap === Map("x" -> 2L, "y" -> 1L),
       "resumed from checkpoint: no loss, no double count")
+    // staleness probe: records appended AFTER the restart must reach the
+    // view without any application code touching it — this is exactly the
+    // silent-staleness failure mode the durability closes
+    ShardedLog.append(dir, 0, Seq(("d", "z"), ("e", "x")))
+    eng2.processAllAvailable()
+    assert(eng2.slidingViewTable("swr_view").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ===
+        Map("x" -> 3L, "y" -> 1L, "z" -> 1L),
+      "post-restart appends flow into the restored sliding view")
     eng2.consumeEndAll()
   }
 
