@@ -66,9 +66,11 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType, Timestam
   * COPY (at-least-once, with poison batches dropped —
   * pipeline_kinesis.c:738-758). Here source replay + checkpointed state
   * give exactly-once view updates; parse failures are PERMISSIVE (nulls),
-  * not batch drops. A retried view micro-batch appends a byte-identical
-  * delta (same offsets → same aggregate rows), which the read-time merge
-  * collapses — the view read is idempotent under replay.
+  * not batch drops. A retried micro-batch of a MERGE view appends a
+  * byte-identical delta (same offsets → same aggregate rows), which the
+  * read-time merge collapses; a retried batch of a STATELESS TRANSFORM
+  * overwrites its own per-batch delta dir (or is skipped if already
+  * folded by compaction) — both view kinds read idempotent under replay.
   */
 class KinesisEngine(spark: SparkSession, metaDir: String,
                     autoCompactEvery: Int = 64) {
@@ -424,7 +426,7 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
       val curDir = viewDeltaDir(name)
       if (!Files.exists(Paths.get(curDir))) return
       val v = Paths.get(curDir).getFileName.toString.stripPrefix("delta-").toLong
-      spark.read.parquet(curDir)
+      readDeltaLog(curDir)
         .filter(col("__bucket.end") > current_timestamp() - expr(s"INTERVAL $width"))
         .repartition(targetPartitions)
         .write.mode("overwrite").parquet(s"$metaDir/views/$name/delta-${v + 1}")
@@ -556,6 +558,25 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
           .filter(col("__rn") === 1).drop("__rn", "__batch")
     }
 
+  /** A view's current delta log. Merge-mode deltas are flat appended
+    * files; append-mode (stateless transform) deltas live in per-batch
+    * `b<stamp>` subdirs (overwritten on replay — the idempotence unit),
+    * so the read lists recursively. */
+  private def readDeltaLog(curDir: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(curDir)
+
+  /** Fold high-water mark for append-mode views: the highest stamped
+    * batch already folded into a compacted snapshot. A batch replayed
+    * AFTER being folded must be skipped, not re-appended — its rows are
+    * already in the flat snapshot and the per-batch overwrite can no
+    * longer collapse them. */
+  private def foldedPath(name: String) = Paths.get(metaDir, "views", name, "_graft_folded")
+
+  private def foldedThrough(name: String): Long = {
+    val p = foldedPath(name)
+    if (Files.exists(p)) Files.readString(p).trim.toLong else Long.MinValue
+  }
+
   /** Current contents of an incrementally-materialized view: parquet
     * deltas merged so the newest write per group key wins. Merge cost is
     * O(deltas since compaction), not O(history) — the engine folds the
@@ -563,7 +584,7 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
     * [[compactViewTable]] can be called any time, consumers running or
     * not). */
   def viewTable(name: String): DataFrame =
-    mergeDeltas(spark.read.parquet(viewDeltaDir(name)), readViewMeta(name))
+    mergeDeltas(readDeltaLog(viewDeltaDir(name)), readViewMeta(name))
 
   /** Fold a view's delta log down to one merged snapshot (keeping the
     * highest batch id so future deltas still win the merge). ONLINE: safe
@@ -574,14 +595,16 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
       val curDir = viewDeltaDir(name)
       if (!Files.exists(Paths.get(curDir))) return // nothing materialized yet
       val v = Paths.get(curDir).getFileName.toString.stripPrefix("delta-").toLong
-      val delta = spark.read.parquet(curDir)
+      val delta = readDeltaLog(curDir)
       val maxRow = delta.agg(max("__batch")).head()
       if (maxRow.isNullAt(0)) return // only empty batches so far
+      val maxB = maxRow.getLong(0)
       mergeDeltas(delta, readViewMeta(name))
-        .withColumn("__batch", lit(maxRow.getLong(0)))
+        .withColumn("__batch", lit(maxB))
         .repartition(targetPartitions)
         .write.mode("overwrite").parquet(s"$metaDir/views/$name/delta-${v + 1}")
       writeAtomic(viewPtrPath(name), s"delta-${v + 1}")
+      writeAtomic(foldedPath(name), maxB.toString)
       dropDeltaVersionsBelow(name, v)
     }
 
@@ -824,12 +847,42 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
             val aggDf = v.agg(df)
             val keysOpt = v.keys.orElse(inferViewKeys(aggDf))
             writeViewMeta(vname, keysOpt)
+            // Generation epoch: deltas are stamped (gen << 40) | batchId.
+            // A query attaching with a FRESH checkpoint (no offsets — e.g.
+            // the consumer was removed and re-created, which deletes its
+            // checkpoints) restarts batch ids at 0; without the epoch its
+            // new writes would LOSE the newest-per-key merge to the old
+            // lineage's higher batch ids and serve stale aggregates until
+            // the new ids caught up. Bumping the persisted generation
+            // makes every new-lineage write order after every old one. A
+            // checkpoint with offsets but no commits (crashed before the
+            // first commit) keeps its generation — Spark replays the same
+            // batch ids, and the merge/overwrite collapses the replay.
+            val ckpt = Paths.get(metaDir, "checkpoints", c.id.toString, vname)
+            val genPath = Paths.get(metaDir, "views", vname, "_graft_gen")
+            val prevGen = if (Files.exists(genPath))
+              Files.readString(genPath).trim.toLong else 0L
+            val gen = if (maxBatchId(ckpt.resolve("offsets")).isEmpty)
+              prevGen + 1 else prevGen
+            if (gen != prevGen) writeAtomic(genPath, gen.toString)
             aggDf.writeStream.queryName(vname)
               .outputMode(if (keysOpt.isDefined) "update" else "append")
               .foreachBatch { (batch: DataFrame, batchId: Long) =>
+                val stamped = (gen << 40) | batchId
                 viewLock(vname).synchronized {
-                  batch.withColumn("__batch", lit(batchId))
-                    .write.mode("append").parquet(viewDeltaDir(vname))
+                  if (keysOpt.isDefined)
+                    batch.withColumn("__batch", lit(stamped))
+                      .write.mode("append").parquet(viewDeltaDir(vname))
+                  // Stateless transforms have no merge key to collapse a
+                  // replay, so idempotence comes from the WRITE: each
+                  // batch owns a b<stamp> subdir, overwritten whole on
+                  // replay — a retried batch replaces its rows instead of
+                  // duplicating them. Batches already folded into a
+                  // compacted snapshot are skipped outright.
+                  else if (stamped > foldedThrough(vname))
+                    batch.withColumn("__batch", lit(stamped))
+                      .write.mode("overwrite")
+                      .parquet(s"${viewDeltaDir(vname)}/b$stamped")
                 }
                 // online fold: bounds read-time merge cost to
                 // O(groups + autoCompactEvery batch deltas) on a stream

@@ -477,4 +477,71 @@ class EngineScaleSpec extends SparkSpec {
       Seq("X", "Y", "Z"), "every row kept — append semantics, no merge")
     eng.consumeEndAll()
   }
+
+  test("stateless transform replay (crash before commit) does not duplicate rows") {
+    val root = tmpDir("ix-root"); val meta = tmpDir("ix-meta")
+    val eng = new KinesisEngine(spark, meta)
+    eng.addEndpoint("ep", "r", url = root)
+    eng.createStream("ix_stream", StructType(Seq(StructField("payload", StringType))))
+    eng.createContinuousTransform("ix_view", "ix_stream",
+      _.select(upper(col("payload")).as("p")))
+    ShardedLog.append(s"$root/s", 0, Seq(("a", "x"), ("b", "y")))
+    val id = eng.consumeBegin("ep", "s", "ix_stream", format = "text")
+    eng.processAllAvailable()
+    ShardedLog.append(s"$root/s", 0, Seq(("c", "z")))
+    eng.processAllAvailable()
+    eng.consumeEndAll()
+    assert(eng.viewTable("ix_view").count() === 3L)
+    // simulate a crash between the delta write and the checkpoint commit
+    // of the LAST batch: drop its commit record — on restart Spark
+    // re-runs that batch with the SAME batch id against the same offsets
+    val commits = java.nio.file.Paths.get(meta, "checkpoints", id.toString,
+      "ix_view", "commits")
+    val toDrop = {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.list(commits)
+      try s.iterator().asScala.toSeq
+        .filter(_.getFileName.toString.forall(_.isDigit))
+        .maxBy(_.getFileName.toString.toLong)
+      finally s.close()
+    }
+    java.nio.file.Files.delete(toDrop)
+    // ChecksumFileSystem keeps a .N.crc sibling; a stale one makes the
+    // replayed commit's rename fail as a phantom concurrent-writer error
+    java.nio.file.Files.deleteIfExists(
+      toDrop.resolveSibling("." + toDrop.getFileName + ".crc"))
+    val eng2 = new KinesisEngine(spark, meta)
+    // transform views are closures → re-registered like application code
+    eng2.createContinuousTransform("ix_view", "ix_stream",
+      _.select(upper(col("payload")).as("p")))
+    eng2.consumeBeginAll()
+    eng2.processAllAvailable()
+    eng2.consumeEndAll()
+    assert(eng2.viewTable("ix_view").collect().map(_.getString(0)).sorted.toSeq ===
+      Seq("X", "Y", "Z"),
+      "replayed batch overwrote its own delta dir — no duplication")
+  }
+
+  test("re-created consumer (fresh checkpoint) never serves stale aggregates") {
+    // ADVICE r4: removeConsumer deletes checkpoints but keeps surviving
+    // view deltas; a re-created consumer restarts batch ids at 0, and
+    // without generation epochs its fresh writes would lose the
+    // newest-per-key merge to the old lineage's higher batch ids
+    val root = tmpDir("gen-root"); val meta = tmpDir("gen-meta")
+    val eng = mkEngine(meta, root, "gen_stream", "gen_view")
+    ShardedLog.append(s"$root/s", 0, Seq(("a", "x"), ("b", "x"), ("c", "y")))
+    eng.consumeBegin("ep", "s", "gen_stream", format = "text")
+    eng.processAllAvailable()
+    eng.consumeEnd("ep", "s", "gen_stream")
+    eng.removeConsumer("ep", "s", "gen_stream")
+    ShardedLog.append(s"$root/s", 0, Seq(("d", "y")))
+    eng.consumeBegin("ep", "s", "gen_stream", format = "text")
+    eng.processAllAvailable()
+    assert(eng.viewTable("gen_view").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ===
+        Map("x" -> 2L, "y" -> 2L),
+      "the new lineage's backfill wins the merge immediately — newly " +
+        "ingested records are visible, not masked by stale deltas")
+    eng.consumeEndAll()
+  }
 }
