@@ -623,7 +623,10 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
   // view deltas (tables/<rel>/data-<v> behind `_graft_current`), so
   // compaction and TTL expiry run ONLINE — no consumer stop. Appends and
   // rewrites serialize on a per-relation lock; readers resolve the
-  // pointer lock-free with the one-version grace window.
+  // pointer lock-free with the one-version grace window. WITHIN a
+  // version, rows are Hive-partitioned by arrival DATE
+  // (`__arrival_date=YYYY-MM-DD/`), which is what makes TTL expiry
+  // O(dropped data) instead of O(table) — see [[expireStreamTable]].
   private def tableLock(relation: String): Object =
     viewLocks.computeIfAbsent(s"table:$relation", _ => new Object)
 
@@ -640,17 +643,36 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
     s"$metaDir/tables/$relation/$v"
   }
 
+  private def tableSchema(relation: String): StructType =
+    streams(relation).add(StructField("arrival_timestamp", TimestampType))
+
   /** Read the persistent stream table (every ingested row of a relation —
     * the B4 COPY-into-stream analog, parquet-append with its own
-    * checkpoint). */
+    * checkpoint). The physical date partitioning is an internal layout
+    * detail — the logical schema stays `stream columns +
+    * arrival_timestamp`. */
   def streamTable(relation: String): DataFrame =
-    spark.read.schema(streams(relation)
-        .add(StructField("arrival_timestamp", TimestampType)))
+    spark.read.schema(tableSchema(relation)
+        .add(StructField("__arrival_date", org.apache.spark.sql.types.DateType)))
       .parquet(tableDataDir(relation))
+      .drop("__arrival_date")
+
+  /** Grace cleanup: delete table versions strictly below `keepFrom` (the
+    * immediately previous version survives one cycle for in-flight
+    * readers). Hard-linked data files shared with the live version are
+    * only unlinked, never destroyed. */
+  private def dropTableVersionsBelow(relation: String, keepFrom: Long): Unit =
+    listDir(Paths.get(metaDir, "tables", relation)).foreach { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith("data-") && n.stripPrefix("data-").forall(_.isDigit) &&
+          n.stripPrefix("data-").toLong < keepFrom)
+        rmTree(p.toFile)
+    }
 
   /** Rewrite the stream table through a versioned swap: write the
-    * filtered/refolded rows as data-<v+1>, flip the pointer, grace-delete
-    * versions ≤ v−1. Online — appends serialize on the relation lock. */
+    * refolded rows as data-<v+1> (date-partitioned), flip the pointer,
+    * grace-delete versions ≤ v−1. Online — appends serialize on the
+    * relation lock. */
   private def rewriteStreamTable(relation: String, targetPartitions: Int)
                                 (xform: DataFrame => DataFrame): Unit =
     tableLock(relation).synchronized {
@@ -658,16 +680,26 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
       if (!Files.exists(Paths.get(curDir))) return // nothing ingested yet
       val v = Paths.get(curDir).getFileName.toString.stripPrefix("data-").toLong
       xform(streamTable(relation))
-        .repartition(targetPartitions)
-        .write.mode("overwrite").parquet(s"$metaDir/tables/$relation/data-${v + 1}")
+        .withColumn("__arrival_date", to_date(col("arrival_timestamp")))
+        // keyed repartition: one task (→ one file) per date, up to
+        // targetPartitions tasks — compaction output stays partitioned
+        .repartition(targetPartitions, col("__arrival_date"))
+        .write.partitionBy("__arrival_date").mode("overwrite")
+        .parquet(s"$metaDir/tables/$relation/data-${v + 1}")
       writeAtomic(tablePtrPath(relation), s"data-${v + 1}")
-      listDir(Paths.get(metaDir, "tables", relation)).foreach { p =>
-        val n = p.getFileName.toString
-        if (n.startsWith("data-") && n.stripPrefix("data-").forall(_.isDigit) &&
-            n.stripPrefix("data-").toLong < v)
-          rmTree(p.toFile)
-      }
+      dropTableVersionsBelow(relation, v)
     }
+
+  /** Recursive hard-link mirror: `dst` gets the same tree as `src` with
+    * every regular file hard-linked (same inodes — zero data copied or
+    * rewritten). The unit of O(1) partition carry-over in
+    * [[expireStreamTable]], the same metadata-only move a table format
+    * (Hive/Iceberg) does by rewriting only the partition manifest. */
+  private def linkTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit =
+    if (Files.isDirectory(src)) {
+      Files.createDirectories(dst)
+      listDir(src).foreach(c => linkTree(c, dst.resolve(c.getFileName)))
+    } else Files.createLink(dst, src)
 
   /** PipelineDB sliding-window view analog (`WITH (sw = '5 minutes')`):
     * a query-time view over only the rows that arrived within `width` of
@@ -678,17 +710,55 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
       col("arrival_timestamp") >= current_timestamp() - expr(s"INTERVAL $width"))
 
   /** PipelineDB TTL analog: physically drop stream-table rows whose
-    * arrival_timestamp is older than the TTL. ONLINE (versioned rewrite +
-    * pointer swap) — runs while the consumer keeps ingesting, which is
-    * exactly when a TTL'd stream needs reaping. At 100 TB the rewrite
-    * would be bounded by partitioning the table on arrival date and
-    * dropping whole partitions; here the full-filter rewrite keeps the
-    * demo simple. */
+    * arrival_timestamp is older than the TTL. ONLINE (versioned swap +
+    * pointer flip) — runs while the consumer keeps ingesting, which is
+    * exactly when a TTL'd stream needs reaping.
+    *
+    * O(dropped data), never O(table): the table is Hive-partitioned by
+    * arrival date, so per partition the reap is
+    *  - fully expired (date < cutoff date) → DROPPED by omission — the
+    *    partition is simply not carried into the next version; zero I/O;
+    *  - fully live (date > cutoff date) → HARD-LINKED into the next
+    *    version — metadata-only, data files untouched (the
+    *    drop-partition pattern of Hive/Iceberg manifests);
+    *  - the single BOUNDARY partition straddling the cutoff → the only
+    *    one whose rows are actually read and rewritten filtered.
+    * At continuous-ingest scale a daily reap therefore rewrites at most
+    * one day of data regardless of how much history the table holds. */
   def expireStreamTable(relation: String, ttl: String,
                         targetPartitions: Int = 8): Unit =
-    rewriteStreamTable(relation, targetPartitions)(
-      _.filter(col("arrival_timestamp") >=
-               current_timestamp() - expr(s"INTERVAL $ttl")))
+    tableLock(relation).synchronized {
+      val curDir = tableDataDir(relation)
+      if (!Files.exists(Paths.get(curDir))) return // nothing ingested yet
+      val v = Paths.get(curDir).getFileName.toString.stripPrefix("data-").toLong
+      // cutoff instant AND its date string evaluated by ONE Spark query so
+      // both use the session time zone the partition values were written in
+      val cutRow = spark.sql(
+        s"SELECT current_timestamp() - INTERVAL $ttl AS t, " +
+          s"CAST(to_date(current_timestamp() - INTERVAL $ttl) AS STRING) AS d")
+        .head()
+      val cutTs = cutRow.getTimestamp(0)
+      val cutDate = cutRow.getString(1)
+      val newName = s"data-${v + 1}"
+      val newDir = Paths.get(metaDir, "tables", relation, newName)
+      Files.createDirectories(newDir)
+      listDir(Paths.get(curDir))
+        .filter(_.getFileName.toString.startsWith("__arrival_date="))
+        .foreach { p =>
+          val d = p.getFileName.toString.stripPrefix("__arrival_date=")
+          // ISO dates compare correctly as strings
+          if (d > cutDate) linkTree(p, newDir.resolve(p.getFileName.toString))
+          else if (d == cutDate)
+            spark.read.schema(tableSchema(relation)).parquet(p.toString)
+              .filter(col("arrival_timestamp") >= lit(cutTs))
+              .repartition(targetPartitions)
+              .write.mode("overwrite")
+              .parquet(newDir.resolve(p.getFileName.toString).toString)
+          // else: dead partition — dropped by omission
+        }
+      writeAtomic(tablePtrPath(relation), newName)
+      dropTableVersionsBelow(relation, v)
+    }
 
   /** Compact a stream table: streaming append writes one file per
     * micro-batch per shard, which at continuous-ingest scale degrades
@@ -826,7 +896,12 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
           .outputMode("append")
           .foreachBatch { (batch: DataFrame, _: Long) =>
             tableLock(relation).synchronized {
-              batch.write.mode("append").parquet(tableDataDir(relation))
+              // Hive-partitioned by arrival date: the layout that makes
+              // TTL expiry O(dropped data) — see expireStreamTable
+              batch.withColumn("__arrival_date",
+                  to_date(col("arrival_timestamp")))
+                .write.partitionBy("__arrival_date").mode("append")
+                .parquet(tableDataDir(relation))
             }
           }
           .option("checkpointLocation", s"$metaDir/checkpoints/${c.id}/__table")

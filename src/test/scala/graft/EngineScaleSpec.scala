@@ -522,6 +522,57 @@ class EngineScaleSpec extends SparkSpec {
       "replayed batch overwrote its own delta dir — no duplication")
   }
 
+  test("TTL expiry drops dead date partitions whole, hard-links live ones untouched") {
+    val root = tmpDir("ttl-root"); val meta = tmpDir("ttl-meta")
+    val dir = s"$root/s"
+    val zone = java.time.ZoneId.systemDefault()
+    val todayMid = java.time.LocalDate.now(zone).atStartOfDay(zone)
+      .toInstant.toEpochMilli
+    val day = 86400 * 1000L; val hour = 3600 * 1000L
+    def put(recs: Seq[(String, String)], at: Long): Unit =
+      ShardedLog.appendBytes(dir, 0,
+        recs.map { case (k, v) => (k, v.getBytes("UTF-8")) }, arrivalMillis = at)
+    // cutoff will be (today−1) 12:00 — three partition fates:
+    put(Seq(("a", "dead")), todayMid - 2 * day + 10 * hour)         // drop whole
+    put(Seq(("b", "boundary-old")), todayMid - day + 11 * hour)     // filtered out
+    put(Seq(("c", "boundary-new")), todayMid - day + 13 * hour)     // rewritten, kept
+    put(Seq(("d", "live")), System.currentTimeMillis())             // linked untouched
+    val eng = new KinesisEngine(spark, meta)
+    eng.addEndpoint("ep", "r", url = root)
+    eng.createStream("ttl_stream", StructType(Seq(StructField("payload", StringType))))
+    eng.consumeBegin("ep", "s", "ttl_stream", format = "text")
+    eng.processAllAvailable() // consumer stays RUNNING through the reap
+    def parts(d: String): Seq[String] = new java.io.File(d).listFiles()
+      .filter(_.getName.startsWith("__arrival_date=")).map(_.getName).sorted.toSeq
+    val cur = eng.tableDataDir("ttl_stream")
+    assert(parts(cur).size === 3, "3 date partitions ingested")
+    val liveName = parts(cur).last
+    val liveBefore = new java.io.File(cur, liveName).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toPath).sortBy(_.toString).toSeq
+    assert(liveBefore.nonEmpty)
+    val ttlMs = System.currentTimeMillis() - (todayMid - day + 12 * hour)
+    eng.expireStreamTable("ttl_stream", s"$ttlMs MILLISECONDS", targetPartitions = 1)
+    val cur2 = eng.tableDataDir("ttl_stream")
+    assert(cur2 !== cur, "versioned swap")
+    assert(!parts(cur2).contains(parts(cur).head), "dead partition dropped whole")
+    val liveAfter = new java.io.File(cur2, liveName).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toPath).sortBy(_.toString).toSeq
+    assert(liveBefore.map(_.getFileName.toString) ===
+           liveAfter.map(_.getFileName.toString),
+      "live partition carries the same file listing")
+    assert(liveBefore.zip(liveAfter).forall { case (a, b) =>
+        java.nio.file.Files.isSameFile(a, b) },
+      "live partition files are hard links — same inodes, zero rewrite")
+    assert(eng.streamTable("ttl_stream").collect()
+      .map(_.getString(0)).sorted.toSeq === Seq("boundary-new", "live"),
+      "only the boundary partition was filtered; dead rows gone")
+    // the running consumer keeps ingesting into the new version
+    put(Seq(("e", "post")), System.currentTimeMillis())
+    eng.processAllAvailable()
+    assert(eng.streamTable("ttl_stream").count() === 3L)
+    eng.consumeEndAll()
+  }
+
   test("re-created consumer (fresh checkpoint) never serves stale aggregates") {
     // ADVICE r4: removeConsumer deletes checkpoints but keeps surviving
     // view deltas; a re-created consumer restarts batch ids at 0, and

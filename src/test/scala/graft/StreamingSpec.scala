@@ -319,8 +319,13 @@ class StreamingSpec extends SparkSpec {
       if (i < 4) { eng.consumeEndAll() }
     }
     eng.consumeEndAll()
-    def nFiles = new java.io.File(eng.tableDataDir("cmp_stream"))
-      .listFiles().count(f => f.getName.endsWith(".parquet"))
+    // files live under __arrival_date=… partition dirs — count recursively
+    def countParquet(f: java.io.File): Int =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+          .map(countParquet).sum
+      else if (f.getName.endsWith(".parquet")) 1 else 0
+    def nFiles = countParquet(new java.io.File(eng.tableDataDir("cmp_stream")))
     val before = nFiles
     assert(before >= 5, s"expected ≥5 small files, got $before")
     eng.compactStreamTable("cmp_stream", targetPartitions = 1)
