@@ -13,8 +13,9 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Emulated sharded record log — the Kinesis-wire-protocol stand-in.
   *
-  * Layout: `<path>/shard-<i>.log`, length-prefixed binary records (format
-  * v2): `[arrivalMillis:long][pkLen:int][pk utf8][dataLen:int][data raw]`,
+  * Layout (format v3): `<path>/shard-<i>.log` = the 8-byte magic
+  * `GRAFTLG3` followed by length-prefixed binary records
+  * `[arrivalMillis:long][pkLen:int][pk utf8][dataLen:int][data raw]`,
   * big-endian, length −1 encoding a null field. A record's sequence number
   * is its record index. This models the reference's
   * shard/sequence-number/iterator surface (reference
@@ -58,10 +59,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - driver-side scans ([[scanForward]]) walk record *headers* and skip
   *    payloads, so offset planning costs O(records), not O(bytes).
   *
-  * Offset-format compatibility: [[parseOffsetJson]] also accepts the
-  * legacy `{"shard":nextSeq}` bare-number form; the byte position is
-  * recovered once per shard with a bounded [[scanForward]] at
-  * deserialization ([[ShardedLogMicroBatchStream.deserializeOffset]]).
+  * Framing safety: every shard file begins with the 8-byte magic
+  * `GRAFTLG3`; a file in any other framing (the v1 escaped-text format, a
+  * foreign file) FAILS FAST at the first scan instead of being silently
+  * misparsed as binary records — the same fail-fast contract as the
+  * engine's catalog version header. The legacy `{"shard":nextSeq}`
+  * bare-number offset form is rejected for the same reason: such a
+  * checkpoint was written against a v1 text log, so "resolving" it by
+  * walking a v3 file could only produce garbage positions.
   */
 object ShardedLog {
   val SCHEMA: StructType = StructType(Seq(
@@ -73,10 +78,16 @@ object ShardedLog {
 
   val FORMAT = "graft.sources.ShardedLogProvider"
 
+  /** 8-byte file magic: shard files not starting with it fail fast (see
+    * class doc). The digit names the framing generation. */
+  val MAGIC: Array[Byte] =
+    "GRAFTLG3".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+  val HEADER: Long = MAGIC.length.toLong
+
   /** Position within one shard: byte offset (for seeking) and record
     * count (the user-visible sequence number). `bytes` always sits on a
-    * record boundary; `bytes == -1` marks a legacy offset whose byte
-    * position must be recovered by scanning `recs` records from 0. */
+    * record boundary; the sentinel 0 means "nothing consumed" (the first
+    * record starts at [[HEADER]] — scans and readers normalize). */
   case class ShardPos(bytes: Long, recs: Long)
 
   def shardFiles(dir: String): Seq[java.io.File] = {
@@ -117,9 +128,35 @@ object ShardedLog {
       else { out.writeInt(data.length); out.write(data) }
     }
     out.flush()
-    val f = new java.io.FileOutputStream(new java.io.File(d, s"shard-$shard.log"), true)
-    try f.write(bos.toByteArray) finally f.close()
+    // Single-writer-per-shard (the Kinesis shard model): the creating
+    // writer stamps the magic header before its first records.
+    val file = new java.io.File(d, s"shard-$shard.log")
+    val headerNeeded = !file.exists() || file.length() == 0L
+    val f = new java.io.FileOutputStream(file, true)
+    try {
+      if (headerNeeded) f.write(MAGIC)
+      f.write(bos.toByteArray)
+    } finally f.close()
   }
+
+  /** Fail fast on any file not in GRAFTLG3 framing (v1 escaped-text logs,
+    * foreign files) — mirrors the engine's catalog version check. Empty
+    * files pass: the header is stamped with the first append. */
+  private def verifyMagic(file: java.io.File): Unit = {
+    if (file.length() == 0L) return
+    val b = new Array[Byte](MAGIC.length)
+    val raf = new java.io.RandomAccessFile(file, "r")
+    try {
+      if (file.length() < HEADER) throw badFraming(file)
+      raf.readFully(b)
+    } finally raf.close()
+    if (!java.util.Arrays.equals(b, MAGIC)) throw badFraming(file)
+  }
+
+  private def badFraming(file: java.io.File) = new IllegalStateException(
+    s"$file: unrecognized shard-log framing (expected ${HEADER}-byte " +
+      "'GRAFTLG3' magic). This log was written by an incompatible graft " +
+      "version or is not a graft shard log — migrate or remove it.")
 
   /** Test instrumentation: cumulative bytes consumed by driver-side
     * [[scanForward]] calls. Lets specs assert the scale contract directly:
@@ -134,13 +171,17 @@ object ShardedLog {
     * skips payload bytes. */
   def scanForward(file: java.io.File, fromBytes: Long, maxRecs: Long): ShardPos = {
     val len = file.length() // stable snapshot under concurrent appends
-    if (fromBytes >= len || maxRecs <= 0) return ShardPos(fromBytes, 0L)
+    if (len == 0L || maxRecs <= 0) return ShardPos(fromBytes, 0L)
+    // position 0 is the logical start: verify the magic once, then begin
+    // at the first record boundary behind it
+    val start = if (fromBytes == 0L) { verifyMagic(file); HEADER } else fromBytes
+    if (start >= len) return ShardPos(start, 0L)
     val in = new java.io.FileInputStream(file)
     try {
-      in.getChannel.position(fromBytes)
+      in.getChannel.position(start)
       val din = new java.io.DataInputStream(new java.io.BufferedInputStream(in, 1 << 16))
-      var pos = fromBytes
-      var last = fromBytes
+      var pos = start
+      var last = start
       var recs = 0L
       var ok = true
       while (ok && recs < maxRecs && pos + 12 <= len) {
@@ -157,17 +198,19 @@ object ShardedLog {
           else { din.skipNBytes(dSkip); pos = end; last = end; recs += 1 }
         }
       }
-      bytesScanned.addAndGet(last - fromBytes)
+      bytesScanned.addAndGet(last - start)
       ShardPos(last, recs)
     } finally in.close()
   }
 
-  /** Arrival timestamp (epoch millis) of the record starting at `bytePos`,
-    * or None if the position is past EOF / mid-append. O(1) — one seek. */
+  /** Arrival timestamp (epoch millis) of the record starting at `bytePos`
+    * (0 = first record), or None if the position is past EOF /
+    * mid-append. O(1) — one seek. */
   def arrivalTsAt(file: java.io.File, bytePos: Long): Option[Long] = {
-    if (bytePos < 0 || bytePos + 8 > file.length()) return None
+    val pos = if (bytePos == 0L) HEADER else bytePos
+    if (pos < 0 || pos + 8 > file.length()) return None
     val raf = new java.io.RandomAccessFile(file, "r")
-    try { raf.seek(bytePos); Some(raf.readLong()) } finally raf.close()
+    try { raf.seek(pos); Some(raf.readLong()) } finally raf.close()
   }
 
   /** Full positions of every shard (one complete scan — observability /
@@ -203,27 +246,22 @@ object ShardedLog {
   private val OffsetEntry =
     """"((?:[^"\\]|\\.)*)"\s*:\s*(?:\[\s*(-?\d+)\s*,\s*(-?\d+)\s*\]|(-?\d+))""".r
 
-  /** Parses both the current `{"shard":[bytes,recs]}` form and the legacy
-    * `{"shard":nextSeq}` bare-number form (checkpoint written by the
-    * previous offset format); legacy entries come back with `bytes = -1`
-    * and are resolved against the log by [[resolveLegacy]]. */
+  /** Parses the `{"shard":[bytes,recs]}` offset form. The legacy
+    * `{"shard":nextSeq}` bare-number form FAILS FAST: such a checkpoint
+    * was written against a v1 escaped-text log, which the current binary
+    * framing cannot scan — "resolving" it would silently compute garbage
+    * positions. */
   def parseOffsetJson(s: String): Map[String, ShardPos] =
     OffsetEntry.findAllMatchIn(s).map { m =>
       val k = m.group(1)
-      if (m.group(4) != null) k -> ShardPos(-1L, m.group(4).toLong)
-      else k -> ShardPos(m.group(2).toLong, m.group(3).toLong)
+      if (m.group(4) != null) throw new IllegalStateException(
+        s"offset checkpoint entry for '$k' uses the legacy bare-number " +
+          "form, written by a graft version with escaped-text shard logs " +
+          "— that checkpoint cannot pair with GRAFTLG3 logs. Remove the " +
+          "old checkpoint (the consumer restarts from start_seq) or " +
+          "migrate the log.")
+      k -> ShardPos(m.group(2).toLong, m.group(3).toLong)
     }.toMap
-
-  /** Recover byte positions for legacy (`bytes == -1`) offsets with a
-    * one-time bounded scan of the first `recs` records. */
-  def resolveLegacy(dir: String, pos: Map[String, ShardPos]): Map[String, ShardPos] =
-    pos.map { case (shard, p) =>
-      if (p.bytes >= 0) shard -> p
-      else {
-        val f = new java.io.File(dir, shard)
-        shard -> (if (f.exists()) scanForward(f, 0L, p.recs) else ShardPos(0L, 0L))
-      }
-    }
 
   /** Group per-shard slices into at most `parallelism` tasks (round-robin;
     * 0 = one task per shard). The reference's parallelism knob caps worker
@@ -338,7 +376,7 @@ class ShardedLogMicroBatchStream(path: String, batchsize: Long, startPos: String
       "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
 
   override def deserializeOffset(json: String): Offset =
-    ShardedLogOffset(ShardedLog.resolveLegacy(path, ShardedLog.parseOffsetJson(json)))
+    ShardedLogOffset(ShardedLog.parseOffsetJson(json))
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[ShardedLogOffset].pos
@@ -384,11 +422,15 @@ object ShardedLogReaderFactory extends PartitionReaderFactory {
         sliceIdx += 1
         if (sliceIdx >= slices.length) return false
         val p = slices(sliceIdx)
-        // seek straight to the slice: no prefix re-read, Long-safe positions
+        // seek straight to the slice: no prefix re-read, Long-safe
+        // positions; fromBytes 0 is the logical start, i.e. the first
+        // record boundary behind the magic header (verified driver-side
+        // by the scanForward that planned these bounds)
+        val startByte = if (p.fromBytes == 0L) ShardedLog.HEADER else p.fromBytes
         val in = new java.io.FileInputStream(new java.io.File(p.path, p.shard))
-        in.getChannel.position(p.fromBytes)
+        in.getChannel.position(startByte)
         din = new java.io.DataInputStream(new java.io.BufferedInputStream(in, 1 << 16))
-        remaining = p.untilBytes - p.fromBytes
+        remaining = p.untilBytes - startByte
         seq = p.fromRec - 1
         shardName = UTF8String.fromString(p.shard.stripSuffix(".log"))
         true

@@ -1057,8 +1057,7 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
             else {
               // offset-log format: v1 header, metadata json, then one
               // offset json line per source — ours is the
-              // {shard: [bytePos, nextSeq]} map (legacy bare-number form
-              // accepted, bytes resolved below). readAllLines closes.
+              // {shard: [bytePos, nextSeq]} map. readAllLines closes.
               import scala.jdk.CollectionConverters._
               Files.readAllLines(offF).asScala.toSeq.drop(2)
                 .filter(l => l.startsWith("{") && l.contains(":"))
@@ -1093,10 +1092,8 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
             if (behindRecs == null) null
             else if (behindRecs.longValue() == 0L) java.lang.Long.valueOf(0L)
             else dirOpt.flatMap { d =>
-              val f = new java.io.File(d, shard)
-              val pb = if (p.bytes >= 0) p.bytes
-                       else ShardedLog.scanForward(f, 0L, p.recs).bytes // legacy
-              ShardedLog.arrivalTsAt(f, pb).map(ts => math.max(now - ts, 0L))
+              ShardedLog.arrivalTsAt(new java.io.File(d, shard), p.bytes)
+                .map(ts => math.max(now - ts, 0L))
             }.map(java.lang.Long.valueOf).orNull
           (id, shard.stripSuffix(".log"), p.recs, behindRecs, millis)
         }

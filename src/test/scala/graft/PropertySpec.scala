@@ -59,7 +59,7 @@ class PropertySpec extends AnyFunSuite {
       val gotData = if (row.isNullAt(3)) null else row.getBinary(3)
       val more = reader.next()
       reader.close()
-      f.length() == 16L + pkBytes + dataBytes &&
+      f.length() == ShardedLog.HEADER + 16L + pkBytes + dataBytes &&
         pos == ShardedLog.ShardPos(f.length(), 1L) &&
         ok && !more &&
         row.getLong(4) == 1234567890123L * 1000L &&
@@ -69,21 +69,23 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
-  test("legacy bare-number offset JSON parses alongside the [bytes,recs] form") {
-    // backward compat with checkpoints written by the {shard: nextSeq}
-    // offset format: bare numbers surface as bytes = -1 (resolved against
-    // the log by resolveLegacy / deserializeOffset)
-    val m = ShardedLog.parseOffsetJson("""{"shard-0.log":7,"shard-1.log":[30,2]}""")
-    assert(m === Map("shard-0.log" -> ShardedLog.ShardPos(-1L, 7L),
-                     "shard-1.log" -> ShardedLog.ShardPos(30L, 2L)))
-    val dir = java.nio.file.Files.createTempDirectory("legacyoff").toString
-    ShardedLog.append(dir, 0, (0 until 10).map(i => (s"k$i", s"v$i")))
-    val f = new java.io.File(dir, "shard-0.log")
-    val want = ShardedLog.scanForward(f, 0L, 7L)
-    val resolved = ShardedLog.resolveLegacy(dir,
-      Map("shard-0.log" -> ShardedLog.ShardPos(-1L, 7L)))
-    assert(resolved === Map("shard-0.log" -> want))
-    assert(want.recs === 7L)
+  test("legacy bare-number offsets and foreign log framing fail fast") {
+    // a bare-number checkpoint could only have been written against the
+    // v1 escaped-text log format; "resolving" it by walking a binary log
+    // would silently yield garbage positions — so it must refuse loudly
+    val e = intercept[IllegalStateException](
+      ShardedLog.parseOffsetJson("""{"shard-0.log":7,"shard-1.log":[30,2]}"""))
+    assert(e.getMessage.contains("bare-number"))
+    assert(ShardedLog.parseOffsetJson("""{"shard-1.log":[30,2]}""") ===
+      Map("shard-1.log" -> ShardedLog.ShardPos(30L, 2L)))
+    // a shard file in any other framing (here: the v1 escaped-text form)
+    // fails fast at the first scan, like the catalog version header
+    val dir = java.nio.file.Files.createTempDirectory("badframing")
+    val f = dir.resolve("shard-0.log")
+    java.nio.file.Files.writeString(f, "k1\tv1\t1234567890123\nk2\tv2\t1234567890124\n")
+    val e2 = intercept[IllegalStateException](
+      ShardedLog.scanForward(f.toFile, 0L, Long.MaxValue))
+    assert(e2.getMessage.contains("GRAFTLG3"))
   }
 
   test("md5 prefix hash stays within [0, 16^n) for any string") {

@@ -496,8 +496,8 @@ class StreamingSpec extends SparkSpec {
     // v2 framing stores payloads verbatim: 16-byte header + pk + data —
     // the base64 detour (+33%) of the escaped-text framing is gone
     val f = new java.io.File(s"$root/s", "shard-0.log")
-    assert(f.length() === (16 + 2 + payload.length) + (16 + 2),
-      "on-disk size is header + raw bytes, zero inflation")
+    assert(f.length() === ShardedLog.HEADER + (16 + 2 + payload.length) + (16 + 2),
+      "on-disk size is magic + record headers + raw bytes, zero inflation")
     val eng = new KinesisEngine(spark, meta)
     eng.addEndpoint("ep", "r", url = root)
     eng.createStream("bin_stream", StructType(Seq(StructField("payload", BinaryType))))
