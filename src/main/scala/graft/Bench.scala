@@ -31,9 +31,13 @@ object Bench {
     // min over iterations: single runs at this scale carry ±50% JIT/GC
     // noise that would swamp real regressions in the round-over-round diff.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
+    // comma-separated allowlist for single-query iteration; unset = all
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.foreach { case (name, fn) =>
+      if (only.forall(_.contains(name))) {
       // A failing query is recorded as an error, never as a timing: its
       // time-to-exception would otherwise masquerade as a fast run and a
       // new failure would read as an "improvement" in the round diff.
@@ -61,6 +65,7 @@ object Bench {
       // region, so it costs wall-clock only, not benched seconds.
       System.gc()
       Thread.sleep(250)
+      }
     }
     val qs = timings.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
