@@ -49,6 +49,25 @@ class DedupEdgeSpec extends SparkSpec {
     assert(rows.head.getLong(1) === 2L && rows.head.getLong(2) === 4L)
   }
 
+  test("q_dedup_cluster collapses transitive near-dup groups to one keeper") {
+    import spark.implicits._
+    val d = tmpDir("dedup-cluster")
+    Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i j"),   // dup of 1
+      (3L, "a b c d e f g h i j"),   // dup of 1 and 2 — must NOT yield two keepers
+      (4L, "k l m n o p q r s t"),
+      (5L, "k l m n o p q r s t"),   // dup of 4, different cluster
+      (6L, "u v w x y z aa bb cc dd") // unique: no edges, not a cluster member
+    ).toDF("doc_id", "text").coalesce(1)
+      .write.parquet(s"$d/documents.parquet")
+    val rows = Dedup.queries("q_dedup_cluster")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(rows === Seq((1L, 1L, 1), (2L, 1L, 0), (3L, 1L, 0),
+                        (4L, 4L, 1), (5L, 4L, 0)),
+      "one keeper per component (min doc_id); singletons are absent")
+  }
+
   test("graft_shingles of NULL text is an empty array, not null") {
     import spark.implicits._
     // parity with the when/otherwise + transform chain it replaced: a
