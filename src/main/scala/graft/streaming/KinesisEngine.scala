@@ -217,8 +217,8 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
   }
 
   def removeEndpoint(name: String): Unit = synchronized {
-    require(!consumers.valuesIterator.exists(_.endpoint == name) ||
-            !running.keySet.exists(id => consumers.valuesIterator.exists(c => c.id == id && c.endpoint == name)),
+    require(!consumers.valuesIterator.exists(c =>
+        c.endpoint == name && running.contains(c.id)),
       s"endpoint $name has running consumers")
     endpoints.remove(name)
     saveCatalog()
@@ -704,10 +704,21 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
   /** PipelineDB sliding-window view analog (`WITH (sw = '5 minutes')`):
     * a query-time view over only the rows that arrived within `width` of
     * now — results age out continuously without any state mutation, the
-    * same read-time-filter semantics PipelineDB uses for sw views. */
-  def slidingView(relation: String, width: String): DataFrame =
-    streamTable(relation).filter(
-      col("arrival_timestamp") >= current_timestamp() - expr(s"INTERVAL $width"))
+    * same read-time-filter semantics PipelineDB uses for sw views.
+    *
+    * The window filter is applied on the DATE PARTITION column first
+    * (a superset of the timestamp cut), so the scan prunes whole date
+    * partitions: a 5-minute window over a year of history reads one or
+    * two days of files, not the table. */
+  def slidingView(relation: String, width: String): DataFrame = {
+    val cutoff = current_timestamp() - expr(s"INTERVAL $width")
+    spark.read.schema(tableSchema(relation)
+        .add(StructField("__arrival_date", org.apache.spark.sql.types.DateType)))
+      .parquet(tableDataDir(relation))
+      .filter(col("__arrival_date") >= to_date(cutoff)) // partition prune
+      .filter(col("arrival_timestamp") >= cutoff)
+      .drop("__arrival_date")
+  }
 
   /** PipelineDB TTL analog: physically drop stream-table rows whose
     * arrival_timestamp is older than the TTL. ONLINE (versioned swap +
@@ -764,9 +775,46 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
     * micro-batch per shard, which at continuous-ingest scale degrades
     * every downstream scan (the small-files problem). ONLINE: rewrites
     * into `targetPartitions` files behind the version pointer while the
-    * consumer keeps appending. */
+    * consumer keeps appending. O(table) — for continuous maintenance use
+    * [[compactStreamTablePartition]], which touches only the partition
+    * that is actually accumulating files. */
   def compactStreamTable(relation: String, targetPartitions: Int = 8): Unit =
     rewriteStreamTable(relation, targetPartitions)(identity)
+
+  /** Compact ONE date partition (Iceberg-style partial compaction):
+    * every other partition is carried into the next version by hard link
+    * (metadata-only), the target is rewritten into `targetPartitions`
+    * files. This is the O(one partition) maintenance op a continuously
+    * ingesting table needs — small files only ever accumulate in the
+    * partition currently receiving appends, so folding just that one
+    * bounds scan degradation without ever rewriting history. The engine
+    * runs it automatically on the current date every `autoCompactEvery`
+    * table batches. */
+  def compactStreamTablePartition(relation: String, date: String,
+                                  targetPartitions: Int = 8): Unit =
+    tableLock(relation).synchronized {
+      val curDir = tableDataDir(relation)
+      if (!Files.exists(Paths.get(curDir))) return
+      val target = s"__arrival_date=$date"
+      val tgtPath = Paths.get(curDir, target)
+      if (!Files.exists(tgtPath)) return // nothing ingested for that date
+      val v = Paths.get(curDir).getFileName.toString.stripPrefix("data-").toLong
+      val newName = s"data-${v + 1}"
+      val newDir = Paths.get(metaDir, "tables", relation, newName)
+      Files.createDirectories(newDir)
+      listDir(Paths.get(curDir))
+        .filter(_.getFileName.toString.startsWith("__arrival_date="))
+        .foreach { p =>
+          if (p.getFileName.toString == target)
+            spark.read.schema(tableSchema(relation)).parquet(p.toString)
+              .repartition(targetPartitions)
+              .write.mode("overwrite")
+              .parquet(newDir.resolve(target).toString)
+          else linkTree(p, newDir.resolve(p.getFileName.toString))
+        }
+      writeAtomic(tablePtrPath(relation), newName)
+      dropTableVersionsBelow(relation, v)
+    }
 
   // --- data plane ---------------------------------------------------------
 
@@ -894,7 +942,7 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
           // table (their appends union, each with its own checkpoint)
           .queryName(s"${relation}__table__${c.id}")
           .outputMode("append")
-          .foreachBatch { (batch: DataFrame, _: Long) =>
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
             tableLock(relation).synchronized {
               // Hive-partitioned by arrival date: the layout that makes
               // TTL expiry O(dropped data) — see expireStreamTable
@@ -902,6 +950,17 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
                   to_date(col("arrival_timestamp")))
                 .write.partitionBy("__arrival_date").mode("append")
                 .parquet(tableDataDir(relation))
+            }
+            // online small-files maintenance: fold ONLY the active (max
+            // date) partition — history is never rewritten
+            if (autoCompactEvery > 0 && batchId > 0 &&
+                batchId % autoCompactEvery == 0) {
+              val dates = listDir(Paths.get(tableDataDir(relation)))
+                .map(_.getFileName.toString)
+                .filter(_.startsWith("__arrival_date="))
+                .map(_.stripPrefix("__arrival_date="))
+              if (dates.nonEmpty)
+                compactStreamTablePartition(relation, dates.max)
             }
           }
           .option("checkpointLocation", s"$metaDir/checkpoints/${c.id}/__table")

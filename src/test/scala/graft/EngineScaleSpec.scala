@@ -573,6 +573,71 @@ class EngineScaleSpec extends SparkSpec {
     eng.consumeEndAll()
   }
 
+  test("slidingView prunes dead date partitions at scan time") {
+    val root = tmpDir("prune-root"); val meta = tmpDir("prune-meta")
+    val dir = s"$root/s"
+    ShardedLog.appendBytes(dir, 0, Seq(("a", "old".getBytes("UTF-8"))),
+      arrivalMillis = System.currentTimeMillis() - 3L * 86400 * 1000)
+    ShardedLog.appendBytes(dir, 0, Seq(("b", "new".getBytes("UTF-8"))),
+      arrivalMillis = System.currentTimeMillis())
+    val eng = new KinesisEngine(spark, meta)
+    eng.addEndpoint("ep", "r", url = root)
+    eng.createStream("pr_stream", StructType(Seq(StructField("payload", StringType))))
+    eng.consumeBegin("ep", "s", "pr_stream", format = "text")
+    eng.processAllAvailable(); eng.consumeEndAll()
+    val df = eng.slidingView("pr_stream", "1 HOUR")
+    assert(df.collect().map(_.getString(0)).toSeq === Seq("new"))
+    // the window filter must reach the scan as a PARTITION filter — a
+    // 5-minute window over a year of history reads a day, not the table
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+           plan.split("PartitionFilters", 2)(1).takeWhile(_ != ']')
+             .contains("__arrival_date"),
+      s"expected __arrival_date in PartitionFilters:\n$plan")
+  }
+
+  test("active-partition table compaction folds small files, never rewrites history") {
+    val root = tmpDir("tpc-root"); val meta = tmpDir("tpc-meta")
+    val dir = s"$root/s"
+    // autoCompactEvery=2: the engine folds the active partition online
+    val eng = new KinesisEngine(spark, meta, autoCompactEvery = 2)
+    eng.addEndpoint("ep", "r", url = root)
+    eng.createStream("tpc_stream", StructType(Seq(StructField("payload", StringType))))
+    ShardedLog.appendBytes(dir, 0, Seq(("a", "old".getBytes("UTF-8"))),
+      arrivalMillis = System.currentTimeMillis() - 3L * 86400 * 1000)
+    eng.consumeBegin("ep", "s", "tpc_stream", format = "text")
+    eng.processAllAvailable()
+    def parts(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.startsWith("__arrival_date=")).map(_.getName).sorted.toSeq
+    val oldPart = parts(eng.tableDataDir("tpc_stream")).head
+    // capture (name, inode): version dirs come and go under grace
+    // cleanup, but a hard-linked carry-over preserves the inode
+    def inodes(dir: java.io.File): Seq[(String, Any)] =
+      dir.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName ->
+          java.nio.file.Files.getAttribute(f.toPath, "unix:ino"))
+        .sortBy(_._1).toSeq
+    val oldFiles = inodes(
+      new java.io.File(eng.tableDataDir("tpc_stream"), oldPart))
+    for (i <- 1 to 5) { // 5 more batches, all landing today
+      ShardedLog.append(dir, 0, Seq((s"k$i", s"v$i")))
+      eng.processAllAvailable()
+    }
+    val cur = eng.tableDataDir("tpc_stream")
+    assert(!cur.endsWith("data-0"),
+      "auto partition-compaction advanced the table version during ingest")
+    val active = parts(cur).last
+    val activeFiles = new java.io.File(cur, active).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(activeFiles < 5, s"active partition folded ($activeFiles files)")
+    val oldAfter = inodes(new java.io.File(cur, oldPart))
+    assert(oldFiles === oldAfter,
+      "historical partition carried by hard link across compactions — " +
+        "same file names, same inodes, zero rewrite")
+    assert(eng.streamTable("tpc_stream").count() === 6L, "no rows lost")
+    eng.consumeEndAll()
+  }
+
   test("re-created consumer (fresh checkpoint) never serves stale aggregates") {
     // ADVICE r4: removeConsumer deletes checkpoints but keeps surviving
     // view deltas; a re-created consumer restarts batch ids at 0, and
