@@ -417,7 +417,12 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
   }
 
   /** Physically drop bucket partials that have aged out of the window —
-    * the sw-view TTL (PipelineDB reaps expired sw groups the same way).
+    * the sw-view TTL (PipelineDB reaps expired sw groups the same way) —
+    * AND fold the surviving delta log to one row per live (bucket, keys)
+    * group, i.e. compaction and expiry in one rewrite. The engine runs
+    * this automatically for sliding views on the auto-compaction cadence,
+    * so standing state is bounded by the live window (O(width/slide ×
+    * keys)), never O(stream history), on a query that runs forever.
     * ONLINE like [[compactViewTable]]: versioned rewrite + pointer swap,
     * safe while the view's query runs. */
   def expireSlidingViewTable(name: String, targetPartitions: Int = 8): Unit = {
@@ -426,8 +431,12 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
       val curDir = viewDeltaDir(name)
       if (!Files.exists(Paths.get(curDir))) return
       val v = Paths.get(curDir).getFileName.toString.stripPrefix("delta-").toLong
-      readDeltaLog(curDir)
+      val delta = readDeltaLog(curDir)
+      val maxRow = delta.agg(max("__batch")).head()
+      if (maxRow.isNullAt(0)) return // only empty batches so far
+      mergeDeltas(delta, readViewMeta(name))
         .filter(col("__bucket.end") > current_timestamp() - expr(s"INTERVAL $width"))
+        .withColumn("__batch", lit(maxRow.getLong(0)))
         .repartition(targetPartitions)
         .write.mode("overwrite").parquet(s"$metaDir/views/$name/delta-${v + 1}")
       writeAtomic(viewPtrPath(name), s"delta-${v + 1}")
@@ -999,6 +1008,9 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
             val gen = if (maxBatchId(ckpt.resolve("offsets")).isEmpty)
               prevGen + 1 else prevGen
             if (gen != prevGen) writeAtomic(genPath, gen.toString)
+            // sliding views fold AND reap on the compaction cadence —
+            // standing state stays O(live window), not O(history)
+            val isSw = Files.exists(swMetaPath(vname))
             aggDf.writeStream.queryName(vname)
               .outputMode(if (keysOpt.isDefined) "update" else "append")
               .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -1020,10 +1032,13 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
                 }
                 // online fold: bounds read-time merge cost to
                 // O(groups + autoCompactEvery batch deltas) on a stream
-                // that never stops
+                // that never stops; sliding views additionally drop
+                // aged-out buckets in the same rewrite
                 if (autoCompactEvery > 0 && batchId > 0 &&
-                    batchId % autoCompactEvery == 0)
-                  compactViewTable(vname)
+                    batchId % autoCompactEvery == 0) {
+                  if (isSw) expireSlidingViewTable(vname)
+                  else compactViewTable(vname)
+                }
               }
         }
         writer.option("checkpointLocation",
@@ -1055,6 +1070,142 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
   /** Block until every running view has processed all currently-available
     * records (test/demo synchronization point). */
   def processAllAvailable(): Unit = activeQueries.foreach(_.processAllAvailable())
+
+  // --- SQL front-end (the reference's actual UX) ---------------------------
+
+  private val FnCall =
+    """(?is)^SELECT\s+(?:pipeline_kinesis\.)?(add_endpoint|remove_endpoint|consume_begin|consume_end)\s*\((.*)\)\s*$""".r
+  private val CreateStream =
+    """(?is)^CREATE\s+STREAM\s+([A-Za-z_]\w*)\s*\((.*)\)\s*$""".r
+  private val CreateView =
+    """(?is)^CREATE\s+CONTINUOUS\s+(VIEW|TRANSFORM)\s+([A-Za-z_]\w*)\s+AS\s+(.*)$""".r
+  private val CreateSwView =
+    """(?is)^CREATE\s+CONTINUOUS\s+VIEW\s+([A-Za-z_]\w*)\s+WITH\s*\(\s*sw\s*=.*$""".r
+  private val DropView = """(?is)^DROP\s+CONTINUOUS\s+VIEW\s+([A-Za-z_]\w*)\s*$""".r
+  private val DropStream = """(?is)^DROP\s+STREAM\s+([A-Za-z_]\w*)\s*$""".r
+  // argument literals: [E]'string' | number | NULL (commas inside strings
+  // are safe — we scan tokens, we don't split)
+  private val ArgTok = """(?i)(?:[eE])?'((?:[^']|'')*)'|(-?\d+)|(NULL)""".r
+
+  private def parseArgs(argList: String): Seq[Option[String]] =
+    ArgTok.findAllMatchIn(argList).map { m =>
+      if (m.group(3) != null) None
+      else if (m.group(2) != null) Some(m.group(2))
+      else Some(m.group(1).replace("''", "'")
+        .replace("\\t", "\t").replace("\\n", "\n"))
+    }.toSeq
+
+  /** Postgres column types → Spark DDL (only the spellings Spark's own
+    * parser doesn't already accept). */
+  private def pgTypesToSpark(cols: String): String =
+    cols
+      .replaceAll("(?i)\\bdouble\\s+precision\\b", "double")
+      .replaceAll("(?i)\\btimestamp(tz)?\\s+with(out)?\\s+time\\s+zone\\b", "timestamp")
+      .replaceAll("(?i)\\btimestamptz\\b", "timestamp")
+      .replaceAll("(?i)\\btext\\b", "string")
+      .replaceAll("(?i)\\bbytea\\b", "binary")
+      .replaceAll("(?i)\\bbigserial\\b", "long")
+      .replaceAll("(?i)\\bserial\\b", "int")
+
+  private def result1(v: String): DataFrame = {
+    import spark.implicits._
+    Seq(v).toDF("result")
+  }
+
+  /** The SQL surface a pipeline_kinesis user already has, verbatim
+    * (pipeline_kinesis--0.9.0.sql:33-83 function signatures; PipelineDB
+    * CREATE STREAM / CREATE CONTINUOUS VIEW|TRANSFORM / DROP DDL from
+    * reference README.md:60-117) — so a reference deployment's scripts
+    * run against the engine with the engine as the SQL endpoint:
+    *
+    *  - `SELECT pipeline_kinesis.add_endpoint('ep','region'[,credfile,url])`
+    *  - `SELECT pipeline_kinesis.consume_begin('ep','stream','rel'
+    *    [,format,delimiter,quote,escape,batchsize,parallelism,start_seq])`,
+    *    0-arg `consume_begin()` / `consume_end()` = the `_all` variants
+    *  - `CREATE STREAM s (payload text, ...)` (Postgres column types)
+    *  - `CREATE CONTINUOUS VIEW v AS SELECT …` /
+    *    `CREATE CONTINUOUS TRANSFORM t AS SELECT …` (the target stream is
+    *    the statement's FROM relation; transform-vs-view materialization
+    *    is inferred from the plan exactly as in the Scala API)
+    *  - `DROP CONTINUOUS VIEW v`, `DROP STREAM s`
+    *  - anything else runs as a query with every catalog object readable:
+    *    views by name, streams by name (their persistent tables), and
+    *    `pipeline_kinesis.seqnums`.
+    *
+    * Sliding-window (`WITH (sw = …)`) DDL is rejected with a pointer to
+    * [[createSlidingView]] — its aggregate list must be declared
+    * explicitly in this engine. */
+  def sql(stmt: String): DataFrame = {
+    val s = stmt.trim.stripSuffix(";").trim
+    s match {
+      case CreateSwView(name) => throw new IllegalArgumentException(
+        s"CREATE CONTINUOUS VIEW $name WITH (sw = …): declare sliding views " +
+          "via createSlidingView(name, relation, keys, aggs, width, slide) " +
+          "— the combinable aggregate list is explicit in this engine")
+      case FnCall(fn, argList) =>
+        val a = parseArgs(argList)
+        fn.toLowerCase match {
+          case "add_endpoint" =>
+            require(a.size >= 2, "add_endpoint(name, region[, credfile, url])")
+            addEndpoint(a(0).get, a(1).get,
+              a.lift(2).flatten.orNull, a.lift(3).flatten.orNull)
+            result1(a(0).get)
+          case "remove_endpoint" =>
+            require(a.size == 1, "remove_endpoint(name)")
+            removeEndpoint(a(0).get); result1(a(0).get)
+          case "consume_begin" if a.isEmpty =>
+            consumeBeginAll(); result1("ok")
+          case "consume_begin" =>
+            require(a.size >= 3, "consume_begin(endpoint, stream, relation, …)")
+            val id = consumeBegin(a(0).get, a(1).get, a(2).get,
+              format = a.lift(3).flatten.getOrElse("text"),
+              delimiter = a.lift(4).flatten.getOrElse("\t"),
+              quote = a.lift(5).flatten.orNull,
+              escape = a.lift(6).flatten.orNull,
+              batchsize = a.lift(7).flatten.map(_.toLong).getOrElse(1000L),
+              parallelism = a.lift(8).flatten.map(_.toInt).getOrElse(1),
+              // reference: start_seq NULL = trim_horizon (pipeline_kinesis.c:922-925)
+              startSeq = a.lift(9).flatten.map(_.toLong).getOrElse(-2L))
+            result1(id.toString)
+          case "consume_end" if a.isEmpty =>
+            consumeEndAll(); result1("ok")
+          case "consume_end" =>
+            require(a.size == 3, "consume_end(endpoint, stream, relation)")
+            consumeEnd(a(0).get, a(1).get, a(2).get); result1("ok")
+        }
+      case CreateStream(name, cols) =>
+        createStream(name, StructType.fromDDL(pgTypesToSpark(cols)))
+        result1(name)
+      case CreateView(kind, name, select) =>
+        // the view's stream is the statement's FROM relation (PipelineDB
+        // resolves it the same way); first FROM target that is a stream
+        val rel = """(?is)\bFROM\s+([A-Za-z_]\w*)""".r
+          .findAllMatchIn(select).map(_.group(1))
+          .find(r => synchronized(streams.contains(r)))
+          .getOrElse(throw new IllegalArgumentException(
+            s"CREATE CONTINUOUS ${kind.toUpperCase} $name: no declared " +
+              "stream in the FROM clause"))
+        createContinuousViewSql(name, rel, select)
+        result1(name)
+      case DropView(name) => dropView(name); result1(name)
+      case DropStream(name) => dropStream(name); result1(name)
+      case query =>
+        // plain query: make the catalog readable, then defer to Spark SQL
+        val q = query.replaceAll("(?i)pipeline_kinesis\\.seqnums",
+          "graft_seqnums")
+        if (q != query) seqnums.createOrReplaceTempView("graft_seqnums")
+        val (vs, sts) = synchronized((views.keys.toSeq, streams.keys.toSeq))
+        vs.foreach { v =>
+          if (q.matches(s"(?is).*\\b$v\\b.*"))
+            scala.util.Try(viewTable(v).createOrReplaceTempView(v))
+        }
+        sts.foreach { st =>
+          if (q.matches(s"(?is).*\\b$st\\b.*"))
+            scala.util.Try(streamTable(st).createOrReplaceTempView(st))
+        }
+        spark.sql(q)
+    }
+  }
 
   // --- observability (seqnums view, README.md:119-126) --------------------
 

@@ -232,6 +232,33 @@ class EngineScaleSpec extends SparkSpec {
       "avg folds (sum,count) partials weighted across live buckets only")
   }
 
+  test("sliding views auto-reap dead buckets on the compaction cadence") {
+    val root = tmpDir("swar-root"); val meta = tmpDir("swar-meta")
+    val dir = s"$root/s"
+    val eng = new KinesisEngine(spark, meta, autoCompactEvery = 2)
+    eng.addEndpoint("ep", "r", url = root)
+    eng.createStream("swar_stream", StructType(Seq(StructField("payload", StringType))))
+    eng.createSlidingView("swar_view", "swar_stream", keys = Seq("payload"),
+      aggs = Seq("n" -> "count"), width = "1 HOUR", slide = "5 minutes")
+    ShardedLog.appendBytes(dir, 0, Seq(("a", "x".getBytes("UTF-8"))),
+      arrivalMillis = System.currentTimeMillis() - 7200 * 1000L) // dead bucket
+    eng.consumeBegin("ep", "s", "swar_stream", format = "text")
+    eng.processAllAvailable()
+    for (i <- 1 to 3) { // live batches; the fold at batch 2 also reaps
+      ShardedLog.append(dir, 0, Seq((s"k$i", "y")))
+      eng.processAllAvailable()
+    }
+    val raw = spark.read.option("recursiveFileLookup", "true")
+      .parquet(eng.viewDeltaDir("swar_view"))
+    assert(raw.filter(col("__bucket.end") <=
+        current_timestamp() - expr("INTERVAL 1 HOUR")).count() === 0L,
+      "aged-out bucket physically dropped without any explicit expiry call" +
+        " — standing state is bounded by the live window on a 24/7 stream")
+    assert(eng.slidingViewTable("swar_view").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap === Map("y" -> 3L))
+    eng.consumeEndAll()
+  }
+
   test("delta log auto-compacts online — no consumer stop, bounded merge cost") {
     val root = tmpDir("ac-root"); val meta = tmpDir("ac-meta")
     val eng = new KinesisEngine(spark, meta, autoCompactEvery = 2)

@@ -1,0 +1,80 @@
+package graft
+
+import graft.sources.ShardedLog
+import graft.streaming.KinesisEngine
+
+/** The reference's SQL surface, end to end: a pipeline_kinesis user's
+  * session script (reference README.md:60-126) runs verbatim against
+  * `eng.sql` — add_endpoint → CREATE STREAM → CREATE CONTINUOUS VIEW →
+  * consume_begin → query the view → seqnums → consume_end → DROP. */
+class SqlFrontendSpec extends SparkSpec {
+
+  test("a reference SQL session runs against eng.sql verbatim") {
+    val root = tmpDir("sqlfe-root"); val meta = tmpDir("sqlfe-meta")
+    ShardedLog.append(s"$root/s", 0, Seq(("k1", "x"), ("k2", "y"), ("k3", "x")))
+    val eng = new KinesisEngine(spark, meta)
+
+    eng.sql(s"SELECT pipeline_kinesis.add_endpoint('ep', 'us-west-2', NULL, '$root');")
+    eng.sql("CREATE STREAM foo_stream (payload text)")
+    eng.sql("CREATE CONTINUOUS VIEW foo_view AS " +
+      "SELECT payload, count(*) AS n FROM foo_stream GROUP BY payload")
+    val id = eng.sql("SELECT pipeline_kinesis.consume_begin('ep', 's', 'foo_stream')")
+      .head().getString(0)
+    assert(id.toInt >= 1, "consume_begin returns the consumer id, like the reference")
+    eng.processAllAvailable()
+
+    // the view is queryable by name, exactly like `SELECT * FROM foo_view`
+    val rows = eng.sql("SELECT * FROM foo_view ORDER BY payload").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(rows === Seq("x" -> 2L, "y" -> 1L))
+
+    // observability view under its reference-qualified name
+    val sq = eng.sql("SELECT * FROM pipeline_kinesis.seqnums ORDER BY shard_id")
+      .collect()
+    assert(sq.length === 1 && sq.head.getLong(2) === 3L)
+
+    // stateless CREATE CONTINUOUS TRANSFORM: append materialization
+    eng.sql("CREATE CONTINUOUS TRANSFORM foo_upper AS " +
+      "SELECT upper(payload) AS p FROM foo_stream")
+    eng.sql("SELECT pipeline_kinesis.consume_begin('ep', 's', 'foo_stream')")
+    eng.processAllAvailable()
+    assert(eng.sql("SELECT * FROM foo_upper ORDER BY p").collect()
+      .map(_.getString(0)).toSeq === Seq("X", "X", "Y"))
+
+    // full-signature consume_begin with Postgres-style E'\t' delimiter
+    eng.sql("CREATE STREAM bar_stream (payload text)")
+    eng.sql("SELECT pipeline_kinesis.consume_begin('ep', 's', 'bar_stream', " +
+      "'text', E'\\t', NULL, NULL, 500, 2, NULL)")
+    eng.processAllAvailable()
+    assert(eng.sql("SELECT count(*) AS c FROM bar_stream").head().getLong(0) === 3L)
+
+    // sliding-window DDL points at the explicit API instead of misparsing
+    val e = intercept[IllegalArgumentException](eng.sql(
+      "CREATE CONTINUOUS VIEW sw_v WITH (sw = '1 hour') AS SELECT count(*) FROM foo_stream"))
+    assert(e.getMessage.contains("createSlidingView"))
+
+    // teardown via the same surface
+    eng.sql("SELECT pipeline_kinesis.consume_end()")
+    eng.sql("DROP CONTINUOUS VIEW foo_upper")
+    eng.sql("DROP CONTINUOUS VIEW foo_view")
+    eng.removeConsumer("ep", "s", "foo_stream")
+    eng.removeConsumer("ep", "s", "bar_stream")
+    eng.sql("DROP STREAM foo_stream")
+    eng.sql("DROP STREAM bar_stream")
+    assert(eng.listStreams.isEmpty)
+    eng.sql("SELECT pipeline_kinesis.remove_endpoint('ep')")
+    assert(eng.listEndpoints.isEmpty)
+  }
+
+  test("CREATE STREAM accepts Postgres column types") {
+    val meta = tmpDir("sqlfe2-meta")
+    val eng = new KinesisEngine(spark, meta)
+    eng.sql("CREATE STREAM typed_stream (a text, b bigint, c double precision, " +
+      "d bytea, e timestamptz, f integer)")
+    val sch = eng.listStreams("typed_stream")
+    import org.apache.spark.sql.types._
+    assert(sch.fields.map(_.dataType).toSeq === Seq(StringType, LongType,
+      DoubleType, BinaryType, TimestampType, IntegerType))
+    eng.sql("DROP STREAM typed_stream")
+  }
+}
