@@ -1,5 +1,6 @@
 package graft.sources
 
+import java.security.MessageDigest
 import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
@@ -157,6 +158,31 @@ object ShardedLog {
     s"$file: unrecognized shard-log framing (expected ${HEADER}-byte " +
       "'GRAFTLG3' magic). This log was written by an incompatible graft " +
       "version or is not a graft shard log — migrate or remove it.")
+
+  /** Producer-side PutRecords analog with the Kinesis routing rule: each
+    * record lands on the shard selected by the MD5 of its partition key
+    * (the hash-range semantics of the real service) — same key, same
+    * shard, so per-key ordering holds end to end without the producer
+    * ever naming a shard. Encounter order is preserved within each
+    * shard's append. */
+  def putRecords(dir: String, nShards: Int,
+                 records: Seq[(String, Array[Byte])],
+                 arrivalMillis: Long = System.currentTimeMillis()): Unit = {
+    require(nShards > 0, "nShards must be positive")
+    records.foreach { case (pk, _) =>
+      require(pk != null, "partition key is required (Kinesis PutRecord)") }
+    val md = MessageDigest.getInstance("MD5")
+    def shardOf(pk: String): Int = {
+      md.reset()
+      val d = md.digest(pk.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 8 digest bytes as a big-endian long, mapped into [0, nShards)
+      val h = java.nio.ByteBuffer.wrap(d, 0, 8).getLong
+      math.floorMod(h, nShards.toLong).toInt
+    }
+    records.groupBy(r => shardOf(r._1)).toSeq.sortBy(_._1).foreach {
+      case (shard, recs) => appendBytes(dir, shard, recs, arrivalMillis)
+    }
+  }
 
   /** Test instrumentation: cumulative bytes consumed by driver-side
     * [[scanForward]] calls. Lets specs assert the scale contract directly:

@@ -415,6 +415,28 @@ class StreamingSpec extends SparkSpec {
     assert(eng.streamTable("sw_stream").count() === 0)
   }
 
+  test("putRecords routes by partition-key hash — same key, same shard, in order") {
+    val dir = tmpDir("kin-put")
+    val recs = (1 to 200).map(i => (s"pk${i % 10}", s"v$i".getBytes("UTF-8")))
+    ShardedLog.putRecords(dir, 4, recs)
+    val df = spark.read.format(ShardedLog.FORMAT).option("path", dir).load()
+    val rows = df.select("shard_id", "partition_key", "sequence_number", "data")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+                 new String(r.getAs[Array[Byte]](3), "UTF-8")))
+    assert(rows.length === 200, "every record lands exactly once")
+    // Kinesis hash-range rule: a key maps to exactly one shard
+    val shardsPerKey = rows.groupBy(_._2).view.mapValues(_.map(_._1).toSet)
+    assert(shardsPerKey.values.forall(_.size == 1))
+    assert(shardsPerKey.values.flatten.toSet.size > 1,
+      "keys spread over multiple shards")
+    // per-key ordering holds end to end (order within the shard file)
+    shardsPerKey.keys.foreach { pk =>
+      val vs = rows.filter(_._2 == pk).sortBy(_._3).map(_._4.drop(1).toInt)
+      assert(vs.sameElements(vs.sorted), s"per-key order preserved for $pk")
+    }
+  }
+
   test("batch read of the sharded log (A8 parity)") {
     val dir = tmpDir("kin-batchread")
     ShardedLog.append(dir, 0, Seq(("a", "1"), ("b", "2")))
