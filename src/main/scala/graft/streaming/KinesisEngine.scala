@@ -227,6 +227,14 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
   def createStream(relation: String, schema: StructType): Unit = synchronized {
     require(!schema.fieldNames.contains("arrival_timestamp"),
       "arrival_timestamp is implicit and cannot be declared") // pipeline_kinesis.c:249-256
+    // re-declaring with the SAME schema is an idempotent no-op; CHANGING
+    // the schema under existing consumers is refused — their running
+    // parse and the already-written stream table would silently disagree
+    // with new readers (ALTER-under-dependents, which Postgres refuses too)
+    require(!streams.get(relation).exists(_ != schema) ||
+            !consumers.valuesIterator.exists(_.relation == relation),
+      s"stream '$relation' has consumers — consume_end and remove them " +
+        "before changing its schema")
     streams(relation) = schema
     saveCatalog()
   }
@@ -708,7 +716,12 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
     if (Files.isDirectory(src)) {
       Files.createDirectories(dst)
       listDir(src).foreach(c => linkTree(c, dst.resolve(c.getFileName)))
-    } else Files.createLink(dst, src)
+    } else try Files.createLink(dst, src) catch {
+      // filesystem without hard links: carry by copy — correct, just not
+      // metadata-only (parquet files are immutable either way)
+      case _: UnsupportedOperationException =>
+        Files.copy(src, dst, java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
+    }
 
   /** PipelineDB sliding-window view analog (`WITH (sw = '5 minutes')`):
     * a query-time view over only the rows that arrived within `width` of

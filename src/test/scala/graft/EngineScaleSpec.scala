@@ -600,6 +600,28 @@ class EngineScaleSpec extends SparkSpec {
     eng.consumeEndAll()
   }
 
+  test("createStream refuses a schema change under existing consumers") {
+    val root = tmpDir("scg-root"); val meta = tmpDir("scg-meta")
+    val eng = new KinesisEngine(spark, meta)
+    eng.addEndpoint("ep", "r", url = root)
+    val one = StructType(Seq(StructField("payload", StringType)))
+    eng.createStream("scg_stream", one)
+    ShardedLog.append(s"$root/s", 0, Seq(("a", "x")))
+    eng.consumeBegin("ep", "s", "scg_stream", format = "text")
+    eng.processAllAvailable()
+    eng.createStream("scg_stream", one) // same schema: idempotent no-op
+    val e = intercept[IllegalArgumentException](eng.createStream("scg_stream",
+      StructType(Seq(StructField("payload", StringType),
+                     StructField("extra", IntegerType)))))
+    assert(e.getMessage.contains("consumers"))
+    eng.consumeEnd("ep", "s", "scg_stream")
+    eng.removeConsumer("ep", "s", "scg_stream")
+    eng.createStream("scg_stream", StructType(Seq(
+      StructField("payload", StringType), StructField("extra", IntegerType))))
+    assert(eng.listStreams("scg_stream").fieldNames.toSeq ===
+      Seq("payload", "extra"), "schema change allowed once consumers are gone")
+  }
+
   test("slidingView prunes dead date partitions at scan time") {
     val root = tmpDir("prune-root"); val meta = tmpDir("prune-meta")
     val dir = s"$root/s"
