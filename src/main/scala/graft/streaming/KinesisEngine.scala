@@ -1208,12 +1208,14 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
           "graft_seqnums")
         if (q != query) seqnums.createOrReplaceTempView("graft_seqnums")
         val (vs, sts) = synchronized((views.keys.toSeq, streams.keys.toSeq))
+        def mentions(name: String): Boolean =
+          q.matches("(?is).*\\b" + java.util.regex.Pattern.quote(name) + "\\b.*")
         vs.foreach { v =>
-          if (q.matches(s"(?is).*\\b$v\\b.*"))
+          if (mentions(v))
             scala.util.Try(viewTable(v).createOrReplaceTempView(v))
         }
         sts.foreach { st =>
-          if (q.matches(s"(?is).*\\b$st\\b.*"))
+          if (mentions(st))
             scala.util.Try(streamTable(st).createOrReplaceTempView(st))
         }
         spark.sql(q)

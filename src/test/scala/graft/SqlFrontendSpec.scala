@@ -66,6 +66,30 @@ class SqlFrontendSpec extends SparkSpec {
     assert(eng.listEndpoints.isEmpty)
   }
 
+  test("continuous views can join the stream against a dimension table") {
+    // PipelineDB CVs may join a stream with regular tables; here the
+    // dimension is any table registered in the Spark session and the CV
+    // is declared in SQL over both
+    val root = tmpDir("sjoin-root"); val meta = tmpDir("sjoin-meta")
+    ShardedLog.append(s"$root/s", 0, Seq(("a", "us"), ("b", "de"), ("c", "us")))
+    val eng = new KinesisEngine(spark, meta)
+    import spark.implicits._
+    Seq(("us", "United States"), ("de", "Germany"))
+      .toDF("code", "country").createOrReplaceTempView("dim_country")
+    eng.sql(s"SELECT pipeline_kinesis.add_endpoint('ep', 'r', NULL, '$root')")
+    eng.sql("CREATE STREAM geo_stream (code text)")
+    eng.sql("CREATE CONTINUOUS VIEW geo_view AS " +
+      "SELECT d.country, count(*) AS n FROM geo_stream g " +
+      "JOIN dim_country d ON g.code = d.code GROUP BY d.country")
+    eng.sql("SELECT pipeline_kinesis.consume_begin('ep', 's', 'geo_stream')")
+    eng.processAllAvailable()
+    assert(eng.sql("SELECT * FROM geo_view ORDER BY country").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq ===
+        Seq("Germany" -> 1L, "United States" -> 2L),
+      "stream-table join maintained incrementally")
+    eng.sql("SELECT pipeline_kinesis.consume_end()")
+  }
+
   test("CREATE STREAM accepts Postgres column types") {
     val meta = tmpDir("sqlfe2-meta")
     val eng = new KinesisEngine(spark, meta)
