@@ -452,6 +452,33 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
     }
   }
 
+  /** PipelineDB output streams (`SELECT … FROM output_of('v')`,
+    * reference-side PipelineDB docs): every group update the view's
+    * standing query emits is ALSO appended, as a JSON record, to a
+    * derived stream log at `<metaDir>/outputs/<view>/shard-0.log` —
+    * consumable by the ORDINARY machinery, which is what makes
+    * continuous pipelines (CV over CV) work:
+    * {{{
+    *   eng.createOutputStream("v1")              // BEFORE consume_begin
+    *   eng.addEndpoint("out", "local", url = s"\$metaDir/outputs")
+    *   eng.createStream("v1_updates", <v1's output schema>)
+    *   eng.createContinuousView("v2", "v1_updates", …)
+    *   eng.consumeBegin("out", "v1", "v1_updates", format = "json")
+    * }}}
+    * Delivery into the output log is at-least-once under batch replay
+    * (like PipelineDB's delta streams); downstream views de-duplicate
+    * through their own merge exactly like any stream. The append is
+    * driver-side by construction — the local shard log's writer IS the
+    * put-record client — and carries only the groups the trigger touched,
+    * the same rows just written as the parquet delta. */
+  def createOutputStream(view: String): Unit = synchronized {
+    Files.createDirectories(Paths.get(metaDir, "views", view))
+    writeAtomic(Paths.get(metaDir, "views", view, "_graft_output"), "1")
+  }
+
+  private def outputStreamPath(view: String) =
+    Paths.get(metaDir, "views", view, "_graft_output")
+
   /** CREATE CONTINUOUS TRANSFORM parity (PipelineDB's second CV kind): a
     * stateless per-row transform over the stream whose output rows are
     * all kept — exactly the no-aggregate path of the incremental
@@ -1024,6 +1051,7 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
             // sliding views fold AND reap on the compaction cadence —
             // standing state stays O(live window), not O(history)
             val isSw = Files.exists(swMetaPath(vname))
+            val emitsOutput = Files.exists(outputStreamPath(vname))
             aggDf.writeStream.queryName(vname)
               .outputMode(if (keysOpt.isDefined) "update" else "append")
               .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -1042,6 +1070,18 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
                     batch.withColumn("__batch", lit(stamped))
                       .write.mode("overwrite")
                       .parquet(s"${viewDeltaDir(vname)}/b$stamped")
+                }
+                // output stream (CV-over-CV chaining): forward this
+                // trigger's group updates into the view's derived log as
+                // JSON records — O(touched groups), driver-side like any
+                // put-record client (see createOutputStream)
+                if (emitsOutput) {
+                  val rows = batch.select(to_json(struct(
+                      batch.columns.map(col): _*)).as("j")).collect()
+                  if (rows.nonEmpty)
+                    ShardedLog.appendBytes(s"$metaDir/outputs/$vname", 0,
+                      rows.map(r => (vname, r.getString(0)
+                        .getBytes(java.nio.charset.StandardCharsets.UTF_8))))
                 }
                 // online fold: bounds read-time merge cost to
                 // O(groups + autoCompactEvery batch deltas) on a stream

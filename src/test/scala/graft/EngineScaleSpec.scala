@@ -600,6 +600,38 @@ class EngineScaleSpec extends SparkSpec {
     eng.consumeEndAll()
   }
 
+  test("output streams chain continuous views (CV over CV)") {
+    val root = tmpDir("os-root"); val meta = tmpDir("os-meta")
+    val eng = new KinesisEngine(spark, meta)
+    eng.addEndpoint("ep", "r", url = root)
+    eng.addEndpoint("out", "r", url = s"$meta/outputs")
+    eng.createStream("os_stream", StructType(Seq(StructField("payload", StringType))))
+    eng.createContinuousView("os_v1", "os_stream", _.groupBy("payload").count())
+    eng.createOutputStream("os_v1") // PipelineDB output_of('os_v1')
+    eng.createStream("os_updates", StructType(Seq(
+      StructField("payload", StringType), StructField("count", LongType))))
+    eng.createContinuousView("os_v2", "os_updates",
+      _.groupBy("payload").agg(max(col("count")).as("latest"),
+                               count(lit(1)).as("n_updates")))
+    ShardedLog.append(s"$root/s", 0, Seq(("a", "x"), ("b", "x"), ("c", "y")))
+    eng.consumeBegin("ep", "s", "os_stream", format = "text")
+    eng.processAllAvailable() // hop 1: os_v1 aggregates, emits updates
+    eng.consumeBegin("out", "os_v1", "os_updates", format = "json")
+    eng.processAllAvailable() // hop 2: os_v2 consumes the update stream
+    val v2 = eng.viewTable("os_v2").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(v2 === Map("x" -> ((2L, 1L)), "y" -> ((1L, 1L))),
+      "downstream view sees each group's emitted value exactly once")
+    ShardedLog.append(s"$root/s", 0, Seq(("d", "x")))
+    eng.processAllAvailable(); eng.processAllAvailable() // two hops
+    val v2b = eng.viewTable("os_v2").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(v2b === Map("x" -> ((3L, 2L)), "y" -> ((1L, 1L))),
+      "a new source record propagates through the whole pipeline: " +
+        "x's update event arrives downstream with the new count")
+    eng.consumeEndAll()
+  }
+
   test("createStream refuses a schema change under existing consumers") {
     val root = tmpDir("scg-root"); val meta = tmpDir("scg-meta")
     val eng = new KinesisEngine(spark, meta)
