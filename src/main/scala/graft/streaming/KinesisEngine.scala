@@ -1133,7 +1133,21 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
   private val CreateView =
     """(?is)^CREATE\s+CONTINUOUS\s+(VIEW|TRANSFORM)\s+([A-Za-z_]\w*)\s+AS\s+(.*)$""".r
   private val CreateSwView =
-    """(?is)^CREATE\s+CONTINUOUS\s+VIEW\s+([A-Za-z_]\w*)\s+WITH\s*\(\s*sw\s*=.*$""".r
+    """(?is)^CREATE\s+CONTINUOUS\s+VIEW\s+([A-Za-z_]\w*)\s+WITH\s*\(\s*sw\s*=\s*'([^']+)'\s*(?:,\s*slide\s*=\s*'([^']+)'\s*)?\)\s+AS\s+(.*)$""".r
+  private val SwSelect =
+    """(?is)^SELECT\s+(.*?)\s+FROM\s+([A-Za-z_]\w*)\s*(?:GROUP\s+BY\s+.*)?$""".r
+  private val SwKeyItem = """(?s)^([A-Za-z_]\w*)$""".r
+  private val SwCountItem = """(?is)^count\(\s*\*\s*\)\s+AS\s+(\w+)$""".r
+  private val SwAggItem =
+    """(?is)^(sum|min|max|avg)\(\s*([A-Za-z_]\w*)\s*\)\s+AS\s+(\w+)$""".r
+
+  private def swDdlError(name: String, detail: String) =
+    new IllegalArgumentException(
+      s"CREATE CONTINUOUS VIEW $name WITH (sw = …): $detail. The sw DDL " +
+        "grammar is: SELECT <key cols and combinable aggregates " +
+        "(count(*) | sum|min|max|avg(col), each AS-aliased)> FROM " +
+        "<stream> [GROUP BY …] — for anything richer use " +
+        "createSlidingView(name, relation, keys, aggs, width, slide)")
   private val DropView = """(?is)^DROP\s+CONTINUOUS\s+VIEW\s+([A-Za-z_]\w*)\s*$""".r
   private val DropStream = """(?is)^DROP\s+STREAM\s+([A-Za-z_]\w*)\s*$""".r
   // argument literals: [E]'string' | number | NULL (commas inside strings
@@ -1185,16 +1199,37 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
     *    views by name, streams by name (their persistent tables), and
     *    `pipeline_kinesis.seqnums`.
     *
-    * Sliding-window (`WITH (sw = …)`) DDL is rejected with a pointer to
-    * [[createSlidingView]] — its aggregate list must be declared
-    * explicitly in this engine. */
+    * Sliding-window DDL (`WITH (sw = '1 hour' [, slide = '5 minutes'])`)
+    * accepts the restricted combinable grammar — key columns plus
+    * AS-aliased `count(*)` / `sum|min|max|avg(col)` — and declares a
+    * [[createSlidingView]]; PipelineDB auto-derives the step
+    * (sw_step_factor), here the bucket defaults to '1 minute' unless
+    * `slide` is given. Anything outside the grammar fails with a pointer
+    * to the explicit API rather than misparsing. */
   def sql(stmt: String): DataFrame = {
     val s = stmt.trim.stripSuffix(";").trim
     s match {
-      case CreateSwView(name) => throw new IllegalArgumentException(
-        s"CREATE CONTINUOUS VIEW $name WITH (sw = …): declare sliding views " +
-          "via createSlidingView(name, relation, keys, aggs, width, slide) " +
-          "— the combinable aggregate list is explicit in this engine")
+      case CreateSwView(name, width, slideOpt, select) =>
+        select.trim match {
+          case SwSelect(itemList, rel) =>
+            require(synchronized(streams.contains(rel)),
+              s"'$rel' is not a declared stream")
+            val items = itemList.split(",").map(_.trim).toSeq
+            val keys = items.collect { case SwKeyItem(k) => k }
+            val aggs = items.collect {
+              case SwCountItem(alias) => alias -> "count"
+              case SwAggItem(fn, c, alias) => alias -> s"${fn.toLowerCase}:$c"
+            }
+            val bad = items.filterNot(i =>
+              SwKeyItem.matches(i) || SwCountItem.matches(i) || SwAggItem.matches(i))
+            if (bad.nonEmpty || aggs.isEmpty)
+              throw swDdlError(name, if (aggs.isEmpty) "no combinable aggregate"
+                else s"unsupported select item '${bad.head}'")
+            createSlidingView(name, rel, keys, aggs, width,
+              Option(slideOpt).getOrElse("1 minute"))
+            result1(name)
+          case _ => throw swDdlError(name, "cannot parse the SELECT")
+        }
       case FnCall(fn, argList) =>
         val a = parseArgs(argList)
         fn.toLowerCase match {

@@ -90,6 +90,29 @@ class SqlFrontendSpec extends SparkSpec {
     eng.sql("SELECT pipeline_kinesis.consume_end()")
   }
 
+  test("CREATE CONTINUOUS VIEW WITH (sw = …) declares a sliding view in SQL") {
+    val root = tmpDir("swsql-root"); val meta = tmpDir("swsql-meta")
+    val dir = s"$root/s"
+    def put(recs: Seq[(String, String)], ageMs: Long): Unit =
+      ShardedLog.appendBytes(dir, 0,
+        recs.map { case (k, v) => (k, v.getBytes("UTF-8")) },
+        arrivalMillis = System.currentTimeMillis() - ageMs)
+    put(Seq(("a", "x,100")), 7200 * 1000L)                   // ages out
+    put(Seq(("b", "x,10"), ("c", "x,20"), ("d", "y,7")), 30 * 1000L)
+    val eng = new KinesisEngine(spark, meta)
+    eng.sql(s"SELECT pipeline_kinesis.add_endpoint('ep', 'r', NULL, '$root')")
+    eng.sql("CREATE STREAM swsql_stream (k text, v integer)")
+    eng.sql("CREATE CONTINUOUS VIEW swsql_view " +
+      "WITH (sw = '1 HOUR', slide = '5 minutes') AS " +
+      "SELECT k, count(*) AS n, avg(v) AS mean FROM swsql_stream GROUP BY k")
+    eng.sql("SELECT pipeline_kinesis.consume_begin('ep', 's', 'swsql_stream', 'csv', ',')")
+    eng.processAllAvailable(); eng.consumeEndAll()
+    val m = eng.slidingViewTable("swsql_view").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(m === Map("x" -> ((2L, 15.0)), "y" -> ((1L, 7.0))),
+      "SQL-declared sliding view ages out the 2-hour-old record")
+  }
+
   test("CREATE STREAM accepts Postgres column types") {
     val meta = tmpDir("sqlfe2-meta")
     val eng = new KinesisEngine(spark, meta)
