@@ -1150,6 +1150,12 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
         "createSlidingView(name, relation, keys, aggs, width, slide)")
   private val DropView = """(?is)^DROP\s+CONTINUOUS\s+VIEW\s+([A-Za-z_]\w*)\s*$""".r
   private val DropStream = """(?is)^DROP\s+STREAM\s+([A-Za-z_]\w*)\s*$""".r
+  // the consumer-removal idiom the reference documents: a DELETE on its
+  // consumers catalog table, keyed by the unique triple
+  private val DeleteConsumer =
+    ("""(?is)^DELETE\s+FROM\s+pipeline_kinesis\.consumers\s+WHERE\s+""" +
+     """endpoint\s*=\s*'([^']*)'\s+AND\s+"?stream"?\s*=\s*'([^']*)'\s+AND\s+""" +
+     """relation\s*=\s*'([^']*)'\s*$""").r
   // argument literals: [E]'string' | number | NULL (commas inside strings
   // are safe — we scan tokens, we don't split)
   private val ArgTok = """(?i)(?:[eE])?'((?:[^']|'')*)'|(-?\d+)|(NULL)""".r
@@ -1277,11 +1283,33 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
         result1(name)
       case DropView(name) => dropView(name); result1(name)
       case DropStream(name) => dropStream(name); result1(name)
+      case DeleteConsumer(ep, st, rel) =>
+        removeConsumer(ep, st, rel); result1("ok")
       case query =>
         // plain query: make the catalog readable, then defer to Spark SQL
-        val q = query.replaceAll("(?i)pipeline_kinesis\\.seqnums",
+        var q = query.replaceAll("(?i)pipeline_kinesis\\.seqnums",
           "graft_seqnums")
         if (q != query) seqnums.createOrReplaceTempView("graft_seqnums")
+        val q1 = q.replaceAll("(?i)pipeline_kinesis\\.consumers",
+          "graft_consumers")
+        if (q1 != q) {
+          import spark.implicits._
+          listConsumers.map(c => (c.id, c.endpoint, c.stream, c.relation,
+              c.format, c.delimiter, c.batchsize, c.parallelism))
+            .toDF("id", "endpoint", "stream", "relation", "format",
+              "delimiter", "batchsize", "parallelism")
+            .createOrReplaceTempView("graft_consumers")
+          q = q1
+        }
+        val q2 = q.replaceAll("(?i)pipeline_kinesis\\.endpoints",
+          "graft_endpoints")
+        if (q2 != q) {
+          import spark.implicits._
+          listEndpoints.map(e => (e.name, e.region, e.credfile, e.url))
+            .toDF("name", "region", "credfile", "url")
+            .createOrReplaceTempView("graft_endpoints")
+          q = q2
+        }
         val (vs, sts) = synchronized((views.keys.toSeq, streams.keys.toSeq))
         def mentions(name: String): Boolean =
           q.matches("(?is).*\\b" + java.util.regex.Pattern.quote(name) + "\\b.*")

@@ -53,12 +53,20 @@ class SqlFrontendSpec extends SparkSpec {
       "CREATE CONTINUOUS VIEW sw_v WITH (sw = '1 hour') AS SELECT count(*) FROM foo_stream"))
     assert(e.getMessage.contains("createSlidingView"))
 
-    // teardown via the same surface
+    // the reference's catalog tables are plain SQL-queryable
+    assert(eng.sql("SELECT count(*) AS c FROM pipeline_kinesis.endpoints")
+      .head().getLong(0) === 1L)
+    assert(eng.sql("SELECT relation FROM pipeline_kinesis.consumers ORDER BY id")
+      .collect().map(_.getString(0)).toSeq === Seq("foo_stream", "bar_stream"))
+
+    // teardown via the same surface, including the reference's DELETE idiom
     eng.sql("SELECT pipeline_kinesis.consume_end()")
     eng.sql("DROP CONTINUOUS VIEW foo_upper")
     eng.sql("DROP CONTINUOUS VIEW foo_view")
-    eng.removeConsumer("ep", "s", "foo_stream")
-    eng.removeConsumer("ep", "s", "bar_stream")
+    eng.sql("DELETE FROM pipeline_kinesis.consumers WHERE endpoint = 'ep' " +
+      "AND stream = 's' AND relation = 'foo_stream'")
+    eng.sql("DELETE FROM pipeline_kinesis.consumers WHERE endpoint = 'ep' " +
+      "AND \"stream\" = 's' AND relation = 'bar_stream'")
     eng.sql("DROP STREAM foo_stream")
     eng.sql("DROP STREAM bar_stream")
     assert(eng.listStreams.isEmpty)
