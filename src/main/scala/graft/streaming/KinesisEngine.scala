@@ -1150,6 +1150,32 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
         "createSlidingView(name, relation, keys, aggs, width, slide)")
   private val DropView = """(?is)^DROP\s+CONTINUOUS\s+VIEW\s+([A-Za-z_]\w*)\s*$""".r
   private val DropStream = """(?is)^DROP\s+STREAM\s+([A-Za-z_]\w*)\s*$""".r
+  private val InsertStream =
+    """(?is)^INSERT\s+INTO\s+([A-Za-z_]\w*)\s*(?:\(([^)]*)\)\s*)?VALUES\s+(.*)$""".r
+  // literal tokens inside one VALUES row
+  private val ValTok =
+    """(?i)'((?:[^']|'')*)'|(-?\d+(?:\.\d+)?)|(NULL)|(TRUE|FALSE)""".r
+
+  /** Split a VALUES tail into its top-level parenthesized row groups,
+    * quote-aware (parens inside string literals don't count). */
+  private def valueRows(tail: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0; var inQ = false; var start = -1
+    var i = 0
+    while (i < tail.length) {
+      val c = tail.charAt(i)
+      if (inQ) { if (c == '\'') inQ = false }
+      else c match {
+        case '\'' => inQ = true
+        case '(' => if (depth == 0) start = i + 1; depth += 1
+        case ')' => depth -= 1; if (depth == 0) { out += tail.substring(start, i) }
+        case _ =>
+      }
+      i += 1
+    }
+    out.result()
+  }
+
   // the consumer-removal idiom the reference documents: a DELETE on its
   // consumers catalog table, keyed by the unique triple
   private val DeleteConsumer =
@@ -1183,6 +1209,73 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
   private def result1(v: String): DataFrame = {
     import spark.implicits._
     Seq(v).toDF("result")
+  }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case ch if ch < ' ' => f"\\u${ch.toInt}%04x"
+      case ch => ch.toString
+    } + "\""
+
+  /** PipelineDB's `INSERT INTO stream VALUES …` idiom. PipelineDB streams
+    * are in-database buses; here data enters through the shard log, so
+    * the INSERT routes through the stream's (unique) bound consumer: rows
+    * serialize in that consumer's declared format, append to its
+    * endpoint's log with the first column's text as the partition key
+    * ([[ShardedLog.putRecords]] hash-range routing), and then flow
+    * through parse → views exactly like any put record. */
+  private def insertIntoStream(relation: String, colList: Option[String],
+                               valuesTail: String): DataFrame = synchronized {
+    val schema = streams.getOrElse(relation,
+      throw new IllegalArgumentException(s"no stream '$relation'"))
+    val bound = consumers.values.filter(_.relation == relation).toSeq
+    require(bound.size == 1,
+      s"INSERT INTO $relation: exactly one consumer must bind the stream " +
+        s"to a log (found ${bound.size}) — consume_begin first; the INSERT " +
+        "routes through that consumer's endpoint and format")
+    val c = bound.head
+    val ep = endpoints(c.endpoint)
+    val cols = colList.map(_.split(",").map(_.trim).toSeq)
+      .getOrElse(schema.fieldNames.toSeq)
+    val idx = cols.map(n => schema.fieldNames.indexOf(n))
+    require(idx.forall(_ >= 0),
+      s"unknown column among (${cols.mkString(", ")}) for stream '$relation'")
+    val rows = valueRows(valuesTail)
+    require(rows.nonEmpty, "INSERT: no VALUES rows")
+    val recs = rows.map { r =>
+      val toks = ValTok.findAllMatchIn(r).map { m =>
+        if (m.group(3) != null) (null: String, "null")
+        else if (m.group(2) != null) (m.group(2), m.group(2))
+        else if (m.group(4) != null)
+          (m.group(4).toLowerCase, m.group(4).toLowerCase)
+        else { val v = m.group(1).replace("''", "'"); (v, jsonStr(v)) }
+      }.toSeq
+      require(toks.size == cols.size,
+        s"INSERT row ($r): ${toks.size} values for ${cols.size} columns")
+      val slotS = Array.fill[String](schema.size)(null)
+      val slotJ = Array.fill[String](schema.size)("null")
+      toks.zip(idx).foreach { case ((sv, jv), i) => slotS(i) = sv; slotJ(i) = jv }
+      val data = c.format match {
+        case "text" => slotS(0)
+        case "csv" => slotS.map(v => Option(v).getOrElse("")).mkString(c.delimiter)
+        case "json" => schema.fieldNames.zip(slotJ)
+          .map { case (n, v) => jsonStr(n) + ":" + v }.mkString("{", ",", "}")
+        case other => throw new IllegalArgumentException(
+          s"INSERT INTO a '$other'-format stream is not supported")
+      }
+      (Option(slotS(0)).getOrElse(""),
+        if (data == null) null else
+          data.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    val dir = s"${ep.url}/${c.stream}"
+    val nShards = math.max(ShardedLog.shardFiles(dir).size, 1)
+    ShardedLog.putRecords(dir, nShards, recs)
+    result1(recs.size.toString)
   }
 
   /** The SQL surface a pipeline_kinesis user already has, verbatim
@@ -1285,6 +1378,8 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
       case DropStream(name) => dropStream(name); result1(name)
       case DeleteConsumer(ep, st, rel) =>
         removeConsumer(ep, st, rel); result1("ok")
+      case InsertStream(rel, colList, valuesTail) =>
+        insertIntoStream(rel, Option(colList), valuesTail)
       case query =>
         // plain query: make the catalog readable, then defer to Spark SQL
         var q = query.replaceAll("(?i)pipeline_kinesis\\.seqnums",

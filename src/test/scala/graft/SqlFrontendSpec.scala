@@ -98,6 +98,42 @@ class SqlFrontendSpec extends SparkSpec {
     eng.sql("SELECT pipeline_kinesis.consume_end()")
   }
 
+  test("INSERT INTO stream VALUES feeds the pipeline through the bound consumer") {
+    val root = tmpDir("ins-root"); val meta = tmpDir("ins-meta")
+    val eng = new KinesisEngine(spark, meta)
+    eng.sql(s"SELECT pipeline_kinesis.add_endpoint('ep', 'r', NULL, '$root')")
+    eng.sql("CREATE STREAM ins_stream (k text, v integer)")
+    eng.sql("CREATE CONTINUOUS VIEW ins_view AS " +
+      "SELECT k, sum(v) AS total FROM ins_stream GROUP BY k")
+    // INSERT requires the log binding — helpful error before consume_begin
+    val e = intercept[IllegalArgumentException](
+      eng.sql("INSERT INTO ins_stream VALUES ('x', 1)"))
+    assert(e.getMessage.contains("consume_begin"))
+    eng.sql("SELECT pipeline_kinesis.consume_begin('ep', 's', 'ins_stream', 'csv', ',')")
+    eng.sql("INSERT INTO ins_stream VALUES ('x', 1), ('y', 2), ('x', 3)")
+    eng.sql("INSERT INTO ins_stream (v, k) VALUES (10, 'y')") // column list
+    eng.processAllAvailable()
+    assert(eng.sql("SELECT * FROM ins_view ORDER BY k").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq ===
+        Seq("x" -> 4L, "y" -> 12L),
+      "inserted rows flow parse -> view exactly like put records")
+    eng.sql("SELECT pipeline_kinesis.consume_end()")
+
+    // json-format stream: literals keep their JSON types
+    val root2 = tmpDir("ins2-root")
+    eng.sql(s"SELECT pipeline_kinesis.add_endpoint('ep2', 'r', NULL, '$root2')")
+    eng.sql("CREATE STREAM ins_json (k text, v integer)")
+    eng.sql("SELECT pipeline_kinesis.consume_begin('ep2', 's', 'ins_json', 'json')")
+    eng.sql("INSERT INTO ins_json VALUES ('a''b', 7), (NULL, 8)")
+    eng.processAllAvailable()
+    val got = eng.streamTable("ins_json").collect()
+      .map(r => (if (r.isNullAt(0)) null else r.getString(0)) -> r.getInt(1))
+      .sortBy(_._2).toSeq
+    assert(got === Seq("a'b" -> 7, (null: String) -> 8),
+      "quoted quotes and NULLs survive the json serialization round-trip")
+    eng.sql("SELECT pipeline_kinesis.consume_end()")
+  }
+
   test("CREATE CONTINUOUS VIEW WITH (sw = …) declares a sliding view in SQL") {
     val root = tmpDir("swsql-root"); val meta = tmpDir("swsql-meta")
     val dir = s"$root/s"
