@@ -24,10 +24,6 @@ object StreamingIngest {
   private val N_RECORDS = 20000
   private val N_SHARDS = 4
 
-  private def rmTree(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete()
-  }
-
   val queries: Map[String, Qf] = Map(
     "q_stream_ingest" -> ((s, _) => {
       val root = Files.createTempDirectory("graft-ingest").toString
@@ -61,7 +57,8 @@ object StreamingIngest {
             scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
           out.schema)
       } finally {
-        rmTree(new java.io.File(root)); rmTree(new java.io.File(meta))
+        graft.Fs.rmTree(new java.io.File(root))
+        graft.Fs.rmTree(new java.io.File(meta))
       }
     })
   )

@@ -231,10 +231,15 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
     // the schema under existing consumers is refused — their running
     // parse and the already-written stream table would silently disagree
     // with new readers (ALTER-under-dependents, which Postgres refuses too)
-    require(!streams.get(relation).exists(_ != schema) ||
-            !consumers.valuesIterator.exists(_.relation == relation),
+    val changed = streams.get(relation).exists(_ != schema)
+    require(!changed || !consumers.valuesIterator.exists(_.relation == relation),
       s"stream '$relation' has consumers — consume_end and remove them " +
         "before changing its schema")
+    // a changed schema also invalidates the persisted stream table (its
+    // parquet rows are in the OLD shape — reading them through the new
+    // schema throws or silently nulls): truncate it, like an incompatible
+    // ALTER forcing a rewrite
+    if (changed) rmTree(Paths.get(metaDir, "tables", relation).toFile)
     streams(relation) = schema
     saveCatalog()
   }
@@ -465,9 +470,10 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
     *   eng.createContinuousView("v2", "v1_updates", …)
     *   eng.consumeBegin("out", "v1", "v1_updates", format = "json")
     * }}}
-    * Delivery into the output log is at-least-once under batch replay
-    * (like PipelineDB's delta streams); downstream views de-duplicate
-    * through their own merge exactly like any stream. The append is
+    * Delivery into the output log: a per-view high-water mark suppresses
+    * re-emission when a batch is replayed, so duplicates only arise from
+    * a crash exactly between the log append and the mark write — the
+    * at-least-once floor, like PipelineDB's delta streams. The append is
     * driver-side by construction — the local shard log's writer IS the
     * put-record client — and carries only the groups the trigger touched,
     * the same rows just written as the parquet delta. */
@@ -541,9 +547,7 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
   }
 
   /** Recursive delete (grace cleanup / drop DDL). */
-  private def rmTree(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete()
-  }
+  private def rmTree(f: java.io.File): Unit = graft.Fs.rmTree(f)
 
   private def writeViewMeta(name: String, keysOpt: Option[Seq[String]]): Unit = {
     Files.createDirectories(Paths.get(metaDir, "views", name))
@@ -799,6 +803,15 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
         .head()
       val cutTs = cutRow.getTimestamp(0)
       val cutDate = cutRow.getString(1)
+      // fail-fast on the flat pre-partitioned layout (same policy as the
+      // catalog header and shard-log magic): expiring by partition over a
+      // layout that has none would silently drop every row
+      if (listDir(Paths.get(curDir))
+            .exists(_.getFileName.toString.endsWith(".parquet")))
+        throw new IllegalStateException(
+          s"$curDir holds flat (pre-date-partitioned) parquet files — run " +
+            s"compactStreamTable('$relation') once to migrate to the " +
+            "partitioned layout before TTL expiry")
       val newName = s"data-${v + 1}"
       val newDir = Paths.get(metaDir, "tables", relation, newName)
       Files.createDirectories(newDir)
@@ -1074,14 +1087,24 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
                 // output stream (CV-over-CV chaining): forward this
                 // trigger's group updates into the view's derived log as
                 // JSON records — O(touched groups), driver-side like any
-                // put-record client (see createOutputStream)
+                // put-record client (see createOutputStream). A high-water
+                // mark suppresses re-emission when the batch is replayed;
+                // only a crash exactly between append and mark can still
+                // duplicate (the at-least-once floor).
                 if (emitsOutput) {
-                  val rows = batch.select(to_json(struct(
-                      batch.columns.map(col): _*)).as("j")).collect()
-                  if (rows.nonEmpty)
-                    ShardedLog.appendBytes(s"$metaDir/outputs/$vname", 0,
-                      rows.map(r => (vname, r.getString(0)
-                        .getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+                  val hwmPath = Paths.get(metaDir, "views", vname,
+                    "_graft_out_hwm")
+                  val hwm = if (Files.exists(hwmPath))
+                    Files.readString(hwmPath).trim.toLong else Long.MinValue
+                  if (stamped > hwm) {
+                    val rows = batch.select(to_json(struct(
+                        batch.columns.map(col): _*)).as("j")).collect()
+                    if (rows.nonEmpty)
+                      ShardedLog.appendBytes(s"$metaDir/outputs/$vname", 0,
+                        rows.map(r => (vname, r.getString(0)
+                          .getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+                    writeAtomic(hwmPath, stamped.toString)
+                  }
                 }
                 // online fold: bounds read-time merge cost to
                 // O(groups + autoCompactEvery batch deltas) on a stream
@@ -1135,7 +1158,7 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
   private val CreateSwView =
     """(?is)^CREATE\s+CONTINUOUS\s+VIEW\s+([A-Za-z_]\w*)\s+WITH\s*\(\s*sw\s*=\s*'([^']+)'\s*(?:,\s*slide\s*=\s*'([^']+)'\s*)?\)\s+AS\s+(.*)$""".r
   private val SwSelect =
-    """(?is)^SELECT\s+(.*?)\s+FROM\s+([A-Za-z_]\w*)\s*(?:GROUP\s+BY\s+.*)?$""".r
+    """(?is)^SELECT\s+(.*?)\s+FROM\s+([A-Za-z_]\w*)\s*(?:GROUP\s+BY\s+(.*?))?\s*$""".r
   private val SwKeyItem = """(?s)^([A-Za-z_]\w*)$""".r
   private val SwCountItem = """(?is)^count\(\s*\*\s*\)\s+AS\s+(\w+)$""".r
   private val SwAggItem =
@@ -1195,16 +1218,23 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
     }.toSeq
 
   /** Postgres column types → Spark DDL (only the spellings Spark's own
-    * parser doesn't already accept). */
+    * parser doesn't already accept). Mapping applies strictly in TYPE
+    * position — a column NAMED text/serial/bytea keeps its name. */
   private def pgTypesToSpark(cols: String): String =
-    cols
-      .replaceAll("(?i)\\bdouble\\s+precision\\b", "double")
-      .replaceAll("(?i)\\btimestamp(tz)?\\s+with(out)?\\s+time\\s+zone\\b", "timestamp")
-      .replaceAll("(?i)\\btimestamptz\\b", "timestamp")
-      .replaceAll("(?i)\\btext\\b", "string")
-      .replaceAll("(?i)\\bbytea\\b", "binary")
-      .replaceAll("(?i)\\bbigserial\\b", "long")
-      .replaceAll("(?i)\\bserial\\b", "int")
+    cols.split(",").map { item =>
+      val t = item.trim
+      val sp = t.indexOf(' ')
+      require(sp > 0, s"column definition '$t' needs a name and a type")
+      val typ = t.substring(sp + 1).trim
+        .replaceAll("(?i)^double\\s+precision$", "double")
+        .replaceAll("(?i)^timestamp(tz)?(\\s+with(out)?\\s+time\\s+zone)?$",
+          "timestamp")
+        .replaceAll("(?i)^text$", "string")
+        .replaceAll("(?i)^bytea$", "binary")
+        .replaceAll("(?i)^bigserial$", "long")
+        .replaceAll("(?i)^serial$", "int")
+      s"${t.substring(0, sp)} $typ"
+    }.mkString(", ")
 
   private def result1(v: String): DataFrame = {
     import spark.implicits._
@@ -1262,7 +1292,18 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
       toks.zip(idx).foreach { case ((sv, jv), i) => slotS(i) = sv; slotJ(i) = jv }
       val data = c.format match {
         case "text" => slotS(0)
-        case "csv" => slotS.map(v => Option(v).getOrElse("")).mkString(c.delimiter)
+        case "csv" =>
+          // no quoting machinery here: a value the consumer's parse would
+          // mis-split must be refused loudly, not corrupted silently
+          slotS.filter(_ != null).foreach { v =>
+            require(!v.contains(c.delimiter) && !v.contains("\n") &&
+                    !v.contains("\r") &&
+                    !Option(c.quote).exists(v.contains) && !v.contains("\""),
+              s"INSERT into csv-format stream '$relation': value '$v' " +
+                "contains the delimiter/quote/newline — use a json-format " +
+                "consumer for such payloads")
+          }
+          slotS.map(v => Option(v).getOrElse("")).mkString(c.delimiter)
         case "json" => schema.fieldNames.zip(slotJ)
           .map { case (n, v) => jsonStr(n) + ":" + v }.mkString("{", ",", "}")
         case other => throw new IllegalArgumentException(
@@ -1310,7 +1351,7 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
     s match {
       case CreateSwView(name, width, slideOpt, select) =>
         select.trim match {
-          case SwSelect(itemList, rel) =>
+          case SwSelect(itemList, rel, groupByOpt) =>
             require(synchronized(streams.contains(rel)),
               s"'$rel' is not a declared stream")
             val items = itemList.split(",").map(_.trim).toSeq
@@ -1324,6 +1365,14 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
             if (bad.nonEmpty || aggs.isEmpty)
               throw swDdlError(name, if (aggs.isEmpty) "no combinable aggregate"
                 else s"unsupported select item '${bad.head}'")
+            // GROUP BY must list exactly the non-aggregate select columns
+            // — silently ignoring it would turn a per-key view global
+            val gb = Option(groupByOpt).map(_.split(",").map(_.trim).toSeq)
+              .getOrElse(Nil)
+            if (gb.map(_.toLowerCase).sorted != keys.map(_.toLowerCase).sorted)
+              throw swDdlError(name,
+                s"GROUP BY (${gb.mkString(", ")}) must list exactly the " +
+                  s"non-aggregate select columns (${keys.mkString(", ")})")
             createSlidingView(name, rel, keys, aggs, width,
               Option(slideOpt).getOrElse("1 minute"))
             result1(name)
@@ -1410,7 +1459,14 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
           q.matches("(?is).*\\b" + java.util.regex.Pattern.quote(name) + "\\b.*")
         vs.foreach { v =>
           if (mentions(v))
-            scala.util.Try(viewTable(v).createOrReplaceTempView(v))
+            // a sliding view's queryable face is the WINDOWED combine —
+            // raw bucket partials (internal __sum/__cnt columns, expired
+            // buckets) are an implementation detail
+            scala.util.Try {
+              if (Files.exists(swMetaPath(v)))
+                slidingViewTable(v).createOrReplaceTempView(v)
+              else viewTable(v).createOrReplaceTempView(v)
+            }
         }
         sts.foreach { st =>
           if (mentions(st))

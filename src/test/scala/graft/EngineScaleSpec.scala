@@ -652,6 +652,70 @@ class EngineScaleSpec extends SparkSpec {
       StructField("payload", StringType), StructField("extra", IntegerType))))
     assert(eng.listStreams("scg_stream").fieldNames.toSeq ===
       Seq("payload", "extra"), "schema change allowed once consumers are gone")
+    assert(!new java.io.File(s"$meta/tables/scg_stream").exists(),
+      "old-shape stream table truncated with the schema change — new " +
+        "readers never see rows the new schema cannot decode")
+  }
+
+  test("TTL expiry fails fast on a flat pre-partitioned table layout") {
+    val meta = tmpDir("flat-meta")
+    val eng = new KinesisEngine(spark, meta)
+    eng.createStream("flat_stream", StructType(Seq(StructField("payload", StringType))))
+    import spark.implicits._
+    // simulate a legacy layout: flat parquet files at the data-dir root
+    Seq(("x", new java.sql.Timestamp(System.currentTimeMillis())))
+      .toDF("payload", "arrival_timestamp")
+      .coalesce(1).write.mode("append").parquet(eng.tableDataDir("flat_stream"))
+    val e = intercept[IllegalStateException](
+      eng.expireStreamTable("flat_stream", "1 HOUR"))
+    assert(e.getMessage.contains("compactStreamTable"),
+      "partition-based expiry over a layout with no partitions would " +
+        "silently drop every row — it must refuse with the migration step")
+    // the documented migration: one compaction rewrites partitioned
+    eng.compactStreamTable("flat_stream", targetPartitions = 1)
+    eng.expireStreamTable("flat_stream", "1 HOUR")
+    assert(eng.streamTable("flat_stream").count() === 1L)
+  }
+
+  test("output-stream emission is not duplicated when a batch replays") {
+    val root = tmpDir("ohwm-root"); val meta = tmpDir("ohwm-meta")
+    val eng = new KinesisEngine(spark, meta)
+    eng.addEndpoint("ep", "r", url = root)
+    eng.createStream("oh_stream", StructType(Seq(StructField("payload", StringType))))
+    eng.createContinuousViewSql("oh_v1", "oh_stream",
+      "SELECT payload, count(*) AS n FROM oh_stream GROUP BY payload")
+    eng.createOutputStream("oh_v1")
+    ShardedLog.append(s"$root/s", 0, Seq(("a", "x")))
+    val id = eng.consumeBegin("ep", "s", "oh_stream", format = "text")
+    eng.processAllAvailable()
+    ShardedLog.append(s"$root/s", 0, Seq(("b", "y")))
+    eng.processAllAvailable()
+    eng.consumeEndAll()
+    def outRecs: Long = ShardedLog.latestPositions(s"$meta/outputs/oh_v1")
+      .values.map(_.recs).sum
+    val before = outRecs
+    assert(before >= 2L, "both batches emitted updates")
+    // crash between delta write and checkpoint commit: drop the last commit
+    val commits = java.nio.file.Paths.get(meta, "checkpoints", id.toString,
+      "oh_v1", "commits")
+    val toDrop = {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.list(commits)
+      try s.iterator().asScala.toSeq
+        .filter(_.getFileName.toString.forall(_.isDigit))
+        .maxBy(_.getFileName.toString.toLong)
+      finally s.close()
+    }
+    java.nio.file.Files.delete(toDrop)
+    java.nio.file.Files.deleteIfExists(
+      toDrop.resolveSibling("." + toDrop.getFileName + ".crc"))
+    val eng2 = new KinesisEngine(spark, meta) // SQL view restores from catalog
+    eng2.consumeBeginAll()
+    eng2.processAllAvailable()
+    eng2.consumeEndAll()
+    assert(outRecs === before,
+      "the replayed batch was suppressed by the output high-water mark — " +
+        "downstream consumers never double-count it")
   }
 
   test("slidingView prunes dead date partitions at scan time") {

@@ -112,6 +112,10 @@ class SqlFrontendSpec extends SparkSpec {
     eng.sql("SELECT pipeline_kinesis.consume_begin('ep', 's', 'ins_stream', 'csv', ',')")
     eng.sql("INSERT INTO ins_stream VALUES ('x', 1), ('y', 2), ('x', 3)")
     eng.sql("INSERT INTO ins_stream (v, k) VALUES (10, 'y')") // column list
+    // a value the csv parse would mis-split is refused, never corrupted
+    val csvErr = intercept[IllegalArgumentException](
+      eng.sql("INSERT INTO ins_stream VALUES ('a,b', 1)"))
+    assert(csvErr.getMessage.contains("delimiter"))
     eng.processAllAvailable()
     assert(eng.sql("SELECT * FROM ins_view ORDER BY k").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toSeq ===
@@ -155,6 +159,16 @@ class SqlFrontendSpec extends SparkSpec {
       .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
     assert(m === Map("x" -> ((2L, 15.0)), "y" -> ((1L, 7.0))),
       "SQL-declared sliding view ages out the 2-hour-old record")
+    // querying the sw view BY NAME in SQL serves the windowed combine —
+    // never raw bucket partials with internal __sum/__cnt columns
+    val viaSql = eng.sql("SELECT k, n, mean FROM swsql_view ORDER BY k")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(viaSql === m, "SELECT from a sliding view = its window result")
+    // GROUP BY must match the non-aggregate select columns exactly
+    val gbErr = intercept[IllegalArgumentException](eng.sql(
+      "CREATE CONTINUOUS VIEW sw_bad WITH (sw = '1 HOUR') AS " +
+        "SELECT count(*) AS n FROM swsql_stream GROUP BY k"))
+    assert(gbErr.getMessage.contains("GROUP BY"))
   }
 
   test("CREATE STREAM accepts Postgres column types") {
@@ -167,5 +181,12 @@ class SqlFrontendSpec extends SparkSpec {
     assert(sch.fields.map(_.dataType).toSeq === Seq(StringType, LongType,
       DoubleType, BinaryType, TimestampType, IntegerType))
     eng.sql("DROP STREAM typed_stream")
+    // type mapping applies in TYPE position only: a column legally NAMED
+    // after a Postgres type keeps its name
+    eng.sql("CREATE STREAM named_stream (text text, serial bigint)")
+    val sch2 = eng.listStreams("named_stream")
+    assert(sch2.fieldNames.toSeq === Seq("text", "serial"))
+    assert(sch2.fields.map(_.dataType).toSeq === Seq(StringType, LongType))
+    eng.sql("DROP STREAM named_stream")
   }
 }
