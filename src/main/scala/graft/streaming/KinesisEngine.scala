@@ -814,6 +814,10 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
             "partitioned layout before TTL expiry")
       val newName = s"data-${v + 1}"
       val newDir = Paths.get(metaDir, "tables", relation, newName)
+      // crash recovery: a leftover data-<v+1> from a run that died before
+      // the pointer flip is unreferenced (the pointer still names data-<v>)
+      // — clear it, or the hard-link carry below throws on every retry
+      if (Files.exists(newDir)) rmTree(newDir.toFile)
       Files.createDirectories(newDir)
       listDir(Paths.get(curDir))
         .filter(_.getFileName.toString.startsWith("__arrival_date="))
@@ -863,6 +867,10 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
       val v = Paths.get(curDir).getFileName.toString.stripPrefix("data-").toLong
       val newName = s"data-${v + 1}"
       val newDir = Paths.get(metaDir, "tables", relation, newName)
+      // crash recovery: see expireStreamTable — an unreferenced leftover
+      // data-<v+1> must not wedge the retry's hard-link carry (this op is
+      // auto-invoked from the table sink, so a wedge fails every batch)
+      if (Files.exists(newDir)) rmTree(newDir.toFile)
       Files.createDirectories(newDir)
       listDir(Paths.get(curDir))
         .filter(_.getFileName.toString.startsWith("__arrival_date="))

@@ -805,4 +805,49 @@ class EngineScaleSpec extends SparkSpec {
         "ingested records are visible, not masked by stale deltas")
     eng.consumeEndAll()
   }
+
+  test("TTL expiry and partition compaction recover from a crash-leftover version dir") {
+    // ADVICE r5: a crash after data-<v+1> is created/partially populated
+    // but BEFORE the pointer flip leaves an unreferenced dir; the retry
+    // re-resolves the same version number and the hard-link carry must not
+    // wedge on the leftover files (compaction runs inside the table sink's
+    // foreachBatch, so a wedge would fail every subsequent batch)
+    val root = tmpDir("cr-root"); val meta = tmpDir("cr-meta")
+    val dir = s"$root/s"
+    ShardedLog.appendBytes(dir, 0, Seq(("a", "old".getBytes("UTF-8"))),
+      arrivalMillis = System.currentTimeMillis() - 3L * 86400 * 1000)
+    ShardedLog.append(dir, 0, Seq(("b", "live")))
+    val eng = new KinesisEngine(spark, meta)
+    eng.addEndpoint("ep", "r", url = root)
+    eng.createStream("cr_stream", StructType(Seq(StructField("payload", StringType))))
+    eng.consumeBegin("ep", "s", "cr_stream", format = "text")
+    eng.processAllAvailable(); eng.consumeEndAll()
+    def plantLeftover(): Unit = {
+      val cur = java.nio.file.Paths.get(eng.tableDataDir("cr_stream"))
+      val v = cur.getFileName.toString.stripPrefix("data-").toLong
+      val leftover = cur.resolveSibling(s"data-${v + 1}")
+      // worst case: the dead run already hard-linked a live partition —
+      // the same names the retry will link again
+      new java.io.File(cur.toString).listFiles()
+        .filter(_.getName.startsWith("__arrival_date=")).foreach { p =>
+          val dst = leftover.resolve(p.getName)
+          java.nio.file.Files.createDirectories(dst)
+          p.listFiles().foreach(f =>
+            java.nio.file.Files.createLink(dst.resolve(f.getName), f.toPath))
+        }
+    }
+    plantLeftover()
+    eng.expireStreamTable("cr_stream", "1 HOUR", targetPartitions = 1)
+    assert(eng.streamTable("cr_stream").collect()
+      .map(_.getString(0)).toSeq === Seq("live"),
+      "expiry succeeded over the leftover and dropped the dead partition")
+    plantLeftover()
+    val active = new java.io.File(eng.tableDataDir("cr_stream")).listFiles()
+      .filter(_.getName.startsWith("__arrival_date=")).map(_.getName).max
+      .stripPrefix("__arrival_date=")
+    eng.compactStreamTablePartition("cr_stream", active, targetPartitions = 1)
+    assert(eng.streamTable("cr_stream").collect()
+      .map(_.getString(0)).toSeq === Seq("live"),
+      "partition compaction succeeded over the leftover, no rows lost")
+  }
 }
