@@ -471,9 +471,17 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
     *   eng.consumeBegin("out", "v1", "v1_updates", format = "json")
     * }}}
     * Delivery into the output log: a per-view high-water mark suppresses
-    * re-emission when a batch is replayed, so duplicates only arise from
-    * a crash exactly between the log append and the mark write — the
-    * at-least-once floor, like PipelineDB's delta streams. The append is
+    * re-emission when a batch is replayed within a consumer lineage, so
+    * the remaining duplicate sources are (a) a crash exactly between the
+    * log append and the mark write, and (b) REMOVING AND RE-CREATING the
+    * view's consumer — that bumps the generation epoch, the new lineage's
+    * backfill recomputes every group from the log's start, and each
+    * recomputed group re-emits (its stamp orders after every old one by
+    * design, see the epoch comment in consumeBegin). Both are the
+    * at-least-once floor, like PipelineDB's delta streams: downstream
+    * aggregates that must not double-count across a consumer re-creation
+    * should key on the emitted group values (e.g. max per key), not
+    * count update events. The append is
     * driver-side by construction — the local shard log's writer IS the
     * put-record client — and carries only the groups the trigger touched,
     * the same rows just written as the parquet delta. */
@@ -1096,9 +1104,11 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
                 // trigger's group updates into the view's derived log as
                 // JSON records — O(touched groups), driver-side like any
                 // put-record client (see createOutputStream). A high-water
-                // mark suppresses re-emission when the batch is replayed;
-                // only a crash exactly between append and mark can still
-                // duplicate (the at-least-once floor).
+                // mark suppresses re-emission when the batch is replayed
+                // in-lineage; a crash between append and mark, or a
+                // generation bump replaying the backfill, can still
+                // duplicate (the at-least-once floor — see the
+                // createOutputStream scaladoc).
                 if (emitsOutput) {
                   val hwmPath = Paths.get(metaDir, "views", vname,
                     "_graft_out_hwm")
@@ -1225,11 +1235,30 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
         .replace("\\t", "\t").replace("\\n", "\n"))
     }.toSeq
 
+  /** Split a column list on top-level commas only — commas inside type
+    * parameters (`numeric(10,2)`) don't separate columns. */
+  private def splitColumns(cols: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0; var start = 0; var i = 0
+    while (i < cols.length) {
+      cols.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 => out += cols.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += cols.substring(start)
+    out.result()
+  }
+
   /** Postgres column types → Spark DDL (only the spellings Spark's own
-    * parser doesn't already accept). Mapping applies strictly in TYPE
-    * position — a column NAMED text/serial/bytea keeps its name. */
+    * parser doesn't already accept — `numeric(p,s)`, `varchar(n)` etc.
+    * Spark parses natively). Mapping applies strictly in TYPE position —
+    * a column NAMED text/serial/bytea keeps its name. */
   private def pgTypesToSpark(cols: String): String =
-    cols.split(",").map { item =>
+    splitColumns(cols).map { item =>
       val t = item.trim
       val sp = t.indexOf(' ')
       require(sp > 0, s"column definition '$t' needs a name and a type")
@@ -1237,6 +1266,11 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
         .replaceAll("(?i)^double\\s+precision$", "double")
         .replaceAll("(?i)^timestamp(tz)?(\\s+with(out)?\\s+time\\s+zone)?$",
           "timestamp")
+        // char/varchar map to plain string (Spark refuses them in a
+        // user-specified schema without a legacy conf; length is not
+        // enforced, as with Spark's own char/varchar on most paths)
+        .replaceAll("(?i)^character\\s+varying(\\(\\d+\\))?$", "string")
+        .replaceAll("(?i)^(var)?char\\(\\d+\\)$", "string")
         .replaceAll("(?i)^text$", "string")
         .replaceAll("(?i)^bytea$", "binary")
         .replaceAll("(?i)^bigserial$", "long")
@@ -1438,51 +1472,104 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
       case InsertStream(rel, colList, valuesTail) =>
         insertIntoStream(rel, Option(colList), valuesTail)
       case query =>
-        // plain query: make the catalog readable, then defer to Spark SQL
-        var q = query.replaceAll("(?i)pipeline_kinesis\\.seqnums",
-          "graft_seqnums")
-        if (q != query) seqnums.createOrReplaceTempView("graft_seqnums")
-        val q1 = q.replaceAll("(?i)pipeline_kinesis\\.consumers",
-          "graft_consumers")
+        // plain query: make the catalog readable, then defer to Spark SQL.
+        // All catalog-name rewrites and mention checks apply OUTSIDE
+        // single-quoted literals only — a query comparing a column to the
+        // string 'pipeline_kinesis.seqnums' must not have its data edited.
+        var q = mapOutsideLiterals(query)(_.replaceAll(
+          "(?i)pipeline_kinesis\\.seqnums", "graft_seqnums"))
+        // temp views registered for THIS statement shadow, never destroy:
+        // a same-named user temp view is captured first and re-registered
+        // after the query is analyzed
+        val priors = scala.collection.mutable.ListBuffer[(String, Option[DataFrame])]()
+        def register(name: String)(df: => DataFrame): Unit = {
+          val prior = scala.util.Try {
+            if (spark.catalog.tableExists(name) &&
+                spark.catalog.getTable(name).isTemporary)
+              Some(spark.table(name))
+            else None
+          }.getOrElse(None)
+          scala.util.Try(df.createOrReplaceTempView(name)).foreach { _ =>
+            priors += ((name, prior))
+          }
+        }
+        if (q != query) register("graft_seqnums")(seqnums)
+        val q1 = mapOutsideLiterals(q)(_.replaceAll(
+          "(?i)pipeline_kinesis\\.consumers", "graft_consumers"))
         if (q1 != q) {
           import spark.implicits._
-          listConsumers.map(c => (c.id, c.endpoint, c.stream, c.relation,
-              c.format, c.delimiter, c.batchsize, c.parallelism))
-            .toDF("id", "endpoint", "stream", "relation", "format",
-              "delimiter", "batchsize", "parallelism")
-            .createOrReplaceTempView("graft_consumers")
+          register("graft_consumers")(
+            listConsumers.map(c => (c.id, c.endpoint, c.stream, c.relation,
+                c.format, c.delimiter, c.batchsize, c.parallelism))
+              .toDF("id", "endpoint", "stream", "relation", "format",
+                "delimiter", "batchsize", "parallelism"))
           q = q1
         }
-        val q2 = q.replaceAll("(?i)pipeline_kinesis\\.endpoints",
-          "graft_endpoints")
+        val q2 = mapOutsideLiterals(q)(_.replaceAll(
+          "(?i)pipeline_kinesis\\.endpoints", "graft_endpoints"))
         if (q2 != q) {
           import spark.implicits._
-          listEndpoints.map(e => (e.name, e.region, e.credfile, e.url))
-            .toDF("name", "region", "credfile", "url")
-            .createOrReplaceTempView("graft_endpoints")
+          register("graft_endpoints")(
+            listEndpoints.map(e => (e.name, e.region, e.credfile, e.url))
+              .toDF("name", "region", "credfile", "url"))
           q = q2
         }
         val (vs, sts) = synchronized((views.keys.toSeq, streams.keys.toSeq))
+        val code = codeOutsideLiterals(q)
         def mentions(name: String): Boolean =
-          q.matches("(?is).*\\b" + java.util.regex.Pattern.quote(name) + "\\b.*")
+          code.matches("(?is).*\\b" + java.util.regex.Pattern.quote(name) + "\\b.*")
         vs.foreach { v =>
           if (mentions(v))
             // a sliding view's queryable face is the WINDOWED combine —
             // raw bucket partials (internal __sum/__cnt columns, expired
             // buckets) are an implementation detail
-            scala.util.Try {
-              if (Files.exists(swMetaPath(v)))
-                slidingViewTable(v).createOrReplaceTempView(v)
-              else viewTable(v).createOrReplaceTempView(v)
+            register(v) {
+              if (Files.exists(swMetaPath(v))) slidingViewTable(v)
+              else viewTable(v)
             }
         }
         sts.foreach { st =>
-          if (mentions(st))
-            scala.util.Try(streamTable(st).createOrReplaceTempView(st))
+          if (mentions(st)) register(st)(streamTable(st))
         }
-        spark.sql(q)
+        // spark.sql analyzes eagerly, so the returned frame keeps its
+        // resolved plan after the shadowing temp views are rolled back
+        try spark.sql(q)
+        finally priors.foreach {
+          case (name, Some(df)) => df.createOrReplaceTempView(name)
+          case (name, None) => spark.catalog.dropTempView(name)
+        }
     }
   }
+
+  /** Split a SQL text into alternating code / single-quoted-literal
+    * segments (literals keep their quotes; `''` is the in-literal escape).
+    * An unterminated literal extends to end-of-string. */
+  private def sqlSegments(q: String): Seq[(String, Boolean)] = {
+    val out = Seq.newBuilder[(String, Boolean)]
+    var i = 0; var start = 0; var inQ = false
+    while (i < q.length) {
+      val c = q.charAt(i)
+      if (!inQ && c == '\'') {
+        out += ((q.substring(start, i), false)); start = i; inQ = true
+      } else if (inQ && c == '\'') {
+        if (i + 1 < q.length && q.charAt(i + 1) == '\'') i += 1
+        else { out += ((q.substring(start, i + 1), true)); start = i + 1
+               inQ = false }
+      }
+      i += 1
+    }
+    out += ((q.substring(start), inQ))
+    out.result()
+  }
+
+  /** Apply `f` to the non-literal segments of `q` only. */
+  private def mapOutsideLiterals(q: String)(f: String => String): String =
+    sqlSegments(q).map { case (s, lit) => if (lit) s else f(s) }.mkString
+
+  /** The non-literal text of `q` (literals blanked to a space so tokens
+    * on either side of one never merge). */
+  private def codeOutsideLiterals(q: String): String =
+    sqlSegments(q).map { case (s, lit) => if (lit) " " else s }.mkString
 
   // --- observability (seqnums view, README.md:119-126) --------------------
 

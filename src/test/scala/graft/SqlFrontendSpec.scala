@@ -188,5 +188,48 @@ class SqlFrontendSpec extends SparkSpec {
     assert(sch2.fieldNames.toSeq === Seq("text", "serial"))
     assert(sch2.fields.map(_.dataType).toSeq === Seq(StringType, LongType))
     eng.sql("DROP STREAM named_stream")
+    // parameterized types: the comma inside numeric(10,2) is not a column
+    // separator, and char/varchar map to (unenforced) string
+    eng.sql("CREATE STREAM param_stream (price numeric(10,2), name varchar(255), " +
+      "code char(3), note character varying(80))")
+    val sch3 = eng.listStreams("param_stream")
+    assert(sch3.fields.map(_.dataType).toSeq ===
+      Seq(DecimalType(10, 2), StringType, StringType, StringType))
+    eng.sql("DROP STREAM param_stream")
+  }
+
+  test("catalog-name rewrites skip string literals; temp views are not clobbered") {
+    val root = tmpDir("sqlfe3-root"); val meta = tmpDir("sqlfe3-meta")
+    ShardedLog.append(s"$root/s", 0, Seq(("k1", "x")))
+    val eng = new KinesisEngine(spark, meta)
+    eng.sql(s"SELECT pipeline_kinesis.add_endpoint('ep', 'r', NULL, '$root')")
+    eng.sql("CREATE STREAM lit_stream (payload text)")
+    eng.sql("SELECT pipeline_kinesis.consume_begin('ep', 's', 'lit_stream')")
+    eng.processAllAvailable()
+    eng.sql("SELECT pipeline_kinesis.consume_end('ep', 's', 'lit_stream')")
+    // a literal mentioning the catalog table must pass through verbatim —
+    // the rewrite applies to code, not data
+    assert(eng.sql("SELECT 'pipeline_kinesis.seqnums is a table' AS s")
+      .head().getString(0) === "pipeline_kinesis.seqnums is a table")
+    // a literal that happens to contain a stream name must not merge
+    // tokens or be rewritten either
+    assert(eng.sql("SELECT payload, 'lit_stream' AS tag FROM lit_stream")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("x", "lit_stream")))
+    // a user temp view sharing a catalog object's name: the statement
+    // sees the CATALOG object (engine namespace wins inside eng.sql), but
+    // the user's registration survives the call
+    import spark.implicits._
+    Seq("user-owned").toDF("payload").createOrReplaceTempView("lit_stream")
+    assert(eng.sql("SELECT payload FROM lit_stream").head().getString(0) === "x",
+      "inside eng.sql the stream table shadows the user temp view")
+    assert(spark.table("lit_stream").head().getString(0) === "user-owned",
+      "after eng.sql the user's temp view is restored, not clobbered")
+    spark.catalog.dropTempView("lit_stream")
+    // engine-registered helper views are rolled back too — no namespace
+    // residue after the statement
+    eng.sql("SELECT count(*) AS n FROM pipeline_kinesis.seqnums")
+    assert(!spark.catalog.tableExists("graft_seqnums"),
+      "statement-scoped temp views are dropped after the query")
   }
 }
