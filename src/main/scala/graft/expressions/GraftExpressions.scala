@@ -248,5 +248,46 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(a, b) => CosineSimilarity(a, b)
         case _ => throw new IllegalArgumentException("graft_cosine(a, b)")
       }))
+    // PipelineDB bloom_agg parity on Spark's own bloom filter machinery:
+    // BloomFilterAggregate/BloomFilterMightContain are the expressions
+    // Spark's runtime join filters use, but this build registers neither
+    // publicly. Contract: the value child is a LONG — hash the item with
+    // xxhash64 on both the build and probe side, exactly as Spark's own
+    // injected runtime filters do. (The analyzer wraps a bare
+    // AggregateFunction in an AggregateExpression during resolution.)
+    e.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c)
+        case Seq(c, n, b) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, n, b)
+        case _ => throw new IllegalArgumentException(
+          "graft_bloom_agg(xxhash64(col)[, estimatedItems, numBits])")
+      }))
+    e.injectFunction((
+      FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_bloom_contains"),
+      (children: Seq[Expression]) => children match {
+        case Seq(bloom, value) =>
+          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(bloom, value)
+        case _ => throw new IllegalArgumentException(
+          "graft_bloom_contains(bloom, xxhash64(col))")
+      }))
+    // PipelineDB freq_agg reader (the sketch side is the builtin
+    // count_min_sketch aggregate)
+    e.injectFunction((
+      FunctionIdentifier("graft_cms_query"),
+      new ExpressionInfo(classOf[CmsQuery].getName, "graft_cms_query"),
+      (children: Seq[Expression]) => children match {
+        case Seq(sketch, item) => CmsQuery(sketch, item)
+        case _ => throw new IllegalArgumentException(
+          "graft_cms_query(sketch, item)")
+      }))
   }
 }
