@@ -260,22 +260,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
         "graft_bloom_agg"),
-      (children: Seq[Expression]) => children match {
-        case Seq(c) =>
-          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c)
-        case Seq(c, n, b) =>
-          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, n, b)
-        case _ => throw new IllegalArgumentException(
-          "graft_bloom_agg(xxhash64(col)[, estimatedItems, numBits])")
+      (children: Seq[Expression]) => {
+        // the sizing args must be BIGINT; SQL integer literals arrive as
+        // INT, so coerce foldable ints instead of demanding an L suffix
+        def asLong(e: Expression): Expression = e.dataType match {
+          case LongType => e
+          case _ => org.apache.spark.sql.catalyst.expressions.Cast(e, LongType)
+        }
+        children match {
+          case Seq(c) =>
+            new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c)
+          case Seq(c, n) =>
+            new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+              c, asLong(n))
+          case Seq(c, n, b) =>
+            new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+              c, asLong(n), asLong(b))
+          case _ => throw new IllegalArgumentException(
+            "graft_bloom_agg(xxhash64(col)[, estimatedItems[, numBits]])")
+        }
       }))
+    // Probe side is our own BloomQuery (not Spark's might_contain, which
+    // rejects non-constant sketches — it exists only for injected runtime
+    // join filters): any binary column works, so per-group sketches in a
+    // continuous view are probeable, PipelineDB's actual bloom_contains UX.
     e.injectFunction((
       FunctionIdentifier("graft_bloom_contains"),
-      new ExpressionInfo(
-        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
-        "graft_bloom_contains"),
+      new ExpressionInfo(classOf[BloomQuery].getName, "graft_bloom_contains"),
       (children: Seq[Expression]) => children match {
-        case Seq(bloom, value) =>
-          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(bloom, value)
+        case Seq(bloom, value) => BloomQuery(bloom, value)
         case _ => throw new IllegalArgumentException(
           "graft_bloom_contains(bloom, xxhash64(col))")
       }))

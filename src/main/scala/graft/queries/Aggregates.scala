@@ -86,6 +86,74 @@ object Aggregates {
         .orderBy("event_type")
     }),
 
+    // PipelineDB bloom_agg/bloom_contains parity (the CV membership
+    // sketch): build one bloom filter over the orders-side custkeys — the
+    // "has this key ever been seen by the stream" question answered from
+    // fixed-size state instead of a join against 100 TB of history — then
+    // probe two cohorts through it: the member set itself (distinct
+    // buyer keys → every probe MUST hit, blooms have no false negatives)
+    // and a disjoint shifted key set (hits here are the measured
+    // false-positive rate). Both sides hash with xxhash64, the same
+    // convention Spark's injected runtime join filters use. The 1-row
+    // sketch is broadcast (plan-audited BNLJ whitelist). No oracle
+    // (probabilistic); both cohort contracts asserted in SemanticsSpec.
+    "q_sketch_bloom" -> ((s, d) => {
+      val bloom = Tables.orders(s, d)
+        .agg(call_function("graft_bloom_agg", xxhash64(col("o_custkey")),
+          lit(100000L), lit(800000L)).as("bf"))
+      val keys = Tables.orders(s, d)
+        .select(col("o_custkey").as("k")).distinct()
+      keys.select(col("k"), lit("member").as("cohort"))
+        .unionAll(keys.select((col("k") + 1000000000000L).as("k"),
+          lit("non_member").as("cohort")))
+        .crossJoin(broadcast(bloom))
+        .groupBy(col("cohort"))
+        .agg(count(lit(1)).as("n_probed"),
+          sum(call_function("graft_bloom_contains", col("bf"),
+            xxhash64(col("k"))).cast("long")).as("n_maybe"))
+        .orderBy("cohort")
+    }),
+
+    // PipelineDB freq_agg/cmsketch parity: one mergeable count-min sketch
+    // over the whole event stream (partial sketches union map-side —
+    // fixed-size state per partition, never a row shuffle), probed
+    // per-key with graft_cms_query next to the exact count so the
+    // overestimate-only contract is visible in the output. Fixed seed →
+    // deterministic. The 1-row sketch is broadcast (plan-audited). No
+    // oracle (approximate); CMS ≥ exact and ε-bound asserted in
+    // SemanticsSpec.
+    "q_sketch_cms" -> ((s, d) => {
+      val sk = Tables.events(s, d)
+        .agg(count_min_sketch(col("event_type"), lit(0.0001d), lit(0.99d),
+          lit(42)).as("sk"))
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("exact_n"))
+        .crossJoin(broadcast(sk))
+        .select(col("event_type"),
+          call_function("graft_cms_query", col("sk"), col("event_type"))
+            .as("approx_n"),
+          col("exact_n"))
+        .orderBy("event_type")
+    }),
+
+    // PipelineDB topk_agg parity via Spark's mergeable ApproxTopK family:
+    // per-day partial sketches (approx_top_k_accumulate — the shape a
+    // continuous view persists per window), combined across days
+    // (approx_top_k_combine — the rollup reads fixed-size sketch state,
+    // never raw rows), estimated once at the end. On the small
+    // event_type domain the sketch tracks every key exactly, so the
+    // output is deterministic; merge-equals-global asserted in
+    // SemanticsSpec. No oracle (approximate by contract).
+    "q_sketch_topk" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(expr("approx_top_k_accumulate(event_type, 5)").as("sk"))
+        .agg(expr("approx_top_k_combine(sk, 5)").as("sk"))
+        .select(explode(expr("approx_top_k_estimate(sk, 5)")).as("e"))
+        .select(col("e.item").as("event_type"), col("e.count").as("approx_n"))
+        .orderBy("event_type")),
+
     // ROLLUP over region→nation customer revenue.
     "q_grouping_sets" -> ((s, d) => {
       val o = Tables.orders(s, d)

@@ -79,4 +79,78 @@ class GraftExpressionsSpec extends SparkSpec {
       .head()
     assert(r.isNullAt(0) && r.isNullAt(1))
   }
+
+  test("graft_bloom_agg all three arities; graft_bloom_contains hits every inserted key") {
+    import spark.implicits._
+    (1L to 500L).toDF("k").createOrReplaceTempView("bloom_keys")
+    try {
+      for (agg <- Seq(
+          "graft_bloom_agg(xxhash64(k))",
+          "graft_bloom_agg(xxhash64(k), 1000)",
+          "graft_bloom_agg(xxhash64(k), 1000, 8000)")) {
+        val hits = spark.sql(
+          s"""SELECT sum(cast(graft_bloom_contains(b.bf, xxhash64(p.k)) AS LONG))
+             |FROM bloom_keys p, (SELECT $agg AS bf FROM bloom_keys) b""".stripMargin)
+          .head().getLong(0)
+        assert(hits === 500L, s"$agg: false negatives")
+      }
+      // disjoint probes against the tightly-sized 3-arg filter: FP bounded
+      val fp = spark.sql(
+        """SELECT sum(cast(graft_bloom_contains(b.bf, xxhash64(p.k + 100000)) AS LONG))
+          |FROM bloom_keys p,
+          |     (SELECT graft_bloom_agg(xxhash64(k), 1000, 8000) AS bf FROM bloom_keys) b"""
+          .stripMargin).head().getLong(0)
+      assert(fp <= 25L, s"false-positive count $fp of 500") // ~3% expected at m/n=16
+      assert(spark.sql(
+        "SELECT graft_bloom_contains(CAST(NULL AS BINARY), 1L)").head().isNullAt(0))
+    } finally spark.catalog.dropTempView("bloom_keys")
+  }
+
+  test("graft_cms_query matches exact counts per probe type; null propagates") {
+    import spark.implicits._
+    // skewed long/int/string domains so estimates are distinguishable
+    val df = (1 to 1000).map(i => (i % 7L, i % 7, s"key${i % 7}"))
+      .toDF("l", "i", "s")
+    df.createOrReplaceTempView("cms_in")
+    try {
+      // one sketch per type, probed for every domain value — the same
+      // deserialized-sketch cache path a broadcast CV sketch exercises
+      // (one instance, many rows)
+      val r = spark.sql(
+        """SELECT p.l,
+          |  graft_cms_query(b.skl, p.l) AS nl,
+          |  graft_cms_query(b.ski, cast(p.l AS INT)) AS ni,
+          |  graft_cms_query(b.sks, concat('key', p.l)) AS ns
+          |FROM (SELECT DISTINCT l FROM cms_in) p,
+          |     (SELECT count_min_sketch(l, 0.0001d, 0.99d, 7) AS skl,
+          |             count_min_sketch(i, 0.0001d, 0.99d, 7) AS ski,
+          |             count_min_sketch(s, 0.0001d, 0.99d, 7) AS sks
+          |      FROM cms_in) b""".stripMargin).collect()
+      assert(r.length === 7)
+      r.foreach { row =>
+        val exact = if (row.getLong(0) == 0) 142L else 143L // 1000 = 7*142+6
+        assert(row.getLong(1) === exact, s"long probe, key ${row.getLong(0)}")
+        assert(row.getLong(2) === exact, s"int probe, key ${row.getLong(0)}")
+        assert(row.getLong(3) === exact, s"string probe, key ${row.getLong(0)}")
+      }
+      assert(spark.sql(
+        "SELECT graft_cms_query(CAST(NULL AS BINARY), 'x')").head().isNullAt(0))
+    } finally spark.catalog.dropTempView("cms_in")
+  }
+
+  test("sketch probes reject wrong types at analysis time") {
+    import org.apache.spark.sql.AnalysisException
+    // non-binary sketch child
+    intercept[AnalysisException] {
+      spark.sql("SELECT graft_cms_query('not a sketch', 'x')").collect()
+    }
+    // unsupported probe type (double)
+    intercept[AnalysisException] {
+      spark.sql("SELECT graft_cms_query(CAST(NULL AS BINARY), 1.5d)").collect()
+    }
+    // bloom probe must be the xxhash64 long, not a string
+    intercept[AnalysisException] {
+      spark.sql("SELECT graft_bloom_contains(CAST(NULL AS BINARY), 'raw')").collect()
+    }
+  }
 }

@@ -118,6 +118,56 @@ class SemanticsSpec extends SparkSpec {
     assert(again === rows)
   }
 
+  test("q_sketch_bloom: members always hit (no false negatives), FP rate bounded, deterministic") {
+    import graft.queries.Aggregates
+    def run() = Aggregates.queries("q_sketch_bloom")(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rows = run()
+    val (nMembers, memberHits) = rows("member")
+    assert(nMembers > 0)
+    // bloom contract: a key that was inserted can never probe false
+    assert(memberHits === nMembers,
+      s"false negatives: $memberHits of $nMembers members hit")
+    val (nNon, nonHits) = rows("non_member")
+    // sized for ~100k items in 800k bits; at sf0.001's load the filter is
+    // nearly empty, so FP on the disjoint cohort should be rare — allow 3%
+    assert(nNon === nMembers)
+    assert(nonHits.toDouble / nNon <= 0.03,
+      s"false-positive rate ${nonHits.toDouble / nNon}")
+    assert(run() === rows, "bloom sketch query is not deterministic")
+  }
+
+  test("q_sketch_cms: estimates overcount-only within eps*N, exact on the small domain") {
+    import graft.queries.Aggregates
+    val rows = Aggregates.queries("q_sketch_cms")(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val n = rows.map(_._3).sum // total stream size
+    rows.foreach { case (k, approx, exact) =>
+      // CMS never undercounts; overcount bounded by eps*N (eps=1e-4, and
+      // with 5 keys vs width≈2/eps the sketch is collision-free → exact)
+      assert(approx >= exact, s"$k: CMS undercounted ($approx < $exact)")
+      assert(approx - exact <= math.max(1L, (0.0001 * n).toLong),
+        s"$k: approx=$approx exact=$exact n=$n")
+    }
+    val again = Aggregates.queries("q_sketch_cms")(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(again === rows, "fixed-seed CMS query is not deterministic")
+  }
+
+  test("q_sketch_topk: per-day sketch combine equals the exact global counts on the small domain") {
+    import graft.queries.Aggregates
+    val rows = Aggregates.queries("q_sketch_topk")(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the event_type domain (5 values) is smaller than the sketch's
+    // tracked capacity, so the merged per-day sketches must reproduce the
+    // exact global counts — the mergeable-rollup contract, not luck
+    val exact = Tables.events(spark, sf0001).groupBy(col("event_type"))
+      .agg(count(lit(1))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows === exact)
+  }
+
   test("csv round-trip under delimiter/quote variations (B2 COPY options)") {
     import spark.implicits._
     val schema = "name STRING, n BIGINT, x DOUBLE"
