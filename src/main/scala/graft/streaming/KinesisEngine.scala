@@ -503,8 +503,27 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
                                 materialize: String = "parquet"): Unit =
     createContinuousView(name, relation, transform, materialize)
 
+  /** Per-batch SQL application for SQL-declared views. The stream batch is
+    * registered under the relation's name only for the duration of the
+    * analysis — a pre-existing user temp view with that name is shadowed
+    * and restored, never clobbered (same contract as the `sql()` query
+    * path below; `spark.sql` analyzes eagerly, so the returned frame keeps
+    * its resolved plan after the rollback). */
   private def sqlAgg(relation: String, sql: String): DataFrame => DataFrame =
-    df => { df.createOrReplaceTempView(relation); spark.sql(sql) }
+    df => {
+      val prior = scala.util.Try {
+        if (spark.catalog.tableExists(relation) &&
+            spark.catalog.getTable(relation).isTemporary)
+          Some(spark.table(relation))
+        else None
+      }.getOrElse(None)
+      df.createOrReplaceTempView(relation)
+      try spark.sql(sql)
+      finally prior match {
+        case Some(p) => p.createOrReplaceTempView(relation)
+        case None => spark.catalog.dropTempView(relation)
+      }
+    }
 
   /** CREATE CONTINUOUS VIEW … AS <sql> — the reference's actual UX
     * (README.md:66): the view is declared as SQL over the stream
@@ -1541,24 +1560,45 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
     }
   }
 
-  /** Split a SQL text into alternating code / single-quoted-literal
-    * segments (literals keep their quotes; `''` is the in-literal escape).
-    * An unterminated literal extends to end-of-string. */
+  /** Split a SQL text into alternating code / non-code segments, where
+    * non-code is anything whose content must never be rewritten or
+    * mention-checked: single-quoted literals (with `''` and `\'` escapes —
+    * Spark's default lexer, `escapedStringLiterals` off), double-quoted
+    * literals (Spark treats `"…"` as a STRING unless
+    * `doubleQuotedIdentifiers` is on, which this engine never sets), `--`
+    * line comments, and `/* */` block comments. Literals keep their
+    * quotes; an unterminated literal/comment extends to end-of-string. */
   private def sqlSegments(q: String): Seq[(String, Boolean)] = {
     val out = Seq.newBuilder[(String, Boolean)]
-    var i = 0; var start = 0; var inQ = false
+    var i = 0; var start = 0
+    def emit(end: Int): Unit = {
+      out += ((q.substring(start, i), false))
+      out += ((q.substring(i, end), true))
+      start = end; i = end
+    }
     while (i < q.length) {
       val c = q.charAt(i)
-      if (!inQ && c == '\'') {
-        out += ((q.substring(start, i), false)); start = i; inQ = true
-      } else if (inQ && c == '\'') {
-        if (i + 1 < q.length && q.charAt(i + 1) == '\'') i += 1
-        else { out += ((q.substring(start, i + 1), true)); start = i + 1
-               inQ = false }
-      }
-      i += 1
+      if (c == '\'' || c == '"') {
+        var j = i + 1; var done = false
+        while (j < q.length && !done) {
+          val cj = q.charAt(j)
+          if (cj == '\\' && j + 1 < q.length) j += 2
+          else if (cj == c && j + 1 < q.length && q.charAt(j + 1) == c) j += 2
+          else if (cj == c) { done = true; j += 1 }
+          else j += 1
+        }
+        emit(j)
+      } else if (c == '-' && i + 1 < q.length && q.charAt(i + 1) == '-') {
+        var j = i + 2
+        while (j < q.length && q.charAt(j) != '\n') j += 1
+        emit(j)
+      } else if (c == '/' && i + 1 < q.length && q.charAt(i + 1) == '*') {
+        var j = i + 2
+        while (j + 1 < q.length && !(q.charAt(j) == '*' && q.charAt(j + 1) == '/')) j += 1
+        emit(if (j + 1 < q.length) j + 2 else q.length)
+      } else i += 1
     }
-    out += ((q.substring(start), inQ))
+    out += ((q.substring(start), false))
     out.result()
   }
 

@@ -232,4 +232,53 @@ class SqlFrontendSpec extends SparkSpec {
     assert(!spark.catalog.tableExists("graft_seqnums"),
       "statement-scoped temp views are dropped after the query")
   }
+
+  test("literal lexer: backslash escapes, double-quoted strings, comments") {
+    val meta = tmpDir("sqlfe4-meta")
+    val eng = new KinesisEngine(spark, meta)
+    // Spark's default lexer: \' continues the literal — the rewrite must
+    // not fire on catalog names inside it
+    assert(eng.sql("SELECT 'it\\'s pipeline_kinesis.seqnums' AS s")
+      .head().getString(0) === "it's pipeline_kinesis.seqnums")
+    // double-quoted strings are literals by default (doubleQuotedIdentifiers
+    // off) — same protection
+    assert(eng.sql("SELECT \"pipeline_kinesis.seqnums\" AS s")
+      .head().getString(0) === "pipeline_kinesis.seqnums")
+    // catalog names inside comments neither rewrite nor register helpers
+    assert(eng.sql(
+      "SELECT 1 AS n -- pipeline_kinesis.seqnums\n/* pipeline_kinesis.consumers */")
+      .head().getInt(0) === 1)
+    assert(!spark.catalog.tableExists("graft_seqnums") &&
+           !spark.catalog.tableExists("graft_consumers"),
+      "comment mentions must not register statement-scoped views")
+    // code outside the literal still rewrites
+    assert(eng.sql("SELECT count(*) >= 0 AS ok FROM pipeline_kinesis.seqnums " +
+      "WHERE shard_id != 'pipeline_kinesis.seqnums'").head().getBoolean(0))
+  }
+
+  test("consume_begin does not clobber a user temp view named like the relation") {
+    val root = tmpDir("sqlfe5-root"); val meta = tmpDir("sqlfe5-meta")
+    ShardedLog.append(s"$root/s", 0, Seq(("k1", "x"), ("k2", "y")))
+    val eng = new KinesisEngine(spark, meta)
+    import spark.implicits._
+    // the user owns a temp view whose name collides with the stream
+    // relation BEFORE the consumer starts
+    Seq("user-owned").toDF("payload").createOrReplaceTempView("clb_stream")
+    try {
+      eng.sql(s"SELECT pipeline_kinesis.add_endpoint('ep', 'r', NULL, '$root')")
+      eng.sql("CREATE STREAM clb_stream (payload text)")
+      eng.sql("CREATE CONTINUOUS VIEW clb_view AS " +
+        "SELECT payload, count(*) AS n FROM clb_stream GROUP BY payload")
+      eng.sql("SELECT pipeline_kinesis.consume_begin('ep', 's', 'clb_stream')")
+      eng.processAllAvailable()
+      // the CV computed from the STREAM, not the user's view
+      assert(eng.sql("SELECT * FROM clb_view ORDER BY payload").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toSeq ===
+          Seq("x" -> 1L, "y" -> 1L))
+      // and the user's temp view survived every maintenance batch
+      assert(spark.table("clb_stream").head().getString(0) === "user-owned",
+        "view startup/maintenance must shadow-restore, not clobber")
+      eng.sql("SELECT pipeline_kinesis.consume_end()")
+    } finally spark.catalog.dropTempView("clb_stream")
+  }
 }
