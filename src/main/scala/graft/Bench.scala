@@ -73,6 +73,14 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (timings.nonEmpty) timings.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
+    // Compact integer-ms duplicate of the per-query map, printed near the
+    // END of stdout: the driver archives only the last ~2000 characters,
+    // which truncates the head of the full-precision line once ~70 queries
+    // report. At 1 ms precision all entries fit inside the capture window,
+    // so round-over-round per-query diffs stay auditable from artifacts.
+    val qms = timings.map { case (k, v) => "\"" + k + "\":" + math.round(v * 1000) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"queries_ms","unit":"ms","queries":$qms}""")
     // short trailer AFTER the big line: survives tail-capture truncation so
     // the round-over-round total never has to be reconstructed by summing
     println(s"""{"metric":"total_summary","total_s":$total,"n_queries":${timings.size},"n_errors":${errors.size},"sf":"$sfDir"}""")

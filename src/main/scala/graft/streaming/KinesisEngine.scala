@@ -481,10 +481,10 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
     * at-least-once floor, like PipelineDB's delta streams: downstream
     * aggregates that must not double-count across a consumer re-creation
     * should key on the emitted group values (e.g. max per key), not
-    * count update events. The append is
-    * driver-side by construction — the local shard log's writer IS the
-    * put-record client — and carries only the groups the trigger touched,
-    * the same rows just written as the parquet delta. */
+    * count update events. The append carries only the groups the trigger
+    * touched — the same rows just written as the parquet delta — and is
+    * staged executor-side (see [[emitOutputStream]]), so driver memory
+    * never scales with the emitted row count. */
   def createOutputStream(view: String): Unit = synchronized {
     Files.createDirectories(Paths.get(metaDir, "views", view))
     writeAtomic(Paths.get(metaDir, "views", view, "_graft_output"), "1")
@@ -492,6 +492,47 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
 
   private def outputStreamPath(view: String) =
     Paths.get(metaDir, "views", view, "_graft_output")
+
+  /** Emit one trigger's group updates into the view's output log.
+    *
+    * Executor-side staged write: each partition serializes its rows to
+    * JSON and writes them as pre-framed GRAFTLG3 record bytes into a
+    * per-partition staging file; the driver then splices the parts onto
+    * `outputs/<view>/shard-0.log` with a bounded-buffer byte copy
+    * ([[ShardedLog.appendFramedFiles]]). Driver memory is O(copy
+    * buffer), never O(rows) — the path a generation-bump backfill takes
+    * when it replays EVERY group of a large view stays executor-sized.
+    * A retried/duplicate task rewrites its own part file from scratch
+    * (truncating open), and parts splice only after the Spark action
+    * completed, so a part is never read torn. The arrival timestamp is
+    * fixed once per trigger, like any put-record batch. */
+  private def emitOutputStream(vname: String, batch: DataFrame,
+                               stamped: Long): Unit = {
+    val stageDir = Paths.get(metaDir, "outputs", vname, s".stage-$stamped")
+    rmTree(stageDir.toFile) // crash leftovers of a prior attempt are stale
+    Files.createDirectories(stageDir)
+    val stageStr = stageDir.toString
+    val arrival = System.currentTimeMillis()
+    val pk = vname
+    batch.select(to_json(struct(batch.columns.map(col): _*)).as("j"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        if (it.hasNext) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+            new java.io.FileOutputStream(
+              new java.io.File(stageStr, f"part-$pid%05d")), 1 << 16))
+          try it.foreach { r =>
+            ShardedLog.frameRecord(out, arrival, pk,
+              r.getString(0).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          } finally out.close()
+        }
+      }
+    val parts = Option(stageDir.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName).toSeq
+    if (parts.nonEmpty)
+      ShardedLog.appendFramedFiles(s"$metaDir/outputs/$vname", 0, parts)
+    rmTree(stageDir.toFile)
+  }
 
   /** CREATE CONTINUOUS TRANSFORM parity (PipelineDB's second CV kind): a
     * stateless per-row transform over the stream whose output rows are
@@ -1121,8 +1162,8 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
                 }
                 // output stream (CV-over-CV chaining): forward this
                 // trigger's group updates into the view's derived log as
-                // JSON records — O(touched groups), driver-side like any
-                // put-record client (see createOutputStream). A high-water
+                // JSON records — O(touched groups) work, executor-side
+                // staged write (see emitOutputStream). A high-water
                 // mark suppresses re-emission when the batch is replayed
                 // in-lineage; a crash between append and mark, or a
                 // generation bump replaying the backfill, can still
@@ -1134,12 +1175,7 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
                   val hwm = if (Files.exists(hwmPath))
                     Files.readString(hwmPath).trim.toLong else Long.MinValue
                   if (stamped > hwm) {
-                    val rows = batch.select(to_json(struct(
-                        batch.columns.map(col): _*)).as("j")).collect()
-                    if (rows.nonEmpty)
-                      ShardedLog.appendBytes(s"$metaDir/outputs/$vname", 0,
-                        rows.map(r => (vname, r.getString(0)
-                          .getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+                    emitOutputStream(vname, batch, stamped)
                     writeAtomic(hwmPath, stamped.toString)
                   }
                 }

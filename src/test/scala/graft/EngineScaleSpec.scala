@@ -677,6 +677,46 @@ class EngineScaleSpec extends SparkSpec {
     assert(eng.streamTable("flat_stream").count() === 1L)
   }
 
+  test("output-stream emission of a large touched-group batch stays executor-staged") {
+    val root = tmpDir("obig-root"); val meta = tmpDir("obig-meta")
+    val eng = new KinesisEngine(spark, meta)
+    eng.addEndpoint("ep", "r", url = root)
+    eng.createStream("ob_stream", StructType(Seq(StructField("payload", StringType))))
+    eng.createContinuousView("ob_v1", "ob_stream", _.groupBy("payload").count())
+    eng.createOutputStream("ob_v1")
+    // one trigger touching 20k distinct groups — the emission shape of a
+    // generation-bump backfill recomputing a whole view
+    val n = 20000
+    ShardedLog.append(s"$root/s", 0,
+      (1 to n).map(i => (s"k$i", f"g$i%06d")))
+    val splicedBefore = ShardedLog.bytesSpliced.get()
+    eng.consumeBegin("ep", "s", "ob_stream", format = "text",
+      batchsize = n.toLong)
+    eng.processAllAvailable()
+    eng.consumeEndAll()
+    val pos = ShardedLog.latestPositions(s"$meta/outputs/ob_v1")
+    assert(pos.values.map(_.recs).sum === n.toLong,
+      "every touched group's update reached the output log")
+    // accounting proof that no row rode a driver collect: every record
+    // byte in the output log (minus the magic header) arrived through the
+    // executor-staged splice path
+    val logBytes = pos.values.map(_.bytes).sum - ShardedLog.HEADER
+    assert(ShardedLog.bytesSpliced.get() - splicedBefore === logBytes,
+      "emitted bytes must all travel the staged appendFramedFiles path")
+    // staging is transient: no leftover stage dirs next to the shard log
+    val leftovers = Option(new java.io.File(s"$meta/outputs/ob_v1").listFiles())
+      .getOrElse(Array.empty).filter(_.getName.startsWith(".stage-"))
+    assert(leftovers.isEmpty, "stage dirs are removed after the splice")
+    // and the emitted records are well-formed JSON group updates
+    val sample = spark.read.format(ShardedLog.FORMAT)
+      .option("path", s"$meta/outputs/ob_v1").load()
+      .selectExpr("cast(data AS STRING) AS j")
+      .selectExpr("get_json_object(j, '$.payload') AS payload",
+        "cast(get_json_object(j, '$.count') AS LONG) AS count")
+    assert(sample.where(col("payload").isNull || col("count") =!= 1L)
+      .count() === 0L, "every update parses with the view's schema")
+  }
+
   test("output-stream emission is not duplicated when a batch replays") {
     val root = tmpDir("ohwm-root"); val meta = tmpDir("ohwm-meta")
     val eng = new KinesisEngine(spark, meta)
