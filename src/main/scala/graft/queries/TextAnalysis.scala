@@ -162,6 +162,45 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // Sequence packing (training-batch assembly): concatenate the token
+    // stream in doc order and cut every BUDGET tokens — each document's
+    // bin is its start offset div BUDGET, the concat-and-chunk semantics
+    // of packed pretraining. Packing is per-language (the realistic
+    // training-shard unit), so the prefix-sum window parallelizes across
+    // languages; at 100 TB the same query packs per (lang, shard) to
+    // bound any one window partition — the sequential dependency is
+    // inherent to packing, the partition key is the scale lever.
+    "q_seq_pack" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), size(toks).cast("long").as("n_tokens"))
+        .withColumn("__cum", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .withColumn("bin", expr("__cum div 256")) // exact long division
+        .drop("__cum")
+        .orderBy("doc_id")
+    }),
+
+    // Repetition filter (Gopher-style quality rule): fraction of
+    // duplicated 3-gram shingles within each document — natural-language
+    // text repeats few trigrams; templated/boilerplate text repeats many.
+    // Reuses the fused `graft_shingles` codegen expression, so the whole
+    // query is one narrow map stage over the pruned scan.
+    "q_repetition" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          call_function("graft_shingles", col("text")).as("shs"))
+        .select(col("doc_id"),
+          size(col("shs")).cast("long").as("n_ngrams"),
+          size(array_distinct(col("shs"))).cast("long").as("n_distinct"))
+        .select(col("doc_id"), col("n_ngrams"), col("n_distinct"),
+          when(col("n_ngrams") > 0,
+            round(lit(1.0) - col("n_distinct").cast("double") / col("n_ngrams"), 4))
+            .otherwise(lit(0.0)).as("dup_frac"))
+        .withColumn("is_repetitive", (col("dup_frac") >= 0.01).cast("long"))
+        .orderBy("doc_id")),
+
     // Multimodal plumbing demo on a real oracle-checkable path: treat text
     // as an opaque binary payload (the image/audio column pattern), compute
     // byte-level features. Real media decode lives in
@@ -253,6 +292,31 @@ object TextAnalysis {
                 CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                 CAST(ascii(substr(text,1,1)) AS BIGINT) AS first_byte,
                 to_base64(encode(substr(text,1,12))) AS head_b64
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+    "q_seq_pack" ->
+      """SELECT doc_id, lang, n_tokens,
+                COALESCE(SUM(n_tokens) OVER (
+                    PARTITION BY lang ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  // 256 AS bin
+         FROM (SELECT doc_id, lang,
+                      CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
+               FROM documents)
+         ORDER BY doc_id""",
+    "q_repetition" ->
+      s"""WITH tok AS (SELECT doc_id, ${Dedup.thSql} AS th FROM documents),
+            hs AS (SELECT doc_id, ${Dedup.shingleHashSql} AS shs FROM tok)
+          SELECT doc_id,
+                 CAST(len(shs) AS BIGINT) AS n_ngrams,
+                 CAST(len(list_distinct(shs)) AS BIGINT) AS n_distinct,
+                 CASE WHEN len(shs) > 0
+                      THEN round(1.0 - CAST(len(list_distinct(shs)) AS DOUBLE)
+                                       / len(shs), 4)
+                      ELSE 0.0 END AS dup_frac,
+                 CAST(CASE WHEN len(shs) > 0 AND
+                        round(1.0 - CAST(len(list_distinct(shs)) AS DOUBLE)
+                              / len(shs), 4) >= 0.01
+                      THEN 1 ELSE 0 END AS BIGINT) AS is_repetitive
+          FROM hs ORDER BY doc_id"""
   )
 }

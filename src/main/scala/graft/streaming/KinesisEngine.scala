@@ -263,6 +263,42 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
       .foreach(cdir => rmTree(cdir.resolve(name).toFile))
   }
 
+  private def inactivePath(view: String) =
+    Paths.get(metaDir, "views", view, "_graft_inactive")
+
+  /** DEACTIVATE parity (PipelineDB pauses a continuous view's maintenance
+    * without dropping it): the view's standing query stops, its
+    * materialized state stays queryable, and the inactive flag persists
+    * so engine restarts and later consume_begins leave it paused. Unlike
+    * PipelineDB — where stream rows arriving while a view is deactivated
+    * are lost to it — the durable log plus the view's checkpoint mean
+    * [[activate]] resumes EXACTLY where maintenance stopped and catches
+    * up; nothing is missed. */
+  def deactivate(view: String): Unit = synchronized {
+    require(views.contains(view), s"no continuous view '$view'")
+    Files.createDirectories(Paths.get(metaDir, "views", view))
+    writeAtomic(inactivePath(view), "1")
+    running.keys.toSeq.foreach { id =>
+      val (dead, alive) = running(id).partition(_.name == view)
+      dead.foreach(_.stop())
+      if (dead.nonEmpty) running(id) = alive
+    }
+  }
+
+  /** ACTIVATE parity: clear the inactive flag and re-attach the view to
+    * every live consumer of its relation (the same additive attach path a
+    * view declared after consume_begin takes). The retained checkpoint
+    * resumes the update stream from where deactivate stopped it. */
+  def activate(view: String): Unit = synchronized {
+    require(views.contains(view), s"no continuous view '$view'")
+    Files.deleteIfExists(inactivePath(view))
+    val rel = views(view).relation
+    consumers.values.toSeq
+      .filter(c => c.relation == rel && running.contains(c.id))
+      .foreach(c => consumeBegin(c.endpoint, c.stream, c.relation, c.format,
+        c.delimiter, c.quote, c.escape, c.batchsize, c.parallelism, c.startSeq))
+  }
+
   /** DROP STREAM parity: refuses while any consumer targets the relation;
     * drops the schema, its views, and the persistent stream table. */
   def dropStream(relation: String): Unit = synchronized {
@@ -1055,7 +1091,8 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
     // logged.
     val allNames = running.values.flatten.map(_.name).toSet
     val wanted = views.toSeq.collect {
-      case (vname, v) if v.relation == relation && !allNames.contains(vname) => (vname, v)
+      case (vname, v) if v.relation == relation && !allNames.contains(vname) &&
+        !Files.exists(inactivePath(vname)) => (vname, v) // DEACTIVATEd stay paused
     }
     views.keys.foreach { vname =>
       if (views(vname).relation == relation && allNames.contains(vname) &&
@@ -1245,6 +1282,9 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
         "<stream> [GROUP BY …] — for anything richer use " +
         "createSlidingView(name, relation, keys, aggs, width, slide)")
   private val DropView = """(?is)^DROP\s+CONTINUOUS\s+VIEW\s+([A-Za-z_]\w*)\s*$""".r
+  // PipelineDB's ACTIVATE/DEACTIVATE statements (pause/resume a CV)
+  private val ActivateView = """(?is)^ACTIVATE\s+([A-Za-z_]\w*)\s*$""".r
+  private val DeactivateView = """(?is)^DEACTIVATE\s+([A-Za-z_]\w*)\s*$""".r
   private val DropStream = """(?is)^DROP\s+STREAM\s+([A-Za-z_]\w*)\s*$""".r
   private val InsertStream =
     """(?is)^INSERT\s+INTO\s+([A-Za-z_]\w*)\s*(?:\(([^)]*)\)\s*)?VALUES\s+(.*)$""".r
@@ -1521,6 +1561,8 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
         createContinuousViewSql(name, rel, select)
         result1(name)
       case DropView(name) => dropView(name); result1(name)
+      case ActivateView(name) => activate(name); result1(name)
+      case DeactivateView(name) => deactivate(name); result1(name)
       case DropStream(name) => dropStream(name); result1(name)
       case DeleteConsumer(ep, st, rel) =>
         removeConsumer(ep, st, rel); result1("ok")

@@ -677,6 +677,52 @@ class EngineScaleSpec extends SparkSpec {
     assert(eng.streamTable("flat_stream").count() === 1L)
   }
 
+  test("DEACTIVATE pauses one view; ACTIVATE resumes it and catches up losslessly") {
+    val root = tmpDir("act-root"); val meta = tmpDir("act-meta")
+    val eng = new KinesisEngine(spark, meta)
+    eng.addEndpoint("ep", "r", url = root)
+    eng.createStream("act_stream", StructType(Seq(StructField("payload", StringType))))
+    // SQL-declared so both views restore from the catalog after the
+    // engine restart below (closure views don't survive a restart)
+    eng.sql("CREATE CONTINUOUS VIEW act_v1 AS " +
+      "SELECT payload, count(*) AS n FROM act_stream GROUP BY payload")
+    eng.sql("CREATE CONTINUOUS VIEW act_v2 AS " +
+      "SELECT payload, count(*) AS n FROM act_stream GROUP BY payload")
+    def viewMap(name: String, e: KinesisEngine) = e.viewTable(name).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    ShardedLog.append(s"$root/s", 0, Seq(("a", "x")))
+    eng.consumeBegin("ep", "s", "act_stream", format = "text")
+    eng.processAllAvailable()
+    assert(viewMap("act_v1", eng) === Map("x" -> 1L))
+    eng.sql("DEACTIVATE act_v1")
+    ShardedLog.append(s"$root/s", 0, Seq(("b", "x"), ("c", "y")))
+    eng.processAllAvailable()
+    assert(viewMap("act_v2", eng) === Map("x" -> 2L, "y" -> 1L),
+      "sibling views keep maintaining while one is deactivated")
+    assert(viewMap("act_v1", eng) === Map("x" -> 1L),
+      "a deactivated view stays queryable at its paused state")
+    eng.sql("ACTIVATE act_v1")
+    eng.processAllAvailable()
+    assert(viewMap("act_v1", eng) === Map("x" -> 2L, "y" -> 1L),
+      "reactivation catches up from the durable log — unlike PipelineDB, " +
+        "rows arriving while deactivated are not lost")
+    // the flag survives an engine restart: consume_begin_all leaves the
+    // view paused until an explicit ACTIVATE
+    eng.deactivate("act_v1")
+    eng.consumeEndAll()
+    val eng2 = new KinesisEngine(spark, meta)
+    eng2.consumeBeginAll()
+    ShardedLog.append(s"$root/s", 0, Seq(("d", "y")))
+    eng2.processAllAvailable()
+    assert(viewMap("act_v1", eng2) === Map("x" -> 2L, "y" -> 1L))
+    assert(viewMap("act_v2", eng2) === Map("x" -> 2L, "y" -> 2L))
+    eng2.activate("act_v1")
+    eng2.processAllAvailable()
+    assert(viewMap("act_v1", eng2) === Map("x" -> 2L, "y" -> 2L),
+      "post-restart reactivation still resumes from the retained checkpoint")
+    eng2.consumeEndAll()
+  }
+
   test("output-stream emission of a large touched-group batch stays executor-staged") {
     val root = tmpDir("obig-root"); val meta = tmpDir("obig-meta")
     val eng = new KinesisEngine(spark, meta)
