@@ -302,5 +302,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "graft_cms_query(sketch, item)")
       }))
+    // PipelineDB bloom_union_agg / combine(freq_agg): union-aggregates
+    // over SERIALIZED sketches — what lets per-window sketch partials
+    // roll up without re-reading raw rows (see SketchExpressions.scala).
+    e.injectFunction((
+      FunctionIdentifier("graft_bloom_union_agg"),
+      new ExpressionInfo(classOf[BloomUnionAgg].getName, "graft_bloom_union_agg"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => BloomUnionAgg(c)
+        case _ => throw new IllegalArgumentException(
+          "graft_bloom_union_agg(bloom_binary)")
+      }))
+    e.injectFunction((
+      FunctionIdentifier("graft_cms_union_agg"),
+      new ExpressionInfo(classOf[CmsUnionAgg].getName, "graft_cms_union_agg"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => CmsUnionAgg(c)
+        case _ => throw new IllegalArgumentException(
+          "graft_cms_union_agg(cms_binary)")
+      }))
   }
 }

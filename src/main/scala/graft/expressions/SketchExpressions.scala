@@ -1,8 +1,11 @@
 package graft.expressions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.sketch.{BloomFilter, CountMinSketch}
@@ -119,4 +122,130 @@ case class BloomQuery(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): BloomQuery =
     copy(left = newLeft, right = newRight)
+}
+
+/** Union-aggregate over SERIALIZED bloom filters — PipelineDB's
+  * `bloom_union_agg`, the second half of what makes its sketches
+  * mergeable: a continuous view persists one fixed-size sketch per
+  * window/group, and rollups aggregate the sketches themselves, never
+  * re-reading raw rows. Spark's own `BloomFilterAggregate` only ingests
+  * raw values, so pre-built per-group sketches could not be rolled up
+  * without this. Buffers hold the deserialized filter; partials merge
+  * via `mergeInPlace` (throws on incompatible m/k — a real sizing bug,
+  * surfaced loudly). Input nulls (empty groups) are skipped; an
+  * all-null input yields NULL, like Spark's builtin. */
+case class BloomUnionAgg(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[BloomFilter] with UnaryLike[Expression] {
+
+  override def prettyName: String = "graft_bloom_union_agg"
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName: argument must be BINARY (a graft_bloom_agg result), " +
+        s"got ${child.dataType}")
+
+  override def createAggregationBuffer(): BloomFilter = null
+
+  override def update(buffer: BloomFilter, input: InternalRow): BloomFilter = {
+    val v = child.eval(input)
+    if (v == null) buffer
+    else {
+      val bf = BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(v.asInstanceOf[Array[Byte]]))
+      if (buffer == null) bf else { buffer.mergeInPlace(bf); buffer }
+    }
+  }
+
+  override def merge(b1: BloomFilter, b2: BloomFilter): BloomFilter =
+    if (b1 == null) b2
+    else if (b2 == null) b1
+    else { b1.mergeInPlace(b2); b1 }
+
+  override def eval(buffer: BloomFilter): Any =
+    if (buffer == null) null else serialize(buffer)
+
+  override def serialize(buffer: BloomFilter): Array[Byte] =
+    if (buffer == null) Array.emptyByteArray
+    else {
+      val bos = new java.io.ByteArrayOutputStream()
+      buffer.writeTo(bos); bos.toByteArray
+    }
+
+  override def deserialize(bytes: Array[Byte]): BloomFilter =
+    if (bytes.isEmpty) null
+    else BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BloomUnionAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BloomUnionAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): BloomUnionAgg =
+    copy(child = newChild)
+}
+
+/** Union-aggregate over SERIALIZED count-min sketches — the merge half
+  * of PipelineDB's `freq_agg`/`combine` surface (see [[BloomUnionAgg]];
+  * same contract, CMS flavor: partials built by `count_min_sketch` with
+  * identical depth/width/seed union into the exact sketch the global
+  * aggregate would have built — CMS union is cellwise addition, so
+  * estimates after the rollup equal the single-pass sketch's). */
+case class CmsUnionAgg(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[CountMinSketch] with UnaryLike[Expression] {
+
+  override def prettyName: String = "graft_cms_union_agg"
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName: argument must be BINARY (a count_min_sketch result), " +
+        s"got ${child.dataType}")
+
+  override def createAggregationBuffer(): CountMinSketch = null
+
+  override def update(buffer: CountMinSketch, input: InternalRow): CountMinSketch = {
+    val v = child.eval(input)
+    if (v == null) buffer
+    else {
+      val s = CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(v.asInstanceOf[Array[Byte]]))
+      if (buffer == null) s else { buffer.mergeInPlace(s); buffer }
+    }
+  }
+
+  override def merge(b1: CountMinSketch, b2: CountMinSketch): CountMinSketch =
+    if (b1 == null) b2
+    else if (b2 == null) b1
+    else { b1.mergeInPlace(b2); b1 }
+
+  override def eval(buffer: CountMinSketch): Any =
+    if (buffer == null) null else serialize(buffer)
+
+  override def serialize(buffer: CountMinSketch): Array[Byte] =
+    if (buffer == null) Array.emptyByteArray
+    else {
+      val bos = new java.io.ByteArrayOutputStream()
+      buffer.writeTo(bos); bos.toByteArray
+    }
+
+  override def deserialize(bytes: Array[Byte]): CountMinSketch =
+    if (bytes.isEmpty) null
+    else CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CmsUnionAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CmsUnionAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): CmsUnionAgg =
+    copy(child = newChild)
 }

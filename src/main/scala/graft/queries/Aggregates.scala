@@ -154,6 +154,42 @@ object Aggregates {
         .select(col("e.item").as("event_type"), col("e.count").as("approx_n"))
         .orderBy("event_type")),
 
+    // The full PipelineDB mergeable-sketch pattern: a CV persists one
+    // fixed-size sketch PER WINDOW (here per day: a bloom of the day's
+    // user ids + a CMS of the day's event types), and rollups union the
+    // SKETCHES (graft_bloom_union_agg / graft_cms_union_agg) — reading
+    // O(windows) sketch rows, never the raw stream. The merged sketches
+    // are then probed: every (event_type, user) pair must hit the merged
+    // bloom (union preserves membership — no false negatives), and the
+    // merged CMS's per-type estimate sits next to the exact count (CMS
+    // union is cellwise addition, so the rollup equals the single-pass
+    // sketch). Both 1-row merges broadcast (plan-audited). No oracle
+    // (probabilistic); contracts asserted in SemanticsSpec.
+    "q_sketch_rollup" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(
+          call_function("graft_bloom_agg", xxhash64(col("user_id")),
+            lit(10000L), lit(80000L)).as("bf"),
+          count_min_sketch(col("event_type"), lit(0.0001d), lit(0.99d),
+            lit(42)).as("cms"))
+      val merged = daily.agg(
+        call_function("graft_bloom_union_agg", col("bf")).as("bf"),
+        call_function("graft_cms_union_agg", col("cms")).as("cms"))
+      val pairs = Tables.events(s, d)
+        .select(col("event_type"), col("user_id")).distinct()
+      val probed = pairs.crossJoin(broadcast(merged))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(call_function("graft_bloom_contains", col("bf"),
+            xxhash64(col("user_id"))).cast("long")).as("n_users_maybe"),
+          max(call_function("graft_cms_query", col("cms"), col("event_type")))
+            .as("approx_n"))
+      val exact = Tables.events(s, d)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("exact_n"))
+      probed.join(exact, "event_type").orderBy("event_type")
+    }),
+
     // ROLLUP over region→nation customer revenue.
     "q_grouping_sets" -> ((s, d) => {
       val o = Tables.orders(s, d)

@@ -138,6 +138,55 @@ class GraftExpressionsSpec extends SparkSpec {
     } finally spark.catalog.dropTempView("cms_in")
   }
 
+  test("graft_bloom_union_agg / graft_cms_union_agg merge serialized partials") {
+    import spark.implicits._
+    // two disjoint halves, sketched per group with identical sizing
+    (1L to 1000L).map(k => (if (k <= 500) "a" else "b", k))
+      .toDF("g", "k").createOrReplaceTempView("union_in")
+    try {
+      // bloom: union of per-group filters must contain BOTH halves
+      val hits = spark.sql(
+        """SELECT sum(cast(graft_bloom_contains(m.bf, xxhash64(p.k)) AS LONG))
+          |FROM union_in p,
+          |     (SELECT graft_bloom_union_agg(bf) AS bf FROM (
+          |        SELECT g, graft_bloom_agg(xxhash64(k), 1000, 8000) AS bf
+          |        FROM union_in GROUP BY g)) m""".stripMargin).head().getLong(0)
+      assert(hits === 1000L, "union bloom lost members of a partial")
+      // cms: union of per-group sketches == the single-pass global sketch
+      val r = spark.sql(
+        """SELECT graft_cms_query(u.sk, 'lo') AS lo_u, graft_cms_query(u.sk, 'hi') AS hi_u,
+          |       graft_cms_query(g.sk, 'lo') AS lo_g, graft_cms_query(g.sk, 'hi') AS hi_g
+          |FROM (SELECT graft_cms_union_agg(sk) AS sk FROM (
+          |        SELECT g, count_min_sketch(CASE WHEN k <= 500 THEN 'lo' ELSE 'hi' END,
+          |                                   0.001d, 0.99d, 11) AS sk
+          |        FROM union_in GROUP BY g)) u,
+          |     (SELECT count_min_sketch(CASE WHEN k <= 500 THEN 'lo' ELSE 'hi' END,
+          |                              0.001d, 0.99d, 11) AS sk FROM union_in) g"""
+          .stripMargin).head()
+      assert(r.getLong(0) === r.getLong(2) && r.getLong(1) === r.getLong(3),
+        "merged CMS must equal the single-pass sketch (cellwise addition)")
+      assert(r.getLong(0) === 500L && r.getLong(1) === 500L)
+      // empty input → NULL, like the builtin aggregates
+      assert(spark.sql(
+        "SELECT graft_bloom_union_agg(bf) FROM (SELECT CAST(NULL AS BINARY) AS bf) WHERE false")
+        .head().isNullAt(0))
+      // incompatible partial sizings fail loudly, not silently wrong
+      val e = intercept[Exception] {
+        spark.sql(
+          """SELECT graft_bloom_union_agg(bf) FROM (
+            |  SELECT graft_bloom_agg(xxhash64(k), 1000, 8000) AS bf FROM union_in WHERE g = 'a'
+            |  UNION ALL
+            |  SELECT graft_bloom_agg(xxhash64(k), 500, 2000) AS bf FROM union_in WHERE g = 'b')"""
+            .stripMargin).collect()
+      }
+      assert(e.getMessage != null)
+      // non-binary child is an analysis error
+      intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql("SELECT graft_cms_union_agg(k) FROM union_in").collect()
+      }
+    } finally spark.catalog.dropTempView("union_in")
+  }
+
   test("sketch probes reject wrong types at analysis time") {
     import org.apache.spark.sql.AnalysisException
     // non-binary sketch child

@@ -20,7 +20,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_sample_hash",     // 1-row corpus total broadcast
     "q_histogram",       // 2-row min/max bounds broadcast
     "q_sketch_bloom",    // 1-row bloom-filter sketch broadcast
-    "q_sketch_cms")      // 1-row count-min sketch broadcast
+    "q_sketch_cms",      // 1-row count-min sketch broadcast
+    "q_sketch_rollup")   // 1-row merged-sketch broadcast
 
   test("no cartesian products; nested-loop joins only on broadcast dims") {
     SparkEntry.queries.keys.toSeq.sorted

@@ -155,6 +155,26 @@ class SemanticsSpec extends SparkSpec {
     assert(again === rows, "fixed-seed CMS query is not deterministic")
   }
 
+  test("q_sketch_rollup: unioned per-day sketches preserve membership and counts") {
+    import graft.queries.Aggregates
+    val rows = Aggregates.queries("q_sketch_rollup")(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, nUsers, nMaybe, approx, exact) =>
+      // bloom union preserves membership: every (type, user) pair that
+      // occurred must hit the merged filter
+      assert(nMaybe === nUsers, s"$t: union bloom lost members")
+      // CMS union is cellwise addition — the rollup equals the single-pass
+      // sketch, which is collision-free on this 5-key domain
+      assert(approx === exact, s"$t: merged CMS $approx != exact $exact")
+    }
+    val again = Aggregates.queries("q_sketch_rollup")(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(again === rows, "sketch rollup is not deterministic")
+  }
+
   test("q_sketch_topk: per-day sketch combine equals the exact global counts on the small domain") {
     import graft.queries.Aggregates
     val rows = Aggregates.queries("q_sketch_topk")(spark, sf0001).collect()
