@@ -36,8 +36,10 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType, Timestam
   *    O(groups touched by the batch), never O(all groups) — PipelineDB's
   *    in-place CV update semantics (README.md:78-88) at Spark scale.
   *    Appends are atomic (each delta file appears wholesale), so readers
-  *    never observe a partial snapshot. `materialize = "memory"` remains
-  *    an opt-in demo sink (complete mode, driver-resident).
+  *    never observe a partial snapshot. `materialize = "memory"` is the
+  *    opt-in complete-mode snapshot, cached DISTRIBUTED across executor
+  *    block managers (never driver-resident); its per-trigger cost is
+  *    O(all groups), which is why parquet/update is the default.
   *  - `consumeBegin`/`consumeEnd`(`All`) — upsert the consumer (C3),
   *    start/stop one StreamingQuery per continuous view on the target
   *    relation (the bgworker-launch analog, pipeline_kinesis.c:774-823;
@@ -92,6 +94,9 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
   private val consumers = mutable.LinkedHashMap[(String, String, String), Consumer]()
   private val running = mutable.LinkedHashMap[Int, Seq[StreamingQuery]]()
   private val tails = mutable.Map[String, ShardedLog.TailCache]()
+  // memory-materialized views: the current cached snapshot per view, kept
+  // so the previous generation can be unpersisted after each swap
+  private val memSnaps = mutable.Map[String, DataFrame]()
   private var nextId = 1
 
   Files.createDirectories(Paths.get(metaDir))
@@ -248,11 +253,17 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
     * running), unregister it, and delete its materialized state. The
     * consumer and its other views keep running. */
   def dropView(name: String): Unit = synchronized {
-    views.remove(name)
+    val removed = views.remove(name)
     running.keys.toSeq.foreach { id =>
       val (dead, alive) = running(id).partition(_.name == name)
       dead.foreach(_.stop())
       if (dead.nonEmpty) running(id) = alive
+    }
+    if (removed.exists(_.materialize == "memory")) {
+      memSnaps.synchronized(memSnaps.remove(name))
+        .foreach(_.unpersist(blocking = false))
+      spark.catalog.dropGlobalTempView(name)
+      spark.catalog.dropTempView(name) // the engine-created session alias
     }
     saveCatalog()
     rmTree(Paths.get(metaDir, "views", name).toFile)
@@ -1143,12 +1154,42 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
       val viewQs = wanted.map { case (vname, v) =>
         val writer = v.materialize match {
           case "memory" =>
-            // opt-in demo; the snapshot lives on the driver
+            // Complete-mode snapshot materialized into executor
+            // block-manager cache (MEMORY_AND_DISK), NOT the driver-
+            // resident memory sink: every trigger re-emits the full
+            // aggregate (complete mode's contract — per-trigger cost is
+            // O(all groups), which is why parquet/update stays the scale
+            // path), the fresh snapshot is persisted distributed, swapped
+            // in under the view lock, and no row is ever collected to the
+            // driver. `spark.table(vname)` keeps working through a
+            // text-based session view that re-resolves the shared global
+            // temp view (the swap target) on every read.
             log.warn(s"continuous view '$vname' uses the in-memory complete-mode " +
-              "sink: the full aggregate accumulates on the driver. The default " +
-              "materialize=\"parquet\" is the scale path.")
-            v.agg(df).writeStream.queryName(vname)
-              .outputMode("complete").format("memory")
+              "snapshot: each trigger rewrites all groups into executor cache. " +
+              "The default materialize=\"parquet\" is the incremental scale path.")
+            val aggDf = v.agg(df)
+            // exists-check: an ACTIVATE / repeated consume_begin must not
+            // wipe the still-queryable snapshot back to empty
+            if (!spark.catalog.tableExists(s"global_temp.$vname"))
+              spark.createDataFrame(
+                  java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+                  aggDf.schema)
+                .createOrReplaceGlobalTempView(vname)
+            spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW $vname AS " +
+              s"SELECT * FROM global_temp.$vname")
+            aggDf.writeStream.queryName(vname)
+              .outputMode("complete")
+              .foreachBatch { (batch: DataFrame, _: Long) =>
+                viewLock(vname).synchronized {
+                  val snap = batch.persist(
+                    org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                  snap.count() // materialize fully before dropping the old one
+                  snap.createOrReplaceGlobalTempView(vname)
+                  memSnaps.synchronized {
+                    memSnaps.put(vname, snap)
+                  }.foreach(_.unpersist(blocking = false))
+                }
+              }
           case "parquet" =>
             // incremental: update mode emits only the groups each batch
             // touched; the delta append is atomic and the merge happens at
@@ -1391,21 +1432,32 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
 
   /** PipelineDB's `INSERT INTO stream VALUES …` idiom. PipelineDB streams
     * are in-database buses; here data enters through the shard log, so
-    * the INSERT routes through the stream's (unique) bound consumer: rows
-    * serialize in that consumer's declared format, append to its
-    * endpoint's log with the first column's text as the partition key
-    * ([[ShardedLog.putRecords]] hash-range routing), and then flow
-    * through parse → views exactly like any put record. */
+    * the INSERT routes through a bound consumer: rows serialize in that
+    * consumer's declared format, append to its endpoint's log with the
+    * first column's text as the partition key ([[ShardedLog.putRecords]]
+    * hash-range routing), and then flow through parse → views exactly
+    * like any put record. When several consumers feed the relation, the
+    * row must be written exactly once (each consumer's parse appends to
+    * the same stream table), so the INSERT routes through the consumer
+    * whose running queries maintain the relation's views — the rest feed
+    * only the table (see [[consumeBegin]]) and a row carried by them
+    * would never reach a continuous view. Ties / none running → the
+    * lowest consumer id, for determinism. */
   private def insertIntoStream(relation: String, colList: Option[String],
                                valuesTail: String): DataFrame = synchronized {
     val schema = streams.getOrElse(relation,
       throw new IllegalArgumentException(s"no stream '$relation'"))
     val bound = consumers.values.filter(_.relation == relation).toSeq
-    require(bound.size == 1,
-      s"INSERT INTO $relation: exactly one consumer must bind the stream " +
-        s"to a log (found ${bound.size}) — consume_begin first; the INSERT " +
-        "routes through that consumer's endpoint and format")
-    val c = bound.head
+    require(bound.nonEmpty,
+      s"INSERT INTO $relation: no consumer binds the stream to a log — " +
+        "consume_begin first; the INSERT routes through a bound " +
+        "consumer's endpoint and format")
+    val viewNames = views.collect {
+      case (vn, v) if v.relation == relation => vn
+    }.toSet
+    val c = bound.find(b => running.getOrElse(b.id, Nil)
+        .exists(q => viewNames.contains(q.name)))
+      .getOrElse(bound.minBy(_.id))
     val ep = endpoints(c.endpoint)
     val cols = colList.map(_.split(",").map(_.trim).toSeq)
       .getOrElse(schema.fieldNames.toSeq)

@@ -138,6 +138,28 @@ class SqlFrontendSpec extends SparkSpec {
     eng.sql("SELECT pipeline_kinesis.consume_end()")
   }
 
+  test("INSERT INTO a multi-consumer stream routes through the view-maintaining consumer") {
+    val root = tmpDir("mins-root"); val meta = tmpDir("mins-meta")
+    val eng = new KinesisEngine(spark, meta)
+    eng.sql(s"SELECT pipeline_kinesis.add_endpoint('ep', 'r', NULL, '$root')")
+    eng.sql("CREATE STREAM multi_stream (k text, v integer)")
+    // consumer A starts before any view exists: it feeds only the table
+    eng.sql("SELECT pipeline_kinesis.consume_begin('ep', 's1', 'multi_stream', 'csv', ',')")
+    eng.sql("CREATE CONTINUOUS VIEW multi_view AS " +
+      "SELECT k, sum(v) AS total FROM multi_stream GROUP BY k")
+    // consumer B (higher id) picks up the not-yet-running view
+    eng.sql("SELECT pipeline_kinesis.consume_begin('ep', 's2', 'multi_stream', 'csv', ',')")
+    eng.sql("INSERT INTO multi_stream VALUES ('x', 1), ('x', 2)")
+    eng.processAllAvailable()
+    assert(eng.streamTable("multi_stream").count() === 2L,
+      "rows written exactly once despite two bound consumers")
+    assert(eng.sql("SELECT * FROM multi_view").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq === Seq("x" -> 3L),
+      "INSERT routed through the consumer that maintains the views, " +
+        "not the lowest-id table-only consumer")
+    eng.sql("SELECT pipeline_kinesis.consume_end()")
+  }
+
   test("CREATE CONTINUOUS VIEW WITH (sw = …) declares a sliding view in SQL") {
     val root = tmpDir("swsql-root"); val meta = tmpDir("swsql-meta")
     val dir = s"$root/s"

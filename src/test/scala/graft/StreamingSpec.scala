@@ -129,6 +129,36 @@ class StreamingSpec extends SparkSpec {
     eng.consumeEndAll()
   }
 
+  test("memory views snapshot into executor cache, not a driver memory sink") {
+    val root = tmpDir("kin-mem"); val meta = tmpDir("kin-mem-meta")
+    ShardedLog.append(s"$root/s", 0, Seq(("a", "x"), ("b", "y"), ("c", "x")))
+    val eng = new KinesisEngine(spark, meta)
+    eng.addEndpoint("ep", "r", url = root)
+    eng.createStream("mem_stream", StructType(Seq(StructField("payload", StringType))))
+    eng.createContinuousView("mem_view", "mem_stream",
+      _.groupBy("payload").count(), materialize = "memory")
+    eng.consumeBegin("ep", "s", "mem_stream")
+    eng.processAllAvailable()
+    assert(spark.table("mem_view").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap === Map("x" -> 2L, "y" -> 1L))
+    // the snapshot is block-manager cached (distributed, spillable) — a
+    // plan over InMemoryRelation, not the driver-resident memory sink's
+    // LocalTableScan
+    val plan = spark.table("mem_view").queryExecution.optimizedPlan.toString
+    assert(plan.contains("InMemoryRelation"),
+      s"expected a cached distributed snapshot, got:\n$plan")
+    assert(!plan.contains("LocalTableScan"), "no driver-local result table")
+    // the next trigger swaps in a fresh snapshot
+    ShardedLog.append(s"$root/s", 0, Seq(("d", "y")))
+    eng.processAllAvailable()
+    assert(spark.table("mem_view").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap === Map("x" -> 2L, "y" -> 2L))
+    eng.consumeEndAll()
+    eng.dropView("mem_view")
+    assert(!spark.catalog.tableExists("mem_view"),
+      "dropView releases the snapshot and its table registrations")
+  }
+
   test("json format parses records against the stream schema") {
     val root = tmpDir("kin-json")
     val meta = tmpDir("kin-json-meta")
