@@ -35,13 +35,14 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val spreads = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       if (only.forall(_.contains(name))) {
       // A failing query is recorded as an error, never as a timing: its
       // time-to-exception would otherwise masquerade as a fast run and a
       // new failure would read as an "improvement" in the round diff.
-      val times = (1 to iters).flatMap { _ =>
+      def once(): Option[Double] =
         if (errors.contains(name)) None
         else {
           spark.catalog.clearCache() // queries may cache() internally
@@ -55,9 +56,18 @@ object Bench {
               None
           }
         }
-      }
+      var times = (1 to iters).flatMap(_ => once())
+      // Stability guard: sub-second queries carry the largest relative
+      // JIT/GC/contention noise (r8→r9 swung the suite 7.7 s on identical
+      // code), so give them one extra iteration — cheap by construction —
+      // before taking the min.
+      if (!errors.contains(name) && times.nonEmpty && times.min < 1.0)
+        times = times ++ once()
       // a query that failed on ANY iteration is an error, never a timing
-      if (times.nonEmpty && !errors.contains(name)) timings(name) = times.min
+      if (times.nonEmpty && !errors.contains(name)) {
+        timings(name) = times.min
+        spreads(name) = times.sorted
+      }
       // Isolation between queries: q_stream_ingest tears down a whole
       // engine (streaming queries, checkpoints, temp dirs); without a GC +
       // settle the teardown debt lands in the NEXT query's timing (r4 saw
@@ -73,6 +83,21 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (timings.nonEmpty) timings.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
+    // Per-query iteration spread [best, second-best, ...] in ms: a clean
+    // run shows tight pairs; a contaminated run (other load on the box)
+    // shows 2-3× gaps, making an unlucky 2×-gate flip self-evident from
+    // the artifact. Full line printed BEFORE queries_ms so tail-capture
+    // truncation drops this first, never the headline per-query map.
+    val sprd = spreads.map { case (k, v) =>
+      "\"" + k + "\":[" + v.map(t => math.round(t * 1000)).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"iter_spread_ms","queries":$sprd}""")
+    // Ingest throughput + phase split: q_stream_ingest's wall-clock is
+    // trigger-wait dominated under contention, so records/s and the
+    // seed/run/stop decomposition are the comparable numbers.
+    graft.queries.StreamingIngest.lastStats.foreach { st =>
+      println(f"""{"metric":"ingest_throughput","records":${st.records},"rec_per_s":${st.recPerS}%.1f,"seed_s":${st.seedS}%.3f,"run_s":${st.runS}%.3f,"stop_s":${st.stopS}%.3f}""")
+    }
     // Compact integer-ms duplicate of the per-query map, printed near the
     // END of stdout: the driver archives only the last ~2000 characters,
     // which truncates the head of the full-precision line once ~70 queries
@@ -81,9 +106,17 @@ object Bench {
     val qms = timings.map { case (k, v) => "\"" + k + "\":" + math.round(v * 1000) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"queries_ms","unit":"ms","queries":$qms}""")
+    // Aggregate stability stats INSIDE the tail-safe trailer: the median
+    // and p90 of (second_best/best - 1) over all queries summarize run
+    // cleanliness in a few bytes even when iter_spread_ms is truncated.
+    val ratios = spreads.values.collect {
+      case v if v.size >= 2 && v.head > 0 => v(1) / v.head - 1.0
+    }.toSeq.sorted
+    val med = if (ratios.isEmpty) 0.0 else ratios(ratios.size / 2)
+    val p90 = if (ratios.isEmpty) 0.0 else ratios((ratios.size * 9) / 10 min (ratios.size - 1))
     // short trailer AFTER the big line: survives tail-capture truncation so
     // the round-over-round total never has to be reconstructed by summing
-    println(s"""{"metric":"total_summary","total_s":$total,"n_queries":${timings.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
+    println(f"""{"metric":"total_summary","total_s":$total,"n_queries":${timings.size},"n_errors":${errors.size},"spread_med":$med%.3f,"spread_p90":$p90%.3f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.AsOfJoin
+import graft.operators.{AsOfJoin, RangeJoin}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -100,6 +100,23 @@ object Joins {
                 col("asof_o_orderkey").as("asof_orderkey"),
                 col("asof_o_orderdate").as("asof_date"))
         .orderBy("event_id")
+    }),
+
+    // Interval (range) join: every event inside the 10-minute window
+    // opened by each purchase. No equi-key exists, so a naive theta-join
+    // would plan BNLJ/cartesian; operators.RangeJoin buckets both sides
+    // to 600 s bins and equi-joins on the bin id — one hash exchange per
+    // side, the same plan shape at 100 TB (PlanAuditSpec asserts it).
+    "q_join_range" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val iv = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("iv_id"), col("ts").as("start_ts"),
+                (col("ts") + expr("INTERVAL 10 MINUTES")).as("end_ts"))
+      val pts = ev.select(col("event_id").as("ev_id"), col("ts").as("ev_ts"))
+      RangeJoin(iv, pts, col("start_ts"), col("end_ts"), col("ev_ts"),
+                binSeconds = 600)
+        .select(col("iv_id"), col("ev_id"))
+        .orderBy("iv_id", "ev_id")
     })
   )
 
@@ -143,6 +160,12 @@ object Joins {
                               + to_days(CAST(event_id % 2400 AS INTEGER)) AS ets
                      FROM events) e
                JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ets)
-         WHERE rn = 1 ORDER BY event_id"""
+         WHERE rn = 1 ORDER BY event_id""",
+    "q_join_range" ->
+      """SELECT i.event_id AS iv_id, e.event_id AS ev_id
+         FROM (SELECT event_id, ts AS start_ts, ts + INTERVAL 10 MINUTE AS end_ts
+               FROM events WHERE event_type = 'purchase') i
+         JOIN events e ON e.ts >= i.start_ts AND e.ts < i.end_ts
+         ORDER BY iv_id, ev_id"""
   )
 }

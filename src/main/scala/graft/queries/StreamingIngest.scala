@@ -24,16 +24,30 @@ object StreamingIngest {
   private val N_RECORDS = 20000
   private val N_SHARDS = 4
 
+  /** Phase timings of the most recent q_stream_ingest run. The wall-clock
+    * of this query has swung 2.6→42.7 s across rounds of IDENTICAL code
+    * (streaming trigger waits amplify under box contention), so the bench
+    * reports throughput and the phase split alongside raw seconds — a
+    * contaminated run is then self-evident from the artifact instead of
+    * masquerading as a regression. */
+  final case class Stats(records: Long, seedS: Double, runS: Double,
+                         stopS: Double) {
+    def recPerS: Double = if (runS > 0) records / runS else 0.0
+  }
+  @volatile var lastStats: Option[Stats] = None
+
   val queries: Map[String, Qf] = Map(
     "q_stream_ingest" -> ((s, _) => {
       val root = Files.createTempDirectory("graft-ingest").toString
       val meta = Files.createTempDirectory("graft-ingest-meta").toString
       try {
+        val t0 = System.nanoTime()
         for (sh <- 0 until N_SHARDS)
           ShardedLog.append(s"$root/stream", sh,
             (sh until N_RECORDS by N_SHARDS).map { i =>
               val p = s"foo${i % 100}"; (p, p)
             })
+        val t1 = System.nanoTime()
         val eng = new KinesisEngine(s, meta)
         eng.addEndpoint("bench-ep", "local", url = root)
         eng.createStream("bench_stream",
@@ -43,15 +57,23 @@ object StreamingIngest {
         // parallelism=4: one task per shard (the reference's worker knob);
         // the view materializes incrementally (update-mode parquet deltas),
         // so the bench times the scale path, not the driver memory sink.
+        // The source queries run at the default ASAP trigger, so
+        // processAllAvailable() is a pure drain: it returns as soon as all
+        // seeded offsets are committed.
         eng.consumeBegin("bench-ep", "stream", "bench_stream",
           format = "text", batchsize = 5000, parallelism = 4)
         eng.processAllAvailable()
+        val t2 = System.nanoTime()
         eng.consumeEndAll()
         // the result is 100 tiny rows: pin them driver-side so the temp
         // dirs can be deleted NOW rather than leak per bench iteration
         // (the leak polluted the queries benched after this one)
         val out = eng.viewTable("bench_ingest_view").orderBy("payload")
         val rows = out.collect().toIndexedSeq
+        val t3 = System.nanoTime()
+        lastStats = Some(Stats(N_RECORDS,
+          seedS = (t1 - t0) / 1e9, runS = (t2 - t1) / 1e9,
+          stopS = (t3 - t2) / 1e9))
         s.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](
             scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),

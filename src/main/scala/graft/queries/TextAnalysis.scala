@@ -295,10 +295,10 @@ object TextAnalysis {
          FROM documents ORDER BY doc_id""",
     "q_seq_pack" ->
       """SELECT doc_id, lang, n_tokens,
-                COALESCE(SUM(n_tokens) OVER (
+                CAST(COALESCE(SUM(n_tokens) OVER (
                     PARTITION BY lang ORDER BY doc_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                  // 256 AS bin
+                  // 256 AS BIGINT) AS bin
          FROM (SELECT doc_id, lang,
                       CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
                FROM documents)

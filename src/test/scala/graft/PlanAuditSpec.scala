@@ -36,4 +36,32 @@ class PlanAuditSpec extends SparkSpec {
             s"$name plans an unexpected nested-loop join")
       }
   }
+
+  test("q_join_range plans a bucketed equi-join on the time-bin key") {
+    val qe = SparkEntry.queries("q_join_range")(spark, sf0001).queryExecution
+    val plan = qe.executedPlan.toString
+    // the range predicate alone has no equi-key; the operator must have
+    // introduced the __bin bucket columns as the join key
+    assert(plan.contains("__bin") && plan.contains("__rbin"),
+      "range join should equi-join on the time-bin bucket columns")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+           !plan.contains("CartesianProduct"),
+      "range join must not fall back to an all-pairs join")
+  }
+
+  test("RangeJoin matches the naive theta-join semantics") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf0001)
+    val iv = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("iv_id"), col("ts").as("start_ts"),
+              (col("ts") + expr("INTERVAL 10 MINUTES")).as("end_ts"))
+    val pts = ev.select(col("event_id").as("ev_id"), col("ts").as("ev_ts"))
+    val bucketed = graft.operators.RangeJoin(
+        iv, pts, col("start_ts"), col("end_ts"), col("ev_ts"), 600)
+      .select("iv_id", "ev_id").orderBy("iv_id", "ev_id").collect().toSeq
+    val naive = iv.join(pts, // test-only BNLJ: the shape RangeJoin replaces
+        col("ev_ts") >= col("start_ts") && col("ev_ts") < col("end_ts"))
+      .select("iv_id", "ev_id").orderBy("iv_id", "ev_id").collect().toSeq
+    assert(bucketed.nonEmpty && bucketed == naive)
+  }
 }

@@ -594,6 +594,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("reshard under load: seqnums/lag stay consistent across two live consumers") {
+    val root = tmpDir("kin-reshard")
+    val meta = tmpDir("kin-reshard-meta")
+    ShardedLog.append(s"$root/sa", 0, (0 until 60).map(i => (s"a$i", s"a$i")))
+    ShardedLog.append(s"$root/sb", 0, (0 until 40).map(i => (s"b$i", s"b$i")))
+    val eng = new KinesisEngine(spark, meta)
+    eng.addEndpoint("ep", "r", url = root)
+    eng.createStream("rs_a", StructType(Seq(StructField("payload", StringType))))
+    eng.createStream("rs_b", StructType(Seq(StructField("payload", StringType))))
+    eng.createContinuousView("rs_a_view", "rs_a", _.groupBy("payload").count())
+    val idA = eng.consumeBegin("ep", "sa", "rs_a", format = "text")
+    val idB = eng.consumeBegin("ep", "sb", "rs_b", format = "text")
+    eng.processAllAvailable()
+    // Reshard stream A while BOTH consumers are live (a new shard appears
+    // and takes writes, like a Kinesis split), with concurrent load on B.
+    ShardedLog.append(s"$root/sa", 3, (0 until 30).map(i => (s"n$i", s"n$i")))
+    ShardedLog.append(s"$root/sb", 0, (0 until 15).map(i => (s"c$i", s"c$i")))
+    // seqnums read mid-flight must be consistent (never negative lag,
+    // never a shard the consumer doesn't own) even while commits race.
+    val mid = eng.seqnums.collect()
+    assert(mid.forall(r => r.getLong(3) >= 0L && r.getLong(4) >= 0L))
+    eng.processAllAvailable()
+    val sq = eng.seqnums.collect()
+    val byConsumer = sq.groupBy(_.getInt(0))
+    // consumer A discovered the reshard: both shards committed, seqnums
+    // equal to per-shard record counts, zero lag after the drain
+    val a = byConsumer(idA).map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(a === Map("shard-0" -> 60L, "shard-3" -> 30L),
+      s"consumer A shard seqnums after reshard: $a")
+    val b = byConsumer(idB).map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(b === Map("shard-0" -> 55L))
+    assert(sq.forall(r => r.getLong(3) === 0L && r.getLong(4) === 0L),
+      "all shards (old and new, both consumers) drained to zero lag")
+    // the view over A saw every pre- and post-reshard record exactly once
+    assert(eng.viewTable("rs_a_view").agg(sum("count")).head().getLong(0) === 90L)
+    eng.consumeEndAll()
+  }
+
   test("catalog round-trips hostile names (tabs/newlines in fields)") {
     val meta = tmpDir("kin-hostile-meta")
     val eng = new KinesisEngine(spark, meta)
