@@ -5,6 +5,33 @@ import org.apache.spark.sql.functions._
 
 class ScaleJoinsSpec extends SparkSpec {
 
+  test("RangeJoin bin boundaries: end-exclusive, replication covers bin spans") {
+    import graft.operators.RangeJoin
+    import spark.implicits._
+    // binSeconds = 600 → bins are epoch-aligned [k·600, (k+1)·600).
+    // i_aligned spans exactly one bin; i_span straddles a bin edge, so its
+    // interval row must replicate into both bins to catch p_bin1.
+    val iv = Seq(
+      ("i_aligned", "2024-01-01 00:10:00", "2024-01-01 00:20:00"),
+      ("i_span",    "2024-01-01 00:05:00", "2024-01-01 00:15:00"))
+      .toDF("iv_id", "s", "e")
+      .select(col("iv_id"), col("s").cast("timestamp").as("start_ts"),
+              col("e").cast("timestamp").as("end_ts"))
+    val pts = Seq(
+      ("p_start", "2024-01-01 00:10:00"),  // == start: inclusive
+      ("p_last",  "2024-01-01 00:19:59"),  // last second inside i_aligned
+      ("p_end",   "2024-01-01 00:20:00"),  // == end: EXCLUSIVE, no match
+      ("p_bin1",  "2024-01-01 00:14:00"),  // 2nd bin of i_span (+ i_aligned)
+      ("p_out",   "2024-01-01 00:04:59"))  // before both
+      .toDF("ev_id", "t")
+      .select(col("ev_id"), col("t").cast("timestamp").as("ev_ts"))
+    val got = RangeJoin(iv, pts, col("start_ts"), col("end_ts"), col("ev_ts"), 600)
+      .select("iv_id", "ev_id").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === Set(
+      ("i_aligned", "p_start"), ("i_aligned", "p_last"), ("i_aligned", "p_bin1"),
+      ("i_span", "p_start"), ("i_span", "p_bin1")))
+  }
+
   test("SaltedJoin equals the plain join (content-deterministic salting)") {
     val orders = Tables.orders(spark, sf0001)
     val customer = Tables.customer(spark, sf0001)
