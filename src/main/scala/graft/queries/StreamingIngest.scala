@@ -57,14 +57,14 @@ object StreamingIngest {
         // parallelism=4: one task per shard (the reference's worker knob);
         // the view materializes incrementally (update-mode parquet deltas),
         // so the bench times the scale path, not the driver memory sink.
-        // The source queries run at the default ASAP trigger, so
-        // processAllAvailable() is a pure drain: it returns as soon as all
-        // seeded offsets are committed.
-        eng.consumeBegin("bench-ep", "stream", "bench_stream",
+        // Backfill = Trigger.AvailableNow: the queries snapshot the shard
+        // ends, drain up to them, and STOP THEMSELVES — no polling wait to
+        // amplify under box contention (the r5 bench measured 42.7 s for
+        // this query purely from trigger-wait pile-up).
+        eng.consumeBackfill("bench-ep", "stream", "bench_stream",
           format = "text", batchsize = 5000, parallelism = 4)
-        eng.processAllAvailable()
         val t2 = System.nanoTime()
-        eng.consumeEndAll()
+        eng.consumeEndAll() // no-op after a backfill; kept for symmetry
         // the result is 100 tiny rows: pin them driver-side so the temp
         // dirs can be deleted NOW rather than leak per bench iteration
         // (the leak polluted the queries benched after this one)

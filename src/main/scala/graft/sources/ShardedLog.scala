@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -391,11 +391,23 @@ class ShardedLogScan(path: String, batchsize: Long, startPos: String, parallelis
 
 class ShardedLogMicroBatchStream(path: String, batchsize: Long, startPos: String,
                                  parallelism: Int)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
 
   import ShardedLog.ShardPos
 
   private val tailCache = new ShardedLog.TailCache(path)
+
+  // Trigger.AvailableNow (batch-backfill mode): the end positions captured
+  // at query start. Subsequent micro-batches (still batchsize-capped, so a
+  // backlog drains through several) never admit past this snapshot, and
+  // shards created after the snapshot wait for the next run — the same
+  // "process what existed when the query started" contract as Spark's
+  // Kafka/file sources.
+  @volatile private var availableNowCap: Option[Map[String, ShardPos]] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(ShardedLog.latestPositions(path))
 
   override def initialOffset(): Offset = {
     val init = startPos.toLowerCase match {
@@ -431,7 +443,18 @@ class ShardedLogMicroBatchStream(path: String, batchsize: Long, startPos: String
         f.getName -> ShardPos(d.bytes, p.recs + d.recs)
       } else f.getName -> p
     }.toMap
-    ShardedLogOffset(next)
+    val capped = availableNowCap match {
+      case None => next
+      case Some(cap) => next.map { case (shard, p) =>
+        val from = s.getOrElse(shard, ShardPos(0L, 0L))
+        // clamp to the snapshot; never regress below the committed start
+        // (positions are record-aligned, so the clamp is batch-consistent)
+        val c = cap.getOrElse(shard, from)
+        shard -> (if (c.bytes < from.bytes) from
+                  else if (p.bytes > c.bytes) c else p)
+      }
+    }
+    ShardedLogOffset(capped)
   }
 
   override def reportLatestOffset(): Offset = ShardedLogOffset(tailCache.advance())

@@ -3,6 +3,7 @@ package graft.streaming
 import java.nio.file.{Files, Paths}
 
 import scala.collection.mutable
+import scala.util.chaining._
 
 import graft.sources.ShardedLog
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -1065,7 +1066,50 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
                    format: String = "text", delimiter: String = "\t",
                    quote: String = null, escape: String = null,
                    batchsize: Long = 1000L, parallelism: Int = 1,
-                   startSeq: Long = -2L): Int = synchronized {
+                   startSeq: Long = -2L): Int =
+    consumeBeginWith(None, endpoint, stream, relation, format, delimiter,
+      quote, escape, batchsize, parallelism, startSeq)
+
+  /** Backfill variant of consume_begin: the SAME pipeline (parse → stream
+    * table + every continuous view), run with `Trigger.AvailableNow` — the
+    * source snapshots its shard-end positions at start, drains up to them
+    * in batchsize-capped micro-batches, then every query stops itself.
+    * Blocks until the drain completes. Checkpoints/seqnums advance exactly
+    * as in continuous mode, so a later consumeBegin or consumeBackfill
+    * resumes after the drained records; shards created mid-drain wait for
+    * the next run (the Kinesis "process what exists now" contract).
+    * Refuses while the consumer is already running continuously. */
+  def consumeBackfill(endpoint: String, stream: String, relation: String,
+                      format: String = "text", delimiter: String = "\t",
+                      quote: String = null, escape: String = null,
+                      batchsize: Long = 1000L, parallelism: Int = 1,
+                      startSeq: Long = -2L): Int = {
+    synchronized {
+      consumers.get((endpoint, stream, relation)).foreach { c =>
+        require(running.getOrElse(c.id, Seq.empty).forall(!_.isActive),
+          s"consumer ${c.id} is running continuously; stop it before a backfill")
+      }
+    }
+    val id = consumeBeginWith(
+      Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()),
+      endpoint, stream, relation, format, delimiter, quote, escape,
+      batchsize, parallelism, startSeq)
+    // await OUTSIDE the engine monitor: the drain runs foreachBatch bodies
+    // that take view/table locks, and other API calls must stay possible
+    val qs = synchronized(running.getOrElse(id, Seq.empty))
+    qs.foreach(_.awaitTermination())
+    synchronized {
+      if (running.get(id).exists(_.forall(q => !q.isActive))) running.remove(id)
+    }
+    id
+  }
+
+  private def consumeBeginWith(trig: Option[org.apache.spark.sql.streaming.Trigger],
+                   endpoint: String, stream: String, relation: String,
+                   format: String, delimiter: String,
+                   quote: String, escape: String,
+                   batchsize: Long, parallelism: Int,
+                   startSeq: Long): Int = synchronized {
     // MAX_PROCS parity: the reference caps worker processes at 8
     // (pipeline_kinesis.c:54,786-791); the capped value feeds the source's
     // task grouping (shards are read by ≤ parallelism concurrent tasks).
@@ -1150,6 +1194,7 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
             }
           }
           .option("checkpointLocation", s"$metaDir/checkpoints/${c.id}/__table")
+          .pipe(w => trig.fold(w)(w.trigger))
           .start())
       val viewQs = wanted.map { case (vname, v) =>
         val writer = v.materialize match {
@@ -1270,6 +1315,7 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
         }
         writer.option("checkpointLocation",
             s"$metaDir/checkpoints/${c.id}/$vname")
+          .pipe(w => trig.fold(w)(w.trigger))
           .start()
       }
       running(c.id) = have ++ tableQ ++ viewQs

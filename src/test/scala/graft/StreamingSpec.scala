@@ -594,6 +594,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("availableNow backfill: drains the snapshot in capped batches, then stops") {
+    val root = tmpDir("kin-anow")
+    val meta = tmpDir("kin-anow-meta")
+    // 25 records on one shard with batchsize 10 → the drain must span ≥3
+    // capped micro-batches before the queries stop themselves
+    ShardedLog.append(s"$root/s", 0, (0 until 25).map(i => (s"k${i % 5}", s"k${i % 5}")))
+    val eng = new KinesisEngine(spark, meta)
+    eng.addEndpoint("ep", "r", url = root)
+    eng.createStream("an_stream", StructType(Seq(StructField("payload", StringType))))
+    eng.createContinuousView("an_view", "an_stream", _.groupBy("payload").count())
+    val id = eng.consumeBackfill("ep", "s", "an_stream", format = "text",
+      batchsize = 10)
+    // returned ⇒ every query self-terminated after the drain
+    assert(eng.activeQueries.isEmpty, "backfill queries stop themselves")
+    val v1 = eng.viewTable("an_view").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(v1 === Map("k0" -> 5L, "k1" -> 5L, "k2" -> 5L, "k3" -> 5L, "k4" -> 5L))
+    assert(eng.streamTable("an_stream").count() === 25)
+    // records appended AFTER the snapshot wait for the next run…
+    ShardedLog.append(s"$root/s", 0, Seq(("k0", "k0"), ("k9", "k9")))
+    assert(eng.viewTable("an_view").collect().map(_.getLong(1)).sum === 25L)
+    // …and the next backfill resumes from the committed checkpoint: same
+    // consumer id, only the 2 new records drain
+    val id2 = eng.consumeBackfill("ep", "s", "an_stream", format = "text",
+      batchsize = 10)
+    assert(id2 === id)
+    val v2 = eng.viewTable("an_view").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(v2 === Map("k0" -> 6L, "k1" -> 5L, "k2" -> 5L, "k3" -> 5L,
+                      "k4" -> 5L, "k9" -> 1L))
+    assert(eng.streamTable("an_stream").count() === 27)
+    assert(eng.seqnums.filter(col("shard_id") === "shard-0")
+      .head().getLong(2) === 27L, "checkpointed seqnum covers both drains")
+  }
+
   test("reshard under load: seqnums/lag stay consistent across two live consumers") {
     val root = tmpDir("kin-reshard")
     val meta = tmpDir("kin-reshard-meta")
