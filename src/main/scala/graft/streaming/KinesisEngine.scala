@@ -1347,7 +1347,7 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
   // --- SQL front-end (the reference's actual UX) ---------------------------
 
   private val FnCall =
-    """(?is)^SELECT\s+(?:pipeline_kinesis\.)?(add_endpoint|remove_endpoint|consume_begin|consume_end)\s*\((.*)\)\s*$""".r
+    """(?is)^SELECT\s+(?:pipeline_kinesis\.)?(add_endpoint|remove_endpoint|consume_begin|consume_backfill|consume_end)\s*\((.*)\)\s*$""".r
   private val CreateStream =
     """(?is)^CREATE\s+STREAM\s+([A-Za-z_]\w*)\s*\((.*)\)\s*$""".r
   private val CreateView =
@@ -1563,7 +1563,9 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
     *  - `SELECT pipeline_kinesis.add_endpoint('ep','region'[,credfile,url])`
     *  - `SELECT pipeline_kinesis.consume_begin('ep','stream','rel'
     *    [,format,delimiter,quote,escape,batchsize,parallelism,start_seq])`,
-    *    0-arg `consume_begin()` / `consume_end()` = the `_all` variants
+    *    0-arg `consume_begin()` / `consume_end()` = the `_all` variants;
+    *    `consume_backfill(…)` (engine extension) = the same args driven
+    *    through [[consumeBackfill]]'s bounded AvailableNow drain
     *  - `CREATE STREAM s (payload text, ...)` (Postgres column types)
     *  - `CREATE CONTINUOUS VIEW v AS SELECT …` /
     *    `CREATE CONTINUOUS TRANSFORM t AS SELECT …` (the target stream is
@@ -1643,6 +1645,19 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
           case "consume_end" =>
             require(a.size == 3, "consume_end(endpoint, stream, relation)")
             consumeEnd(a(0).get, a(1).get, a(2).get); result1("ok")
+          // engine extension (no reference analog): bounded AvailableNow
+          // drain — same arg shape as consume_begin, blocks until drained
+          case "consume_backfill" =>
+            require(a.size >= 3, "consume_backfill(endpoint, stream, relation, …)")
+            val id = consumeBackfill(a(0).get, a(1).get, a(2).get,
+              format = a.lift(3).flatten.getOrElse("text"),
+              delimiter = a.lift(4).flatten.getOrElse("\t"),
+              quote = a.lift(5).flatten.orNull,
+              escape = a.lift(6).flatten.orNull,
+              batchsize = a.lift(7).flatten.map(_.toLong).getOrElse(1000L),
+              parallelism = a.lift(8).flatten.map(_.toInt).getOrElse(1),
+              startSeq = a.lift(9).flatten.map(_.toLong).getOrElse(-2L))
+            result1(id.toString)
         }
       case CreateStream(name, cols) =>
         createStream(name, StructType.fromDDL(pgTypesToSpark(cols)))

@@ -74,6 +74,23 @@ class SqlFrontendSpec extends SparkSpec {
     assert(eng.listEndpoints.isEmpty)
   }
 
+  test("consume_backfill in SQL: bounded drain, returns after stopping") {
+    val root = tmpDir("sqlfe-bf-root"); val meta = tmpDir("sqlfe-bf-meta")
+    ShardedLog.append(s"$root/s", 0, Seq(("a", "a"), ("b", "b"), ("a", "a")))
+    val eng = new KinesisEngine(spark, meta)
+    eng.sql(s"SELECT pipeline_kinesis.add_endpoint('ep', 'r', NULL, '$root')")
+    eng.sql("CREATE STREAM bf_stream (payload text)")
+    eng.sql("CREATE CONTINUOUS VIEW bf_view AS " +
+      "SELECT payload, count(*) AS n FROM bf_stream GROUP BY payload")
+    val id = eng.sql("SELECT pipeline_kinesis.consume_backfill('ep', 's', 'bf_stream')")
+      .head().getString(0)
+    assert(id.toInt >= 1)
+    // no processAllAvailable needed: the statement returns after the drain
+    assert(eng.activeQueries.isEmpty)
+    assert(eng.sql("SELECT * FROM bf_view ORDER BY payload").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq === Seq("a" -> 2L, "b" -> 1L))
+  }
+
   test("continuous views can join the stream against a dimension table") {
     // PipelineDB CVs may join a stream with regular tables; here the
     // dimension is any table registered in the Spark session and the CV
