@@ -1097,7 +1097,14 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
     // await OUTSIDE the engine monitor: the drain runs foreachBatch bodies
     // that take view/table locks, and other API calls must stay possible
     val qs = synchronized(running.getOrElse(id, Seq.empty))
-    qs.foreach(_.awaitTermination())
+    try qs.foreach(_.awaitTermination())
+    catch { case e: Throwable =>
+      // one query failed mid-drain: don't leave its siblings running
+      // against a consumer the caller believes is stopped
+      qs.foreach(q => if (q.isActive) q.stop())
+      synchronized { running.remove(id) }
+      throw e
+    }
     synchronized {
       if (running.get(id).exists(_.forall(q => !q.isActive))) running.remove(id)
     }
