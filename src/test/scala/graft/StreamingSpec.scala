@@ -627,6 +627,27 @@ class StreamingSpec extends SparkSpec {
       .head().getLong(2) === 27L, "checkpointed seqnum covers both drains")
   }
 
+  test("availableNow backfill failure stops sibling queries and propagates") {
+    val root = tmpDir("kin-anow-fail")
+    val meta = tmpDir("kin-anow-fail-meta")
+    ShardedLog.append(s"$root/s", 0, Seq(("ok", "ok"), ("boom", "boom")))
+    val eng = new KinesisEngine(spark, meta)
+    eng.addEndpoint("ep", "r", url = root)
+    eng.createStream("anf_stream", StructType(Seq(StructField("payload", StringType))))
+    // raise_error fires when a 'boom' record arrives; it computes the
+    // GROUP KEY so column pruning cannot drop it
+    eng.createContinuousView("anf_view", "anf_stream",
+      _.select(when(col("payload") === "boom",
+                    expr("raise_error('boom record')"))
+                 .otherwise(col("payload")).as("payload"))
+        .groupBy("payload").count())
+    intercept[Exception] {
+      eng.consumeBackfill("ep", "s", "anf_stream", format = "text")
+    }
+    assert(eng.activeQueries.isEmpty,
+      "failed backfill must not leave sibling queries running")
+  }
+
   test("reshard under load: seqnums/lag stay consistent across two live consumers") {
     val root = tmpDir("kin-reshard")
     val meta = tmpDir("kin-reshard-meta")
