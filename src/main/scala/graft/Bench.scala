@@ -96,7 +96,7 @@ object Bench {
     // trigger-wait dominated under contention, so records/s and the
     // seed/run/stop decomposition are the comparable numbers.
     graft.queries.StreamingIngest.lastStats.foreach { st =>
-      println(f"""{"metric":"ingest_throughput","records":${st.records},"rec_per_s":${st.recPerS}%.1f,"seed_s":${st.seedS}%.3f,"run_s":${st.runS}%.3f,"stop_s":${st.stopS}%.3f}""")
+      println(f"""{"metric":"ingest_throughput","records":${st.records},"rec_per_s":${st.recPerS}%.1f,"seed_s":${st.seedS}%.3f,"setup_s":${st.setupS}%.3f,"drain_s":${st.drainS}%.3f,"stop_s":${st.stopS}%.3f}""")
     }
     // Compact integer-ms duplicate of the per-query map, printed near the
     // END of stdout: the driver archives only the last ~2000 characters,

@@ -30,9 +30,9 @@ object StreamingIngest {
     * reports throughput and the phase split alongside raw seconds — a
     * contaminated run is then self-evident from the artifact instead of
     * masquerading as a regression. */
-  final case class Stats(records: Long, seedS: Double, runS: Double,
-                         stopS: Double) {
-    def recPerS: Double = if (runS > 0) records / runS else 0.0
+  final case class Stats(records: Long, seedS: Double, setupS: Double,
+                         drainS: Double, stopS: Double) {
+    def recPerS: Double = if (drainS > 0) records / drainS else 0.0
   }
   @volatile var lastStats: Option[Stats] = None
 
@@ -54,6 +54,7 @@ object StreamingIngest {
           StructType(Seq(StructField("payload", StringType))))
         eng.createContinuousView("bench_ingest_view", "bench_stream",
           _.groupBy("payload").count())
+        val t1b = System.nanoTime()
         // parallelism=4: one task per shard (the reference's worker knob);
         // the view materializes incrementally (update-mode parquet deltas),
         // so the bench times the scale path, not the driver memory sink.
@@ -72,8 +73,8 @@ object StreamingIngest {
         val rows = out.collect().toIndexedSeq
         val t3 = System.nanoTime()
         lastStats = Some(Stats(N_RECORDS,
-          seedS = (t1 - t0) / 1e9, runS = (t2 - t1) / 1e9,
-          stopS = (t3 - t2) / 1e9))
+          seedS = (t1 - t0) / 1e9, setupS = (t1b - t1) / 1e9,
+          drainS = (t2 - t1b) / 1e9, stopS = (t3 - t2) / 1e9))
         s.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](
             scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
