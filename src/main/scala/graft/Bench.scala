@@ -63,6 +63,15 @@ object Bench {
       // before taking the min.
       if (!errors.contains(name) && times.nonEmpty && times.min < 1.0)
         times = times ++ once()
+      // Contamination retry: when the two samples disagree by >40%, at
+      // least one was disturbed by outside load — buy a third observation
+      // exactly then. On a clean run this costs nothing; on a loaded box
+      // it keeps the min close to the query's true time instead of
+      // letting a doubly-disturbed pair inflate the round total.
+      if (!errors.contains(name) && times.size >= 2) {
+        val s = times.sorted
+        if (s(1) / s(0) - 1.0 > 0.4) times = times ++ once()
+      }
       // a query that failed on ANY iteration is an error, never a timing
       if (times.nonEmpty && !errors.contains(name)) {
         timings(name) = times.min
