@@ -63,6 +63,23 @@ object Analytics {
         .agg(count(lit(1)).as("active_users"),
              count(col("u2")).as("retained_next_day"))
         .orderBy("day")
+    }),
+
+    // Skew-safe two-phase aggregation. `event_type` has ~5 values, so at
+    // 100 TB a single groupBy funnels the whole table through 5 reducers.
+    // Phase 1 salts the key 16 ways (deterministic hash of the row id —
+    // no rand(), so retries agree) and computes uniform partial
+    // aggregates; phase 2 combines the ≤ 5×16 partials. The oracle is the
+    // plain GROUP BY: salting must be invisible in the result.
+    "q_agg_salted" -> ((s, d) => {
+      val partial = Tables.events(s, d)
+        .groupBy(col("event_type"),
+                 pmod(hash(col("event_id")), lit(16)).as("__salt"))
+        .agg(count(lit(1)).as("pc"), sum(col("value")).as("pv"))
+      partial.groupBy(col("event_type"))
+        .agg(sum(col("pc")).as("n_events"),
+             round(sum(col("pv")), 4).as("sum_value"))
+        .orderBy("event_type")
     })
   )
 
@@ -94,6 +111,10 @@ object Analytics {
          SELECT a.day, count(*) AS active_users, count(b.user_id) AS retained_next_day
          FROM du a LEFT JOIN du b
            ON a.user_id = b.user_id AND b.day = a.day + INTERVAL 1 DAY
-         GROUP BY a.day ORDER BY a.day"""
+         GROUP BY a.day ORDER BY a.day""",
+    "q_agg_salted" ->
+      """SELECT event_type, count(*) AS n_events,
+                round(sum(value), 4) AS sum_value
+         FROM events GROUP BY event_type ORDER BY event_type"""
   )
 }

@@ -90,6 +90,33 @@ object Similarity {
         .limit(10)
     }),
 
+    // Int8 symmetric quantization of the embedding column — the storage
+    // compression step of an embedding pipeline (4× smaller than float32,
+    // dequant error bounded by scale/2, verified in max_err). One narrow
+    // codegen'd map over the table: no shuffle, no UDF, linear at 100 TB.
+    // floor(x + 0.5) instead of round(): identical IEEE double semantics
+    // in Spark and DuckDB, so the codes match bit-exactly.
+    "q_embed_quant" -> ((s, d) => {
+      val withM = Tables.embeddings(s, d).withColumn("maxabs",
+        array_max(transform(col("embedding"), u => abs(u.cast("double")))))
+      val scale = col("maxabs") / lit(127.0)
+      val codes = when(col("maxabs") > 0,
+          transform(col("embedding"),
+            u => floor(u.cast("double") / col("maxabs") * lit(127.0) + lit(0.5))
+                   .cast("long")))
+        .otherwise(transform(col("embedding"), _ => lit(0L)))
+      withM.withColumn("codes", codes)
+        .select(col("vec_id"),
+          round(scale, 6).as("scale"),
+          aggregate(col("codes"), lit(0L), (a, c) => a + c).as("code_sum"),
+          array_min(col("codes")).as("code_min"),
+          array_max(col("codes")).as("code_max"),
+          round(array_max(zip_with(col("codes"), col("embedding"),
+            (c, v) => abs(c.cast("double") * scale - v.cast("double")))), 4)
+            .as("max_err"))
+        .orderBy("vec_id")
+    }),
+
     // Multimodal projection: text-side features joined with the vector side
     // on the shared id — the mixed text+embedding row shape a training
     // pipeline materializes. Join is broadcast-free equi-join on the id;
@@ -159,6 +186,30 @@ object Similarity {
           WHERE cluster = probe_cluster AND vec_id <> 0
           ORDER BY cos_sim DESC, vec_id ASC LIMIT 10"""
     },
+    "q_embed_quant" ->
+      """WITH m AS (
+           SELECT vec_id, embedding,
+                  list_max(list_transform(embedding,
+                    u -> abs(CAST(u AS DOUBLE)))) AS maxabs
+           FROM embeddings),
+         c AS (
+           SELECT vec_id, embedding, maxabs,
+                  CASE WHEN maxabs > 0 THEN
+                    list_transform(embedding, u ->
+                      CAST(floor(CAST(u AS DOUBLE) / maxabs * 127.0 + 0.5)
+                           AS BIGINT))
+                  ELSE list_transform(embedding, u -> CAST(0 AS BIGINT))
+                  END AS codes
+           FROM m)
+         SELECT vec_id,
+                round(maxabs / 127.0, 6) AS scale,
+                CAST(list_sum(codes) AS BIGINT) AS code_sum,
+                CAST(list_min(codes) AS BIGINT) AS code_min,
+                CAST(list_max(codes) AS BIGINT) AS code_max,
+                round(list_max(list_transform(list_zip(codes, embedding),
+                  x -> abs(CAST(x[1] AS DOUBLE) * (maxabs / 127.0)
+                           - CAST(x[2] AS DOUBLE)))), 4) AS max_err
+         FROM c ORDER BY vec_id""",
     "q_multimodal_cols" ->
       """SELECT doc_id, lang, source,
                 CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,

@@ -21,7 +21,13 @@ object StreamingIngest {
 
   type Qf = (SparkSession, String) => DataFrame
 
-  private val N_RECORDS = 20000
+  /** 20k records ≈ one microbatch per shard at batchsize 5000, so the
+    * default drain time is startup-dominated (query planning + first
+    * trigger); the official artifact stays comparable round-over-round.
+    * Override GRAFT_INGEST_RECORDS (e.g. 100000 = 5 batches/shard) to
+    * measure steady-state throughput with startup amortized. */
+  private val N_RECORDS =
+    sys.env.get("GRAFT_INGEST_RECORDS").map(_.toInt).getOrElse(20000)
   private val N_SHARDS = 4
 
   /** Phase timings of the most recent q_stream_ingest run. The wall-clock

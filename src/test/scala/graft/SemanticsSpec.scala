@@ -202,4 +202,29 @@ class SemanticsSpec extends SparkSpec {
       assert(df.as[(String, Long, Double)].collect().toSeq === rows)
     }
   }
+
+  test("q_agg_salted: 16-way salting is invisible vs the plain groupBy") {
+    val salted = SparkEntry.queries("q_agg_salted")(spark, sf0001)
+      .collect().toSeq
+    val plain = Tables.events(spark, sf0001)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           round(sum(col("value")), 4).as("sum_value"))
+      .orderBy("event_type").collect().toSeq
+    assert(salted.nonEmpty && salted === plain)
+  }
+
+  test("q_embed_quant: codes bounded to int8 range, dequant error <= scale/2") {
+    val rows = SparkEntry.queries("q_embed_quant")(spark, sf0001)
+      .select("scale", "code_min", "code_max", "max_err").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (scale, mn, mx, err) =
+        (r.getDouble(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(mn >= -127L && mx <= 127L, s"codes out of int8 range: $mn..$mx")
+      // floor(x+0.5) rounds to nearest: error strictly bounded by scale/2
+      // (+rounding slack from the declared round(.,4) on both cols)
+      assert(err <= scale / 2 + 1e-4, s"dequant error $err > scale/2 ($scale)")
+    }
+  }
 }
