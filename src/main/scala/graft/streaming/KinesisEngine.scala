@@ -370,9 +370,15 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
       case Array("max", c) => Seq(max(col(c)).as(spec._1))
       case Array("avg", c) => Seq(sum(col(c)).as(s"__${spec._1}_sum"),
                                   count(col(c)).as(s"__${spec._1}_cnt"))
+      // PipelineDB sw count(DISTINCT): a mergeable HLL sketch per bucket
+      // (fixed-size state), unioned across live buckets at read time —
+      // distinct-over-window with no recompute and no per-bucket overlap
+      // error, the exact PipelineDB sliding-window HLL model.
+      case Array("count_distinct", c) =>
+        Seq(hll_sketch_agg(col(c)).as(spec._1))
       case _ => throw new IllegalArgumentException(
         s"unsupported sw aggregate '${spec._2}' " +
-          "(count | sum:col | min:col | max:col | avg:col)")
+          "(count | sum:col | min:col | max:col | avg:col | count_distinct:col)")
     }
 
   private def swCombineExpr(spec: (String, String)): org.apache.spark.sql.Column =
@@ -383,6 +389,8 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
       // null on an all-null/empty window, exactly like batch avg
       case "avg" => (sum(col(s"__${spec._1}_sum")) /
                      sum(col(s"__${spec._1}_cnt"))).as(spec._1)
+      case "count_distinct" =>
+        hll_sketch_estimate(hll_union_agg(col(spec._1))).as(spec._1)
     }
 
   /** The sw standing aggregate, derived ONLY from the declarative spec —
@@ -448,7 +456,9 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
     * views survive the database restarting).
     *
     * @param aggs outCol -> "count" | "sum:col" | "min:col" | "max:col" |
-    *             "avg:col" (combinable aggregates only, as in PipelineDB)
+    *             "avg:col" | "count_distinct:col" (combinable aggregates
+    *             only, as in PipelineDB; count_distinct keeps a mergeable
+    *             HLL sketch per bucket, unioned at read)
     * @param slide bucket granularity in `window()` duration syntax
     *              (e.g. "5 minutes"); width in INTERVAL syntax (e.g.
     *              "1 HOUR"). */
@@ -598,7 +608,49 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
     * and restored, never clobbered (same contract as the `sql()` query
     * path below; `spark.sql` analyzes eagerly, so the returned frame keeps
     * its resolved plan after the rollback). */
-  private def sqlAgg(relation: String, sql: String): DataFrame => DataFrame =
+  /** PipelineDB parity for CV DDL: `count(DISTINCT x)` in a continuous
+    * view is HLL-approximate BY DESIGN in PipelineDB (fixed-size per-group
+    * state), and Spark streaming rejects exact distinct aggregation
+    * outright — so the front-end applies the same HLL substitution,
+    * rewriting to `approx_count_distinct`. Balanced-paren scan, so nested
+    * calls (`count(DISTINCT upper(u))`) rewrite correctly; a multi-column
+    * distinct is wrapped in a struct (one hashed value, same semantics).
+    * Batch SQL over view/stream tables is untouched — exact distinct
+    * stays exact there. */
+  private[graft] def rewriteCountDistinct(sql: String): String = {
+    val pat = "(?i)\\bcount\\s*\\(\\s*distinct\\b".r
+    @annotation.tailrec
+    def go(s: String): String = pat.findFirstMatchIn(s) match {
+      case None => s
+      case Some(m) =>
+        val open = s.indexOf('(', m.start)
+        var depth = 1
+        var i = open + 1
+        while (depth > 0 && i < s.length) {
+          s(i) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case _ =>
+          }
+          i += 1
+        }
+        require(depth == 0, s"unbalanced parentheses in: $sql")
+        val arg = s.substring(m.end, i - 1).trim
+        // top-level comma = multi-column distinct → hash one struct value
+        var d2 = 0
+        val multi = arg.exists { c =>
+          if (c == '(') d2 += 1 else if (c == ')') d2 -= 1
+          c == ',' && d2 == 0
+        }
+        val inner = if (multi) s"struct($arg)" else arg
+        go(s.substring(0, m.start) + s"approx_count_distinct($inner)" +
+           s.substring(i))
+    }
+    go(sql)
+  }
+
+  private def sqlAgg(relation: String, sql: String): DataFrame => DataFrame = {
+    val streamSql = rewriteCountDistinct(sql)
     df => {
       val prior = scala.util.Try {
         if (spark.catalog.tableExists(relation) &&
@@ -607,12 +659,13 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
         else None
       }.getOrElse(None)
       df.createOrReplaceTempView(relation)
-      try spark.sql(sql)
+      try spark.sql(streamSql)
       finally prior match {
         case Some(p) => p.createOrReplaceTempView(relation)
         case None => spark.catalog.dropTempView(relation)
       }
     }
+  }
 
   /** CREATE CONTINUOUS VIEW … AS <sql> — the reference's actual UX
     * (README.md:66): the view is declared as SQL over the stream
@@ -1367,12 +1420,15 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
   private val SwCountItem = """(?is)^count\(\s*\*\s*\)\s+AS\s+(\w+)$""".r
   private val SwAggItem =
     """(?is)^(sum|min|max|avg)\(\s*([A-Za-z_]\w*)\s*\)\s+AS\s+(\w+)$""".r
+  private val SwCountDistinctItem =
+    """(?is)^count\(\s*distinct\s+([A-Za-z_]\w*)\s*\)\s+AS\s+(\w+)$""".r
 
   private def swDdlError(name: String, detail: String) =
     new IllegalArgumentException(
       s"CREATE CONTINUOUS VIEW $name WITH (sw = …): $detail. The sw DDL " +
         "grammar is: SELECT <key cols and combinable aggregates " +
-        "(count(*) | sum|min|max|avg(col), each AS-aliased)> FROM " +
+        "(count(*) | count(DISTINCT col) | sum|min|max|avg(col), each " +
+        "AS-aliased)> FROM " +
         "<stream> [GROUP BY …] — for anything richer use " +
         "createSlidingView(name, relation, keys, aggs, width, slide)")
   private val DropView = """(?is)^DROP\s+CONTINUOUS\s+VIEW\s+([A-Za-z_]\w*)\s*$""".r
@@ -1602,10 +1658,12 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
             val keys = items.collect { case SwKeyItem(k) => k }
             val aggs = items.collect {
               case SwCountItem(alias) => alias -> "count"
+              case SwCountDistinctItem(c, alias) => alias -> s"count_distinct:$c"
               case SwAggItem(fn, c, alias) => alias -> s"${fn.toLowerCase}:$c"
             }
             val bad = items.filterNot(i =>
-              SwKeyItem.matches(i) || SwCountItem.matches(i) || SwAggItem.matches(i))
+              SwKeyItem.matches(i) || SwCountItem.matches(i) ||
+              SwCountDistinctItem.matches(i) || SwAggItem.matches(i))
             if (bad.nonEmpty || aggs.isEmpty)
               throw swDdlError(name, if (aggs.isEmpty) "no combinable aggregate"
                 else s"unsupported select item '${bad.head}'")

@@ -115,6 +115,45 @@ class SqlFrontendSpec extends SparkSpec {
     eng.sql("SELECT pipeline_kinesis.consume_end()")
   }
 
+  test("count(DISTINCT) in CV DDL runs HLL-backed, like PipelineDB") {
+    // PipelineDB's count(DISTINCT) in a continuous view is HLL-approximate
+    // by design (fixed-size state); Spark streaming rejects exact distinct
+    // aggregation, so the front-end applies the same substitution and the
+    // user's DDL runs verbatim. Exact on this small domain.
+    val root = tmpDir("cdv-root"); val meta = tmpDir("cdv-meta")
+    ShardedLog.append(s"$root/s", 0, Seq(
+      ("k1", "click,u1"), ("k2", "click,u2"), ("k3", "view,u1"),
+      ("k4", "click,u1")))
+    val eng = new KinesisEngine(spark, meta)
+    eng.sql(s"SELECT pipeline_kinesis.add_endpoint('ep', 'r', NULL, '$root')")
+    eng.sql("CREATE STREAM cd_stream (etype text, usr text)")
+    eng.sql("CREATE CONTINUOUS VIEW cd_view AS " +
+      "SELECT etype, count(DISTINCT usr) AS n_users " +
+      "FROM cd_stream GROUP BY etype")
+    eng.sql("SELECT pipeline_kinesis.consume_begin('ep', 's', 'cd_stream', " +
+      "'csv', ',')")
+    eng.processAllAvailable()
+    assert(eng.sql("SELECT * FROM cd_view ORDER BY etype").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq ===
+        Seq("click" -> 2L, "view" -> 1L),
+      "duplicate user counted once per group")
+    eng.sql("SELECT pipeline_kinesis.consume_end()")
+  }
+
+  test("rewriteCountDistinct handles nesting, multi-column, and case") {
+    val eng = new KinesisEngine(spark, tmpDir("rcd-meta"))
+    assert(eng.rewriteCountDistinct("SELECT COUNT ( DISTINCT upper(u) ) FROM t")
+      === "SELECT approx_count_distinct(upper(u)) FROM t")
+    assert(eng.rewriteCountDistinct("SELECT count(DISTINCT a, b) FROM t")
+      === "SELECT approx_count_distinct(struct(a, b)) FROM t")
+    assert(eng.rewriteCountDistinct(
+        "SELECT k, count(*) AS n, count(distinct u) AS d FROM t GROUP BY k")
+      === "SELECT k, count(*) AS n, approx_count_distinct(u) AS d FROM t GROUP BY k")
+    // plain count(*) and column names containing "distinct" are untouched
+    assert(eng.rewriteCountDistinct("SELECT count(*), sum(distinct_total) FROM t")
+      === "SELECT count(*), sum(distinct_total) FROM t")
+  }
+
   test("INSERT INTO stream VALUES feeds the pipeline through the bound consumer") {
     val root = tmpDir("ins-root"); val meta = tmpDir("ins-meta")
     val eng = new KinesisEngine(spark, meta)
@@ -208,6 +247,34 @@ class SqlFrontendSpec extends SparkSpec {
       "CREATE CONTINUOUS VIEW sw_bad WITH (sw = '1 HOUR') AS " +
         "SELECT count(*) AS n FROM swsql_stream GROUP BY k"))
     assert(gbErr.getMessage.contains("GROUP BY"))
+  }
+
+  test("sliding-window count(DISTINCT): HLL bucket partials, aged-out values drop") {
+    // PipelineDB's sw HLL model: each tumbling bucket keeps a mergeable
+    // sketch; the read-time union spans live buckets only, so a value seen
+    // solely in an expired bucket no longer counts — and one seen in many
+    // buckets counts once. Exact on this small domain.
+    val root = tmpDir("swcd-root"); val meta = tmpDir("swcd-meta")
+    val dir = s"$root/s"
+    def put(recs: Seq[(String, String)], ageMs: Long): Unit =
+      ShardedLog.appendBytes(dir, 0,
+        recs.map { case (k, v) => (k, v.getBytes("UTF-8")) },
+        arrivalMillis = System.currentTimeMillis() - ageMs)
+    put(Seq(("a", "x,old_user")), 7200 * 1000L)              // ages out
+    put(Seq(("b", "x,u1"), ("c", "x,u2")), 20 * 60 * 1000L)  // older bucket
+    put(Seq(("d", "x,u1"), ("e", "y,u9")), 30 * 1000L)       // u1 repeats
+    val eng = new KinesisEngine(spark, meta)
+    eng.sql(s"SELECT pipeline_kinesis.add_endpoint('ep', 'r', NULL, '$root')")
+    eng.sql("CREATE STREAM swcd_stream (k text, usr text)")
+    eng.sql("CREATE CONTINUOUS VIEW swcd_view " +
+      "WITH (sw = '1 HOUR', slide = '5 minutes') AS " +
+      "SELECT k, count(DISTINCT usr) AS n_users FROM swcd_stream GROUP BY k")
+    eng.sql("SELECT pipeline_kinesis.consume_begin('ep', 's', 'swcd_stream', 'csv', ',')")
+    eng.processAllAvailable(); eng.consumeEndAll()
+    val m = eng.slidingViewTable("swcd_view").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m === Map("x" -> 2L, "y" -> 1L),
+      "u1 counted once across buckets; old_user aged out with its bucket")
   }
 
   test("CREATE STREAM accepts Postgres column types") {

@@ -131,6 +131,37 @@ class StreamingStateSpec extends SparkSpec {
     eng.consumeEndAll()
   }
 
+  test("continuous view count(DISTINCT): HLL-backed like PipelineDB, exact on a small domain") {
+    // PipelineDB CVs implement count(DISTINCT x) with an HLL sketch so the
+    // per-group state stays fixed-size; the Spark mapping is
+    // approx_count_distinct (HyperLogLog++), which streaming update mode
+    // supports where exact countDistinct is not. On a tiny domain the
+    // estimate is exact, so the parity check is equality, not a bound.
+    val root = tmpDir("kin-hllcv")
+    val meta = tmpDir("kin-hllcv-meta")
+    ShardedLog.append(s"$root/s", 0, Seq(
+      ("k1", "click,u1"), ("k2", "click,u2"), ("k3", "view,u1")))
+    val eng = new KinesisEngine(spark, meta)
+    eng.addEndpoint("ep", "r", url = root)
+    eng.createStream("cd_stream", StructType(Seq(
+      StructField("etype", StringType), StructField("usr", StringType))))
+    eng.createContinuousView("cd_view", "cd_stream", df =>
+      df.groupBy("etype")
+        .agg(approx_count_distinct(col("usr"), 0.01).as("n_users")))
+    eng.consumeBegin("ep", "s", "cd_stream", format = "csv", delimiter = ",")
+    eng.processAllAvailable()
+    def snap() = eng.viewTable("cd_view").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(snap() === Map("click" -> 2L, "view" -> 1L))
+    // u1 again (must not double-count) + two new users, one per group
+    ShardedLog.append(s"$root/s", 0, Seq(
+      ("k4", "click,u1"), ("k5", "click,u3"), ("k6", "view,u9")))
+    eng.processAllAvailable()
+    assert(snap() === Map("click" -> 3L, "view" -> 2L),
+      "distinct state carries across micro-batches without double counting")
+    eng.consumeEndAll()
+  }
+
   test("poison records parse permissively (nulls) instead of dropping the batch") {
     // Reference behavior: a COPY parse failure aborts the txn and silently
     // drops the whole batch (pipeline_kinesis.c:738-752). Here malformed
