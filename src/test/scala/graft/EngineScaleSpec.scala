@@ -440,6 +440,36 @@ class EngineScaleSpec extends SparkSpec {
     eng2.consumeEndAll()
   }
 
+  test("sw count_distinct resumes across restart: sketch partials keep merging") {
+    // the HLL partial is a binary sketch column; after an engine restart
+    // the bucket's streaming state resumes from the checkpoint and its
+    // re-emitted sketch must supersede the old partial in the delta merge
+    // — a wrong generation/ordering would double-count or lose users
+    val root = tmpDir("swcd-r-root"); val meta = tmpDir("swcd-r-meta")
+    val dir = s"$root/s"
+    ShardedLog.append(dir, 0, Seq(("a", "x,u1"), ("b", "x,u2"), ("c", "y,u1")))
+    val eng = new KinesisEngine(spark, meta)
+    eng.addEndpoint("ep", "r", url = root)
+    eng.createStream("swcdr_stream", StructType(Seq(
+      StructField("k", StringType), StructField("usr", StringType))))
+    eng.createSlidingView("swcdr_view", "swcdr_stream", keys = Seq("k"),
+      aggs = Seq("n_users" -> "count_distinct:usr"),
+      width = "1 HOUR", slide = "5 minutes")
+    eng.consumeBegin("ep", "s", "swcdr_stream", format = "csv", delimiter = ",")
+    eng.processAllAvailable(); eng.consumeEndAll()
+    def snap(e: KinesisEngine) = e.slidingViewTable("swcdr_view").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(snap(eng) === Map("x" -> 2L, "y" -> 1L))
+
+    ShardedLog.append(dir, 0, Seq(("d", "x,u2"), ("e", "x,u3"), ("f", "y,u9")))
+    val eng2 = new KinesisEngine(spark, meta) // no re-registration
+    eng2.consumeBeginAll()
+    eng2.processAllAvailable()
+    assert(snap(eng2) === Map("x" -> 3L, "y" -> 2L),
+      "restart: u2 still counted once, new users merge into live buckets")
+    eng2.consumeEndAll()
+  }
+
   test("ingest at scale: 8 shards × 100k records, exact counts, capped batches") {
     val root = tmpDir("big-root"); val meta = tmpDir("big-meta")
     val nShards = 8; val nRecs = 100000
