@@ -28,6 +28,11 @@ object StreamingIngest {
     * measure steady-state throughput with startup amortized. */
   private val N_RECORDS =
     sys.env.get("GRAFT_INGEST_RECORDS").map(_.toInt).getOrElse(20000)
+  /** Records per shard per micro-batch (the reference's GetRecords limit
+    * knob). Throughput is per-trigger-overhead bound, so it scales with
+    * this, not with total records — override to demonstrate. */
+  private val BATCHSIZE =
+    sys.env.get("GRAFT_INGEST_BATCHSIZE").map(_.toInt).getOrElse(5000)
   private val N_SHARDS = 4
 
   /** Phase timings of the most recent q_stream_ingest run. The wall-clock
@@ -69,7 +74,7 @@ object StreamingIngest {
         // amplify under box contention (the r5 bench measured 42.7 s for
         // this query purely from trigger-wait pile-up).
         eng.consumeBackfill("bench-ep", "stream", "bench_stream",
-          format = "text", batchsize = 5000, parallelism = 4)
+          format = "text", batchsize = BATCHSIZE, parallelism = 4)
         val t2 = System.nanoTime()
         eng.consumeEndAll() // no-op after a backfill; kept for symmetry
         // the result is 100 tiny rows: pin them driver-side so the temp
