@@ -70,4 +70,16 @@ object Q {
   /** Order-independent average: exact decimal sum / count. */
   def davg4(c: Column): Column =
     sum(c.cast(DecimalType(18, 4))).cast("double") / count(lit(1))
+
+  /** Boundary-proof 4-decimal rounding for NON-NEGATIVE ratios of small
+    * integers (stopword ratios, Jaccard, quality scores). Such ratios land
+    * exactly on x.xxxx5 half-way points, where Spark's BigDecimal HALF_UP
+    * and DuckDB's round() can disagree on the underlying binary double
+    * (observed at sf0.1: quality 0.9362 vs 0.9363 on 6 rows). floor(x·1e4
+    * + 0.5)/1e4 is pure IEEE arithmetic — identical on both engines.
+    * SQL equivalent: [[r4Sql]]. */
+  def r4(c: Column): Column = floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
+
+  /** DuckDB-side twin of [[r4]]: splice around a non-negative expression. */
+  def r4Sql(expr: String): String = s"floor(($expr) * 10000.0 + 0.5) / 10000.0"
 }

@@ -85,13 +85,16 @@ object TextAnalysis {
       val stopRatio = markerScore(Seq("the", "a", "of", "and", "in")).cast("double") / n
       val shortRatio = size(filter(toks, t => length(t) <= 3)).cast("double") / n
       val meanLen = aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double") / n
+      // graft.Q.r4, not round(): these are ratios of small integers, which
+      // land exactly on 4-decimal half-way points where Spark and DuckDB
+      // round() disagree (observed at sf0.1)
       Tables.documents(s, d)
         .select(col("doc_id"),
                 n.cast("long").as("n_tokens"),
-                round(stopRatio, 4).as("stop_ratio"),
-                round(shortRatio, 4).as("short_ratio"),
-                round(meanLen, 4).as("mean_len"),
-                round(lit(1.0) - lit(0.5) * stopRatio - lit(0.3) * shortRatio, 4)
+                graft.Q.r4(stopRatio).as("stop_ratio"),
+                graft.Q.r4(shortRatio).as("short_ratio"),
+                graft.Q.r4(meanLen).as("mean_len"),
+                graft.Q.r4(lit(1.0) - lit(0.5) * stopRatio - lit(0.3) * shortRatio)
                   .as("quality"))
         .orderBy("doc_id")
     }),
@@ -195,8 +198,9 @@ object TextAnalysis {
           size(col("shs")).cast("long").as("n_ngrams"),
           size(array_distinct(col("shs"))).cast("long").as("n_distinct"))
         .select(col("doc_id"), col("n_ngrams"), col("n_distinct"),
+          // Q.r4: small-int ratio, exact half-boundary prone (see Q.r4 doc)
           when(col("n_ngrams") > 0,
-            round(lit(1.0) - col("n_distinct").cast("double") / col("n_ngrams"), 4))
+            graft.Q.r4(lit(1.0) - col("n_distinct").cast("double") / col("n_ngrams")))
             .otherwise(lit(0.0)).as("dup_frac"))
         .withColumn("is_repetitive", (col("dup_frac") >= 0.01).cast("long"))
         .orderBy("doc_id")),
@@ -241,20 +245,22 @@ object TextAnalysis {
       """SELECT token, count(*) AS n
          FROM (SELECT unnest(string_split(text,' ')) AS token FROM documents)
          GROUP BY token ORDER BY n DESC, token ASC LIMIT 100""",
-    "q_text_quality" ->
+    "q_text_quality" -> {
+      val nSql = "len(string_split(text,' '))"
+      val stopSql =
+        s"CAST(${markerSql(Seq("the", "a", "of", "and", "in"))} AS DOUBLE) / $nSql"
+      val shortSql =
+        s"CAST(len(list_filter(string_split(text,' '), t -> length(t) <= 3)) AS DOUBLE) / $nSql"
+      val meanSql =
+        s"CAST(list_sum(list_transform(string_split(text,' '), t -> length(t))) AS DOUBLE) / $nSql"
       s"""SELECT doc_id,
-                CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
-                round(CAST(${markerSql(Seq("the", "a", "of", "and", "in"))} AS DOUBLE)
-                      / len(string_split(text,' ')), 4) AS stop_ratio,
-                round(CAST(len(list_filter(string_split(text,' '), t -> length(t) <= 3)) AS DOUBLE)
-                      / len(string_split(text,' ')), 4) AS short_ratio,
-                round(CAST(list_sum(list_transform(string_split(text,' '), t -> length(t))) AS DOUBLE)
-                      / len(string_split(text,' ')), 4) AS mean_len,
-                round(1.0 - 0.5 * (CAST(${markerSql(Seq("the", "a", "of", "and", "in"))} AS DOUBLE)
-                                   / len(string_split(text,' ')))
-                          - 0.3 * (CAST(len(list_filter(string_split(text,' '), t -> length(t) <= 3)) AS DOUBLE)
-                                   / len(string_split(text,' '))), 4) AS quality
-         FROM documents ORDER BY doc_id""",
+                CAST($nSql AS BIGINT) AS n_tokens,
+                ${graft.Q.r4Sql(stopSql)} AS stop_ratio,
+                ${graft.Q.r4Sql(shortSql)} AS short_ratio,
+                ${graft.Q.r4Sql(meanSql)} AS mean_len,
+                ${graft.Q.r4Sql(s"1.0 - 0.5 * ($stopSql) - 0.3 * ($shortSql)")} AS quality
+         FROM documents ORDER BY doc_id"""
+    },
     "q_lang_id" ->
       s"""SELECT doc_id, ${markers.map { case (l, _) => s"s_$l" }.mkString(", ")}, $langCaseSql AS lang_pred
          FROM (SELECT doc_id, ${langScoreSql.mkString(", ")} FROM documents)
@@ -310,12 +316,12 @@ object TextAnalysis {
                  CAST(len(shs) AS BIGINT) AS n_ngrams,
                  CAST(len(list_distinct(shs)) AS BIGINT) AS n_distinct,
                  CASE WHEN len(shs) > 0
-                      THEN round(1.0 - CAST(len(list_distinct(shs)) AS DOUBLE)
-                                       / len(shs), 4)
+                      THEN ${graft.Q.r4Sql("""1.0 - CAST(len(list_distinct(shs)) AS DOUBLE)
+                                       / len(shs)""")}
                       ELSE 0.0 END AS dup_frac,
                  CAST(CASE WHEN len(shs) > 0 AND
-                        round(1.0 - CAST(len(list_distinct(shs)) AS DOUBLE)
-                              / len(shs), 4) >= 0.01
+                        ${graft.Q.r4Sql("""1.0 - CAST(len(list_distinct(shs)) AS DOUBLE)
+                              / len(shs)""")} >= 0.01
                       THEN 1 ELSE 0 END AS BIGINT) AS is_repetitive
           FROM hs ORDER BY doc_id"""
   )

@@ -335,13 +335,19 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
     }
 
   /** @param materialize "parquet" (default — incremental delta upsert,
-    *        merged by [[viewTable]]; the scale path) or "memory" (opt-in
-    *        demo: complete-mode snapshot queryable via
+    *        merged by [[viewTable]]; the scale path), "append" (append-mode
+    *        aggregation: rows land exactly once, when the watermark
+    *        finalizes them — REQUIRED for session-window aggregations,
+    *        which Spark rejects in update mode, and right for any windowed
+    *        agg where only closed windows should surface), or "memory"
+    *        (opt-in demo: complete-mode snapshot queryable via
     *        `spark.table(name)`, accumulates on the driver).
     * @param keys group-key columns for the read-time merge; null = infer
     *        from the view's aggregation (topmost groupBy). Pass explicitly
     *        when the view uses custom stateful operators the inference
     *        can't see (e.g. flatMapGroupsWithState in update mode).
+    *        Ignored for materialize="append" (no merge — finalized rows
+    *        only).
     *
     * A closure view does NOT persist across engine restarts (a Scala
     * lambda has no durable representation); use
@@ -350,7 +356,8 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
                            agg: DataFrame => DataFrame,
                            materialize: String = "parquet",
                            keys: Seq[String] = null): Unit = synchronized {
-    require(Set("memory", "parquet")(materialize), s"materialize=$materialize")
+    require(Set("memory", "parquet", "append")(materialize),
+      s"materialize=$materialize")
     views(name) = View(relation, agg, materialize, None, Option(keys))
   }
 
@@ -675,7 +682,8 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
     * fresh engine over the same metaDir. */
   def createContinuousViewSql(name: String, relation: String, sql: String,
                               materialize: String = "parquet"): Unit = synchronized {
-    require(Set("memory", "parquet")(materialize), s"materialize=$materialize")
+    require(Set("memory", "parquet", "append")(materialize),
+      s"materialize=$materialize")
     views(name) = View(relation, sqlAgg(relation, sql), materialize, Some(sql), None)
     saveCatalog()
   }
@@ -1295,12 +1303,21 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
                   }.foreach(_.unpersist(blocking = false))
                 }
               }
-          case "parquet" =>
+          case "parquet" | "append" =>
             // incremental: update mode emits only the groups each batch
             // touched; the delta append is atomic and the merge happens at
             // read ([[viewTable]]) — per-trigger cost ∝ touched groups.
+            // materialize="append" instead runs the aggregation in append
+            // output mode (rows emit exactly once, when the watermark
+            // finalizes them — session windows fuse across batches, so an
+            // update-mode merge would strand stale sub-session rows, and
+            // Spark rejects the combination outright) and takes the
+            // stateless per-batch-subdir write path below: no merge keys,
+            // replay overwrites its own batch dir.
             val aggDf = v.agg(df)
-            val keysOpt = v.keys.orElse(inferViewKeys(aggDf))
+            val keysOpt =
+              if (v.materialize == "append") None
+              else v.keys.orElse(inferViewKeys(aggDf))
             writeViewMeta(vname, keysOpt)
             // Generation epoch: deltas are stamped (gen << 40) | batchId.
             // A query attaching with a FRESH checkpoint (no offsets — e.g.

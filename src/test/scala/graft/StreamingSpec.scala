@@ -285,6 +285,49 @@ class StreamingSpec extends SparkSpec {
     eng.consumeEndAll()
   }
 
+  test("continuous view with event-time session window (gap-based sessions)") {
+    // sessionization as a standing query: session_window() keeps open
+    // per-key session state and the view materializes a session exactly
+    // once, when the watermark closes it (materialize="append" — sessions
+    // FUSE across batches, so an update-mode merge would strand stale
+    // sub-session rows; Spark rejects that combination outright). The
+    // streaming counterpart of the batch q_window_session operator.
+    val root = tmpDir("kin-sess")
+    val meta = tmpDir("kin-sess-meta")
+    ShardedLog.append(s"$root/s", 0, Seq(
+      ("k", "2024-01-01 00:00:00,u1"), ("k", "2024-01-01 00:10:00,u1"),
+      ("k", "2024-01-01 01:00:00,u1"),   // 50-min gap: new u1 session
+      ("k", "2024-01-01 00:05:00,u2")))
+    val eng = new KinesisEngine(spark, meta)
+    eng.addEndpoint("ep", "r", url = root)
+    eng.createStream("sess_stream", StructType(Seq(
+      StructField("ts", TimestampType), StructField("usr", StringType))))
+    eng.createContinuousView("sess_view", "sess_stream", df =>
+      df.withWatermark("ts", "10 minutes")
+        .groupBy(session_window(col("ts"), "15 minutes"), col("usr"))
+        .count(), materialize = "append")
+    eng.consumeBegin("ep", "s", "sess_stream", format = "csv", delimiter = ",")
+    eng.processAllAvailable()
+    def snap() = eng.viewTable("sess_view")
+      .select(col("session_window.start").cast("string"), col("usr"),
+              col("count"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // watermark = 01:00 − 10m = 00:50: both early sessions have closed
+    // (ends 00:25 and 00:20 < 00:50); u1's 01:00 session is still open
+    assert(snap() === Map(
+      ("2024-01-01 00:00:00", "u1") -> 2L,  // 00:00+00:10 fused (10m < 15m gap)
+      ("2024-01-01 00:05:00", "u2") -> 1L))
+    // a later event pushes the watermark past 01:15, closing u1's session
+    ShardedLog.append(s"$root/s", 0, Seq(("k", "2024-01-01 03:00:00,u7")))
+    eng.processAllAvailable()
+    assert(snap() === Map(
+      ("2024-01-01 00:00:00", "u1") -> 2L,
+      ("2024-01-01 00:05:00", "u2") -> 1L,
+      ("2024-01-01 01:00:00", "u1") -> 1L),
+      "session finalizes exactly once, after the watermark passes its end")
+    eng.consumeEndAll()
+  }
+
   test("catalog persists: fresh engine + consumeBeginAll resumes consumers") {
     val root = tmpDir("kin-cat")
     val meta = tmpDir("kin-cat-meta")
