@@ -658,14 +658,41 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
 
   private def sqlAgg(relation: String, sql: String): DataFrame => DataFrame = {
     val streamSql = rewriteCountDistinct(sql)
+    // SQL has no withWatermark syntax, but append-mode sessionization
+    // requires one: when the SELECT calls session_window(col, gap),
+    // watermark the stream on that column with the gap as the delay —
+    // a session finalizes one gap after its last event anyway, so this
+    // tolerates the same lateness. Parsed (unresolved) plan, because the
+    // analyzer rewrites the SessionWindow call away.
+    val sessionWm: Option[(String, String)] = scala.util.Try {
+      spark.sessionState.sqlParser.parsePlan(streamSql)
+        .collect { case p => p.expressions.flatMap(_.collect {
+          case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+              if f.nameParts.map(_.toLowerCase) == Seq("session_window") => f
+        })}.flatten.headOption.flatMap { f =>
+          val col = f.arguments.headOption.collect {
+            case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+              a.name
+          }
+          val gap = f.arguments.lift(1).collect {
+            case org.apache.spark.sql.catalyst.expressions.Literal(s, _) =>
+              String.valueOf(s)
+          }
+          for (c <- col; g <- gap) yield (c, g)
+        }
+    }.toOption.flatten
     df => {
+      val src = sessionWm match {
+        case Some((c, g)) => df.withWatermark(c, g)
+        case None => df
+      }
       val prior = scala.util.Try {
         if (spark.catalog.tableExists(relation) &&
             spark.catalog.getTable(relation).isTemporary)
           Some(spark.table(relation))
         else None
       }.getOrElse(None)
-      df.createOrReplaceTempView(relation)
+      src.createOrReplaceTempView(relation)
       try spark.sql(streamSql)
       finally prior match {
         case Some(p) => p.createOrReplaceTempView(relation)
@@ -1315,8 +1342,27 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
             // stateless per-batch-subdir write path below: no merge keys,
             // replay overwrites its own batch dir.
             val aggDf = v.agg(df)
+            // session_window aggregations REQUIRE append mode (Spark
+            // rejects update outright; an update-mode merge would strand
+            // stale sub-sessions anyway), so a session CV must not depend
+            // on the caller remembering materialize="append". The analyzer
+            // has already rewritten SessionWindow into struct arithmetic
+            // here, so detect via the marker metadata it stamps on the
+            // session_window output attribute. (SQL-declared session CVs
+            // additionally get their watermark injected in sqlAgg, where
+            // the unresolved call still names the time column and gap.)
+            val hasSessionWindow = aggDf.queryExecution.analyzed.exists(
+              _.expressions.exists(_.exists {
+                case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+                  a.metadata.contains("spark.sessionWindow")
+                case _ => false
+              }))
+            if (hasSessionWindow && v.materialize != "append")
+              log.info(s"continuous view '$vname' groups by session_window: " +
+                "materializing append-mode (sessions finalize once, past " +
+                "the watermark)")
             val keysOpt =
-              if (v.materialize == "append") None
+              if (v.materialize == "append" || hasSessionWindow) None
               else v.keys.orElse(inferViewKeys(aggDf))
             writeViewMeta(vname, keysOpt)
             // Generation epoch: deltas are stamped (gen << 40) | batchId.

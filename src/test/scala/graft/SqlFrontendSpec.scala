@@ -249,6 +249,31 @@ class SqlFrontendSpec extends SparkSpec {
     assert(gbErr.getMessage.contains("GROUP BY"))
   }
 
+  test("session_window CV declared in SQL auto-materializes append-mode") {
+    // a PipelineDB-style user writes the sessionization CV as plain SQL;
+    // the engine detects session_window in the analyzed plan and switches
+    // to append materialization (update mode is rejected by Spark and
+    // would strand stale sub-sessions in the merge anyway)
+    val root = tmpDir("sess-sql-root"); val meta = tmpDir("sess-sql-meta")
+    ShardedLog.append(s"$root/s", 0, Seq(
+      ("k", "2024-01-01 00:00:00,u1"), ("k", "2024-01-01 00:10:00,u1"),
+      ("k", "2024-01-01 02:00:00,u2")))   // pushes watermark past u1's end
+    val eng = new KinesisEngine(spark, meta)
+    eng.sql(s"SELECT pipeline_kinesis.add_endpoint('ep', 'r', NULL, '$root')")
+    eng.sql("CREATE STREAM sess_sql_stream (ts timestamp, usr text)")
+    eng.sql("CREATE CONTINUOUS VIEW sess_sql_view AS " +
+      "SELECT session_window(ts, '15 minutes') AS sw, usr, count(*) AS n " +
+      "FROM sess_sql_stream GROUP BY session_window(ts, '15 minutes'), usr")
+    eng.sql("SELECT pipeline_kinesis.consume_begin('ep', 's', 'sess_sql_stream', 'csv', ',')")
+    eng.processAllAvailable()
+    val rows = eng.sql(
+        "SELECT CAST(sw.start AS STRING) AS s, usr, n FROM sess_sql_view")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(rows === Map(("2024-01-01 00:00:00", "u1") -> 2L),
+      "u1's fused session finalized; u2's is still open past the watermark")
+    eng.sql("SELECT pipeline_kinesis.consume_end()")
+  }
+
   test("sliding-window count(DISTINCT): HLL bucket partials, aged-out values drop") {
     // PipelineDB's sw HLL model: each tumbling bucket keeps a mergeable
     // sketch; the read-time union spans live buckets only, so a value seen
