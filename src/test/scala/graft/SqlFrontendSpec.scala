@@ -274,6 +274,39 @@ class SqlFrontendSpec extends SparkSpec {
     eng.sql("SELECT pipeline_kinesis.consume_end()")
   }
 
+  test("an open session survives an engine restart and fuses with new events") {
+    // the checkpointed session state must resume: events before shutdown
+    // and after restart that fall within one gap belong to ONE session
+    val root = tmpDir("sess-rs-root"); val meta = tmpDir("sess-rs-meta")
+    ShardedLog.append(s"$root/s", 0, Seq(
+      ("k", "2024-01-01 00:00:00,u1"), ("k", "2024-01-01 00:10:00,u1")))
+    val eng = new KinesisEngine(spark, meta)
+    eng.sql(s"SELECT pipeline_kinesis.add_endpoint('ep', 'r', NULL, '$root')")
+    eng.sql("CREATE STREAM sess_rs_stream (ts timestamp, usr text)")
+    eng.sql("CREATE CONTINUOUS VIEW sess_rs_view AS " +
+      "SELECT session_window(ts, '15 minutes') AS sw, usr, count(*) AS n " +
+      "FROM sess_rs_stream GROUP BY session_window(ts, '15 minutes'), usr")
+    eng.sql("SELECT pipeline_kinesis.consume_begin('ep', 's', 'sess_rs_stream', 'csv', ',')")
+    eng.processAllAvailable()
+    // watermark ≤ 00:10 − 15m: the session is still open, nothing emitted
+    assert(eng.viewTable("sess_rs_view").count() === 0)
+    eng.consumeEndAll()
+
+    // 00:20 is within one 15m gap of 00:10 — it must EXTEND the session
+    // that was open at shutdown; 03:00 closes it via the watermark
+    ShardedLog.append(s"$root/s", 0, Seq(
+      ("k", "2024-01-01 00:20:00,u1"), ("k", "2024-01-01 03:00:00,u9")))
+    val eng2 = new KinesisEngine(spark, meta) // catalog-only restart
+    eng2.consumeBeginAll()
+    eng2.processAllAvailable()
+    val rows = eng2.sql(
+        "SELECT CAST(sw.start AS STRING) AS s, usr, n FROM sess_rs_view")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(rows === Map(("2024-01-01 00:00:00", "u1") -> 3L),
+      "one fused session across the restart, not two fragments")
+    eng2.consumeEndAll()
+  }
+
   test("sliding-window count(DISTINCT): HLL bucket partials, aged-out values drop") {
     // PipelineDB's sw HLL model: each tumbling bucket keeps a mergeable
     // sketch; the read-time union spans live buckets only, so a value seen
