@@ -63,6 +63,16 @@ object Bench {
       // before taking the min.
       if (!errors.contains(name) && times.nonEmpty && times.min < 1.0)
         times = times ++ once()
+      // Heavy-query guard: multi-second queries dominate the suite total
+      // AND are the ones sustained box load disturbs in BOTH default
+      // iterations at once (r10 archived q_dedup_ngram at 7.2 s where an
+      // idle box runs it in 1.8 s — the >40% rule below can't fire when
+      // the two samples are inflated together). Three samples always for
+      // anything whose first run exceeds 1 s: the min of three survives
+      // a contamination burst that a min of two doesn't.
+      if (!errors.contains(name) && times.nonEmpty && times.head > 1.0)
+        while (times.size < 3 && !errors.contains(name))
+          times = times ++ once()
       // Contamination retry: when the two samples disagree by >40%, at
       // least one was disturbed by outside load — buy a third observation
       // exactly then. On a clean run this costs nothing; on a loaded box
@@ -101,12 +111,6 @@ object Bench {
       "\"" + k + "\":[" + v.map(t => math.round(t * 1000)).mkString(",") + "]"
     }.mkString("{", ",", "}")
     println(s"""{"metric":"iter_spread_ms","queries":$sprd}""")
-    // Ingest throughput + phase split: q_stream_ingest's wall-clock is
-    // trigger-wait dominated under contention, so records/s and the
-    // seed/run/stop decomposition are the comparable numbers.
-    graft.queries.StreamingIngest.lastStats.foreach { st =>
-      println(f"""{"metric":"ingest_throughput","records":${st.records},"rec_per_s":${st.recPerS}%.1f,"seed_s":${st.seedS}%.3f,"setup_s":${st.setupS}%.3f,"drain_s":${st.drainS}%.3f,"stop_s":${st.stopS}%.3f}""")
-    }
     // Compact integer-ms duplicate of the per-query map, printed near the
     // END of stdout: the driver archives only the last ~2000 characters,
     // which truncates the head of the full-precision line once ~70 queries
@@ -115,6 +119,14 @@ object Bench {
     val qms = timings.map { case (k, v) => "\"" + k + "\":" + math.round(v * 1000) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"queries_ms","unit":"ms","queries":$qms}""")
+    // Ingest throughput + phase split AFTER queries_ms: the r10 artifact
+    // lost this line to tail-capture truncation when it printed earlier.
+    // q_stream_ingest's wall-clock is trigger-wait dominated under
+    // contention, so records/s and the seed/run/stop decomposition are
+    // the comparable numbers.
+    graft.queries.StreamingIngest.lastStats.foreach { st =>
+      println(f"""{"metric":"ingest_throughput","records":${st.records},"rec_per_s":${st.recPerS}%.1f,"seed_s":${st.seedS}%.3f,"setup_s":${st.setupS}%.3f,"drain_s":${st.drainS}%.3f,"stop_s":${st.stopS}%.3f}""")
+    }
     // Aggregate stability stats INSIDE the tail-safe trailer: the median
     // and p90 of (second_best/best - 1) over all queries summarize run
     // cleanliness in a few bytes even when iter_spread_ms is truncated.
@@ -124,8 +136,13 @@ object Bench {
     val med = if (ratios.isEmpty) 0.0 else ratios(ratios.size / 2)
     val p90 = if (ratios.isEmpty) 0.0 else ratios((ratios.size * 9) / 10 min (ratios.size - 1))
     // short trailer AFTER the big line: survives tail-capture truncation so
-    // the round-over-round total never has to be reconstructed by summing
-    println(f"""{"metric":"total_summary","total_s":$total,"n_queries":${timings.size},"n_errors":${errors.size},"spread_med":$med%.3f,"spread_p90":$p90%.3f,"sf":"$sfDir"}""")
+    // the round-over-round total never has to be reconstructed by summing.
+    // rec_per_s rides inside the trailer too (duplicating the dedicated
+    // ingest line) so steady-state ingest scaling is archived per round
+    // even under the harshest truncation.
+    val rps = graft.queries.StreamingIngest.lastStats
+      .map(st => f"""${st.recPerS}%.1f""").getOrElse("null")
+    println(f"""{"metric":"total_summary","total_s":$total,"n_queries":${timings.size},"n_errors":${errors.size},"spread_med":$med%.3f,"spread_p90":$p90%.3f,"rec_per_s":$rps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -71,14 +71,20 @@ object Analytics {
     // no rand(), so retries agree) and computes uniform partial
     // aggregates; phase 2 combines the ≤ 5×16 partials. The oracle is the
     // plain GROUP BY: salting must be invisible in the result.
+    // Partials sum in DecimalType(18,4): double addition is
+    // order-dependent, and the salted two-phase order differs from both
+    // the plain groupBy and the oracle's single pass — at a 4-decimal
+    // half boundary round() could flip. Decimal partials make every
+    // summation order bit-identical (value is an exact 2-decimal).
     "q_agg_salted" -> ((s, d) => {
       val partial = Tables.events(s, d)
         .groupBy(col("event_type"),
                  pmod(hash(col("event_id")), lit(16)).as("__salt"))
-        .agg(count(lit(1)).as("pc"), sum(col("value")).as("pv"))
+        .agg(count(lit(1)).as("pc"),
+             sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4))).as("pv"))
       partial.groupBy(col("event_type"))
         .agg(sum(col("pc")).as("n_events"),
-             round(sum(col("pv")), 4).as("sum_value"))
+             round(sum(col("pv")).cast("double"), 4).as("sum_value"))
         .orderBy("event_type")
     })
   )
@@ -113,8 +119,10 @@ object Analytics {
            ON a.user_id = b.user_id AND b.day = a.day + INTERVAL 1 DAY
          GROUP BY a.day ORDER BY a.day""",
     "q_agg_salted" ->
+      // decimal sum on the oracle side too: both engines then compute the
+      // identical exact decimal before the final round — bit-identical
       """SELECT event_type, count(*) AS n_events,
-                round(sum(value), 4) AS sum_value
+                round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type"""
   )
 }

@@ -626,6 +626,10 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
     * stays exact there. */
   private[graft] def rewriteCountDistinct(sql: String): String = {
     val pat = "(?i)\\bcount\\s*\\(\\s*distinct\\b".r
+    // Paren/comma scans are STRING-LITERAL-AWARE: a quoted '(' , ')' or
+    // ',' inside the DISTINCT argument (count(DISTINCT concat(u, '(')))
+    // must not perturb depth tracking or argument splitting. '' inside a
+    // literal is SQL's escaped quote — consumed as content.
     @annotation.tailrec
     def go(s: String): String = pat.findFirstMatchIn(s) match {
       case None => s
@@ -633,21 +637,45 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
         val open = s.indexOf('(', m.start)
         var depth = 1
         var i = open + 1
+        var inQ = false
         while (depth > 0 && i < s.length) {
-          s(i) match {
+          val c = s(i)
+          if (inQ) {
+            if (c == '\'') {
+              if (i + 1 < s.length && s(i + 1) == '\'') i += 1 // escaped ''
+              else inQ = false
+            }
+          } else c match {
+            case '\'' => inQ = true
             case '(' => depth += 1
             case ')' => depth -= 1
             case _ =>
           }
           i += 1
         }
-        require(depth == 0, s"unbalanced parentheses in: $sql")
+        require(depth == 0 && !inQ,
+          s"unbalanced parentheses or unterminated string literal in: $sql")
         val arg = s.substring(m.end, i - 1).trim
         // top-level comma = multi-column distinct → hash one struct value
         var d2 = 0
-        val multi = arg.exists { c =>
-          if (c == '(') d2 += 1 else if (c == ')') d2 -= 1
-          c == ',' && d2 == 0
+        var q2 = false
+        var multi = false
+        var j = 0
+        while (j < arg.length) {
+          val c = arg(j)
+          if (q2) {
+            if (c == '\'') {
+              if (j + 1 < arg.length && arg(j + 1) == '\'') j += 1
+              else q2 = false
+            }
+          } else c match {
+            case '\'' => q2 = true
+            case '(' => d2 += 1
+            case ')' => d2 -= 1
+            case ',' if d2 == 0 => multi = true
+            case _ =>
+          }
+          j += 1
         }
         val inner = if (multi) s"struct($arg)" else arg
         go(s.substring(0, m.start) + s"approx_count_distinct($inner)" +
@@ -664,23 +692,36 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
     // a session finalizes one gap after its last event anyway, so this
     // tolerates the same lateness. Parsed (unresolved) plan, because the
     // analyzer rewrites the SessionWindow call away.
-    val sessionWm: Option[(String, String)] = scala.util.Try {
+    // parse failure → no session-window handling here (the SQL will fail
+    // with its own parse error at first use); a PRESENT session_window
+    // whose column/gap can't be extracted must fail NOW with a clear
+    // message — deferring yields Spark's opaque append-without-watermark
+    // error only when the streaming query starts.
+    val sessionCalls = scala.util.Try {
       spark.sessionState.sqlParser.parsePlan(streamSql)
         .collect { case p => p.expressions.flatMap(_.collect {
           case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
               if f.nameParts.map(_.toLowerCase) == Seq("session_window") => f
-        })}.flatten.headOption.flatMap { f =>
-          val col = f.arguments.headOption.collect {
-            case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-              a.name
-          }
-          val gap = f.arguments.lift(1).collect {
-            case org.apache.spark.sql.catalyst.expressions.Literal(s, _) =>
-              String.valueOf(s)
-          }
-          for (c <- col; g <- gap) yield (c, g)
-        }
-    }.toOption.flatten
+        })}.flatten
+    }.getOrElse(Seq.empty)
+    val sessionWm: Option[(String, String)] = sessionCalls.headOption.map { f =>
+      val col = f.arguments.headOption.collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.name
+      }
+      val gap = f.arguments.lift(1).collect {
+        case org.apache.spark.sql.catalyst.expressions.Literal(s, _) =>
+          String.valueOf(s)
+      }
+      (for (c <- col; g <- gap) yield (c, g)).getOrElse(
+        throw new IllegalArgumentException(
+          "CREATE CONTINUOUS VIEW: cannot derive a watermark from " +
+            s"session_window(...) in [$sql] — the first argument must be a " +
+            "bare stream column and the gap a string literal (e.g. " +
+            "session_window(ts, '30 seconds')); append-mode sessionization " +
+            "requires a watermark, so wrap casts/expressions in the " +
+            "stream's parse step instead"))
+    }
     df => {
       val src = sessionWm match {
         case Some((c, g)) => df.withWatermark(c, g)
@@ -1172,19 +1213,21 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
                       quote: String = null, escape: String = null,
                       batchsize: Long = 1000L, parallelism: Int = 1,
                       startSeq: Long = -2L): Int = {
-    synchronized {
-      consumers.get((endpoint, stream, relation)).foreach { c =>
-        require(running.getOrElse(c.id, Seq.empty).forall(!_.isActive),
-          s"consumer ${c.id} is running continuously; stop it before a backfill")
-      }
+    // The not-running-continuously check lives INSIDE consumeBeginWith's
+    // monitor (gated on trig.isDefined), and the query snapshot is taken
+    // under the same lock acquisition (reentrant), so a concurrent
+    // consumeBegin can neither slip continuous queries in between check
+    // and start nor into the awaited set — awaitTermination below only
+    // ever sees this drain's AvailableNow queries.
+    val (id, qs) = synchronized {
+      val id = consumeBeginWith(
+        Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()),
+        endpoint, stream, relation, format, delimiter, quote, escape,
+        batchsize, parallelism, startSeq)
+      (id, running.getOrElse(id, Seq.empty))
     }
-    val id = consumeBeginWith(
-      Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()),
-      endpoint, stream, relation, format, delimiter, quote, escape,
-      batchsize, parallelism, startSeq)
     // await OUTSIDE the engine monitor: the drain runs foreachBatch bodies
     // that take view/table locks, and other API calls must stay possible
-    val qs = synchronized(running.getOrElse(id, Seq.empty))
     try qs.foreach(_.awaitTermination())
     catch { case e: Throwable =>
       // one query failed mid-drain: don't leave its siblings running
@@ -1205,6 +1248,14 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
                    quote: String, escape: String,
                    batchsize: Long, parallelism: Int,
                    startSeq: Long): Int = synchronized {
+    // Backfill refusal is checked HERE, atomically with the launch: a
+    // separate check-then-start let a concurrent consumeBegin attach the
+    // backfill to never-ending continuous queries (awaitTermination hang).
+    if (trig.isDefined)
+      consumers.get((endpoint, stream, relation)).foreach { c =>
+        require(running.getOrElse(c.id, Seq.empty).forall(!_.isActive),
+          s"consumer ${c.id} is running continuously; stop it before a backfill")
+      }
     // MAX_PROCS parity: the reference caps worker processes at 8
     // (pipeline_kinesis.c:54,786-791); the capped value feeds the source's
     // task grouping (shards are read by ≤ parallelism concurrent tasks).

@@ -37,6 +37,23 @@ class PlanAuditSpec extends SparkSpec {
       }
   }
 
+  test("q_dedup_minhash plans exactly two shuffles (band join + pair dedup)") {
+    // The mh columns ride through the band explode, so the score comes
+    // straight off the joined band rows: band-key exchange(s) + the pair
+    // groupBy exchange. A signature re-join would reintroduce a third
+    // shuffle stage keyed on doc_id — catch it here before the bench does.
+    val qe = SparkEntry.queries("q_dedup_minhash")(spark, sf0001).queryExecution
+    val plan = qe.executedPlan.toString
+    // count distinct exchange *keys*, not occurrences (self-join prints an
+    // exchange per side; AQE reuse can dedup them)
+    val exchanges = "Exchange hashpartitioning\\(([a-zA-Z0-9_#, ]+?)\\)"
+      .r.findAllMatchIn(plan)
+      .map(_.group(1).replaceAll("#\\d+[L]?", "").replaceAll(", \\d+$", ""))
+      .toSet
+    assert(exchanges.size <= 2,
+      s"q_dedup_minhash should shuffle on at most 2 distinct key sets, got $exchanges")
+  }
+
   test("q_join_range plans a bucketed equi-join on the time-bin key") {
     val qe = SparkEntry.queries("q_join_range")(spark, sf0001).queryExecution
     val plan = qe.executedPlan.toString
