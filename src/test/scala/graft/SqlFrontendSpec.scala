@@ -152,6 +152,30 @@ class SqlFrontendSpec extends SparkSpec {
     // plain count(*) and column names containing "distinct" are untouched
     assert(eng.rewriteCountDistinct("SELECT count(*), sum(distinct_total) FROM t")
       === "SELECT count(*), sum(distinct_total) FROM t")
+    // parens/commas INSIDE string literals must not perturb the depth or
+    // argument scan — including SQL's '' escape
+    assert(eng.rewriteCountDistinct("SELECT count(DISTINCT concat(u, '(')) FROM t")
+      === "SELECT approx_count_distinct(concat(u, '(')) FROM t")
+    assert(eng.rewriteCountDistinct("SELECT count(DISTINCT concat(u, '),')) FROM t")
+      === "SELECT approx_count_distinct(concat(u, '),')) FROM t")
+    assert(eng.rewriteCountDistinct(
+        "SELECT count(DISTINCT concat(u, 'it''s (odd,')) FROM t")
+      === "SELECT approx_count_distinct(concat(u, 'it''s (odd,')) FROM t")
+  }
+
+  test("session_window CV with a non-bare time column fails at CREATE, not at start") {
+    val eng = new KinesisEngine(spark, tmpDir("sessbad-meta"))
+    // cast(ts …) is not a bare stream column: the watermark can't be
+    // derived, and deferring surfaces only Spark's opaque append-without-
+    // watermark failure when the streaming query eventually starts
+    val e = intercept[IllegalArgumentException](
+      eng.createContinuousViewSql("sessbad_view", "sessbad_stream",
+        "SELECT session_window(cast(ts AS timestamp), '30 seconds') AS w, " +
+          "count(*) AS n FROM sessbad_stream " +
+          "GROUP BY session_window(cast(ts AS timestamp), '30 seconds')"))
+    assert(e.getMessage.contains("watermark") &&
+           e.getMessage.contains("session_window"),
+      s"expected a descriptive front-end error, got: ${e.getMessage}")
   }
 
   test("INSERT INTO stream VALUES feeds the pipeline through the bound consumer") {
@@ -333,6 +357,59 @@ class SqlFrontendSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(m === Map("x" -> 2L, "y" -> 1L),
       "u1 counted once across buckets; old_user aged out with its bucket")
+  }
+
+  test("e2e: backfill drain -> sw count(DISTINCT) view -> TTL reap -> resumed backfill") {
+    // The README's manual operational procedure composed end-to-end with
+    // the bounded-drain + sliding-HLL + TTL features: seed a shard log
+    // spanning days, drain it once (consume_backfill returns only after
+    // the AvailableNow queries stop), read the sliding view, reap the
+    // stream table, append new records, drain again — the second drain
+    // resumes from the checkpoint, never re-ingesting.
+    val root = tmpDir("e2e-root"); val meta = tmpDir("e2e-meta")
+    val dir = s"$root/s"
+    val zone = java.time.ZoneId.systemDefault()
+    val todayMid = java.time.LocalDate.now(zone).atStartOfDay(zone)
+      .toInstant.toEpochMilli
+    val day = 86400 * 1000L; val hour = 3600 * 1000L
+    def put(recs: Seq[(String, String)], at: Long): Unit =
+      ShardedLog.appendBytes(dir, 0,
+        recs.map { case (k, v) => (k, v.getBytes("UTF-8")) }, arrivalMillis = at)
+    put(Seq(("a", "x,old_user")), todayMid - 2 * day + 10 * hour) // outside sw AND ttl
+    put(Seq(("b", "x,u1"), ("c", "x,u2")), System.currentTimeMillis() - 20 * 60 * 1000L)
+    put(Seq(("d", "x,u1"), ("e", "y,u9")), System.currentTimeMillis() - 30 * 1000L)
+
+    val eng = new KinesisEngine(spark, meta)
+    eng.sql(s"SELECT pipeline_kinesis.add_endpoint('ep', 'r', NULL, '$root')")
+    eng.sql("CREATE STREAM e2e_stream (k text, usr text)")
+    eng.sql("CREATE CONTINUOUS VIEW e2e_view " +
+      "WITH (sw = '1 HOUR', slide = '5 minutes') AS " +
+      "SELECT k, count(DISTINCT usr) AS n_users FROM e2e_stream GROUP BY k")
+    eng.sql("SELECT pipeline_kinesis.consume_backfill('ep', 's', 'e2e_stream', 'csv', ',')")
+    assert(eng.activeQueries.isEmpty, "backfill returns only after the drain")
+    assert(eng.streamTable("e2e_stream").count() === 5L)
+    def viewMap(): Map[String, Long] = eng.slidingViewTable("e2e_view")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viewMap() === Map("x" -> 2L, "y" -> 1L),
+      "old_user aged out of the window; u1 counted once across buckets")
+
+    // Reap: the 2-day-old row leaves the TABLE; the view's windowed state
+    // is independent bucket sketches and must not change.
+    eng.expireStreamTable("e2e_stream", "25 HOURS", targetPartitions = 1)
+    assert(eng.streamTable("e2e_stream").count() === 4L,
+      "TTL dropped exactly the dead row")
+    assert(viewMap() === Map("x" -> 2L, "y" -> 1L),
+      "TTL reap of the stream table leaves sliding-view state untouched")
+
+    // New records + second drain: checkpoint resume means exactly the new
+    // record is ingested (5 rows post-reap, not re-reading the first 5).
+    put(Seq(("f", "x,u3")), System.currentTimeMillis())
+    eng.sql("SELECT pipeline_kinesis.consume_backfill('ep', 's', 'e2e_stream', 'csv', ',')")
+    assert(eng.activeQueries.isEmpty)
+    assert(eng.streamTable("e2e_stream").count() === 5L,
+      "second drain resumed after the checkpointed seqnum — no re-ingest")
+    assert(viewMap() === Map("x" -> 3L, "y" -> 1L),
+      "view updated incrementally by the resumed drain")
   }
 
   test("CREATE STREAM accepts Postgres column types") {
