@@ -61,6 +61,34 @@ object Similarity {
         .limit(10)
     }),
 
+    // Multi-probe LSH top-k: single-probe sign-LSH recall is bounded by
+    // the probability that a true neighbor lands in the probe's ONE
+    // bucket (≈(1-θ/π)^8 per neighbor — near zero on random data,
+    // measured 0.00 recall@10 in RecallSpec). Multi-probe is the
+    // standard fix that costs NO extra index: also search the 8 buckets
+    // at Hamming distance 1 from the probe's signature (the most
+    // probable misplacements — each differs by one hyperplane vote).
+    // 9/256 of the corpus scanned instead of 1/256, still a 28× cut;
+    // the probe side stays a tiny broadcast (9 rows), the join stays an
+    // equi-join on the bucket id.
+    "q_similarity_lsh_multi" -> ((s, d) => {
+      def bucketOf(emb: Column): Column = (0 until 8).map(i =>
+        when(element_at(emb, i + 1) > 0f, lit(1L << i)).otherwise(0L)).reduce(_ + _)
+      val withB = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), col("embedding"),
+                bucketOf(col("embedding")).as("bucket"))
+      val pb = withB.filter(col("vec_id") === 0)
+        .select(col("embedding").as("probe_emb"),
+                explode(array(Seq(col("bucket")) ++ (0 until 8).map(i =>
+                  col("bucket").bitwiseXOR(lit(1L << i))): _*)).as("probe_bucket"))
+      withB.join(broadcast(pb), col("bucket") === col("probe_bucket"))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+                round(cosine(col("embedding"), col("probe_emb")), 4).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)
+        .limit(10)
+    }),
+
     // IVF-style ANN: a deterministic 16-entry codebook (the embeddings of
     // vec_id 0…15 — a data-derived coarse quantizer), every vector
     // assigned to its nearest centroid (argmax cosine, centroid id breaks
@@ -160,6 +188,17 @@ object Similarity {
                (SELECT embedding AS probe_emb, ${bucketSql("embedding")} AS probe_bucket
                 FROM embeddings WHERE vec_id = 0) p
           WHERE vec_id <> 0 AND ${bucketSql("embedding")} = p.probe_bucket
+          ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""",
+    "q_similarity_lsh_multi" ->
+      s"""WITH b AS (SELECT vec_id, label, embedding,
+                 ${bucketSql("embedding")} AS bucket FROM embeddings),
+            p AS (SELECT embedding AS probe_emb, bucket AS pb FROM b WHERE vec_id = 0),
+            probes AS (SELECT probe_emb,
+                 unnest([pb, ${(0 until 8).map(i => s"xor(pb, ${1L << i})").mkString(", ")}]) AS probe_bucket
+               FROM p)
+          SELECT vec_id, CAST(label AS BIGINT) AS label, round($cosSql, 4) AS cos_sim
+          FROM b, probes p
+          WHERE vec_id <> 0 AND b.bucket = p.probe_bucket
           ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""",
     "q_similarity_ivf" -> {
       def cosS(a: String, b: String) =

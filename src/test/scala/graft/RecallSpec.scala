@@ -60,6 +60,17 @@ class RecallSpec extends SparkSpec {
     assert(ids("q_similarity_lsh") === bucketExact,
       "LSH must be exact within its bucket — recall is traded only at " +
         "the bucket-pruning step, never by misranking scanned candidates")
+    // Multi-probe (probe bucket + 8 Hamming-1 neighbors, 9/256 of the
+    // corpus) exists precisely to lift single-probe recall; it must never
+    // be worse, and its candidate set strictly contains single-probe's.
+    val multi = ids("q_similarity_lsh_multi").toSet
+    val rMulti = (multi & exact).size / 10.0
+    info(f"recall@10 lsh_multi=$rMulti%.2f (9 of 256 buckets probed)")
+    // Guaranteed, not just likely: a global-top-10 member in the candidate
+    // set can be displaced only by vectors ranked above it, of which there
+    // are ≤ 9 — so widening the candidate set can never lose a true hit.
+    assert(rMulti >= rLsh,
+      f"multi-probe recall $rMulti%.2f fell below single-probe $rLsh%.2f")
     // IVF searches the probe's coarse cluster (~1/16 of the corpus):
     // measured 0.90 on this data — nearest-centroid assignment co-locates
     // the probe's true neighbors far better than chance (~0.06 if
