@@ -232,19 +232,21 @@ object Aggregates {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
-    // Dedup: first event per (user, type) by event time. The window-rank
-    // formulation shuffles once on the dedup key; at scale this beats
-    // dropDuplicates when a deterministic survivor (earliest) is required.
-    "q_dedup" -> ((s, d) => {
-      val w = Window.partitionBy(col("user_id"), col("event_type"))
-        .orderBy(col("ts").asc, col("event_id").asc)
+    // Dedup: first event per (user, type) by event time — min_by, the
+    // first-wins twin of q_upsert_last_wins's max_by: a deterministic
+    // survivor (earliest (ts, event_id)) via partial+final aggregation,
+    // so the shuffle carries one candidate per key per mapper. At scale
+    // this beats both dropDuplicates (arbitrary survivor) and a
+    // row_number window (full sort of every row inside each partition).
+    "q_dedup" -> ((s, d) =>
       Tables.events(s, d)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min_by(struct(col("event_id"), col("value")),
+                    struct(col("ts"), col("event_id"))).as("m"))
         .select(col("user_id"), col("event_type"),
-                col("event_id").as("first_event_id"), col("value"))
-        .orderBy("user_id", "event_type")
-    }),
+                col("m.event_id").as("first_event_id"),
+                col("m.value").as("value"))
+        .orderBy("user_id", "event_type")),
 
     // C3 analog: last-wins upsert compaction — latest row per natural key.
     // max_by instead of a row_number window: last-wins is an aggregation,

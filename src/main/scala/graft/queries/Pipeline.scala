@@ -2,7 +2,6 @@ package graft.queries
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline composition operators: relevance scoring,
@@ -33,6 +32,12 @@ object Pipeline {
     // ⋈ corpus size, then the per-doc argmax term. Two aggregations plus
     // one broadcast of the tiny df table — at 100 TB the shuffles carry
     // (doc, token) and (token) keys only.
+    // Top term per doc via min_by over the ordering struct (-tfidf,
+    // token) — lexicographic min = highest tfidf, ties to the smallest
+    // token, exactly the window's "tfidf DESC, token ASC" rank-1 row.
+    // As an aggregation it runs partial+final: the shuffle carries one
+    // candidate per doc per mapper instead of re-sorting every (doc,
+    // token) row inside a row_number window partition.
     "q_tfidf" -> ((s, d) => {
       val tf = Tables.documents(s, d)
         .select(col("doc_id"), explode(toks).as("token"))
@@ -41,16 +46,16 @@ object Pipeline {
       val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
       val n = Tables.documents(s, d)
         .agg(count(lit(1)).as("n_docs"))
-      val w = Window.partitionBy(col("doc_id"))
-        .orderBy(col("tfidf").desc, col("token").asc)
       tf.join(broadcast(df), "token")
         .crossJoin(broadcast(n))
         .withColumn("tfidf",
           round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("doc_id"), col("token").as("top_token"),
-                col("tf"), col("df"), col("tfidf"))
+        .groupBy(col("doc_id"))
+        .agg(min_by(struct(col("token"), col("tf"), col("df"), col("tfidf")),
+                    struct((-col("tfidf")).as("neg"), col("token"))).as("m"))
+        .select(col("doc_id"), col("m.token").as("top_token"),
+                col("m.tf").as("tf"), col("m.df").as("df"),
+                col("m.tfidf").as("tfidf"))
         .orderBy("doc_id")
     }),
 
