@@ -670,6 +670,29 @@ class StreamingSpec extends SparkSpec {
       .head().getLong(2) === 27L, "checkpointed seqnum covers both drains")
   }
 
+  test("backfill refuses while the consumer runs continuously; works after stop") {
+    val root = tmpDir("kin-anow-busy")
+    val meta = tmpDir("kin-anow-busy-meta")
+    ShardedLog.append(s"$root/s", 0, Seq(("a", "a"), ("b", "b")))
+    val eng = new KinesisEngine(spark, meta)
+    eng.addEndpoint("ep", "r", url = root)
+    eng.createStream("busy_stream", StructType(Seq(StructField("payload", StringType))))
+    eng.consumeBegin("ep", "s", "busy_stream", format = "text")
+    // a backfill attaching to never-ending continuous queries would block
+    // on awaitTermination forever — the atomic check must refuse instead
+    val e = intercept[IllegalArgumentException] {
+      eng.consumeBackfill("ep", "s", "busy_stream", format = "text")
+    }
+    assert(e.getMessage.contains("backfill"))
+    eng.processAllAvailable()
+    eng.consumeEndAll()
+    // stopped ⇒ the same call now drains (resuming past the 2 ingested rows)
+    ShardedLog.append(s"$root/s", 0, Seq(("c", "c")))
+    eng.consumeBackfill("ep", "s", "busy_stream", format = "text")
+    assert(eng.activeQueries.isEmpty)
+    assert(eng.streamTable("busy_stream").count() === 3L)
+  }
+
   test("availableNow backfill failure stops sibling queries and propagates") {
     val root = tmpDir("kin-anow-fail")
     val meta = tmpDir("kin-anow-fail-meta")
