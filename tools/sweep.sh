@@ -10,5 +10,8 @@ for sf in sf0.001 sf0.01 sf0.1; do
   echo "== $sf =="
   SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" \
     sbt -batch "runMain graft.Verify /root/testdata/$sf $out" >/dev/null 2>&1
-  python3 tools/check.py "/root/testdata/$sf" "$out" | head -1
+  # sed (not head) so check.py's stdout is drained — head -1 closes the
+  # pipe mid-print and the resulting BrokenPipeError traceback buries the
+  # summary line it just produced
+  python3 tools/check.py "/root/testdata/$sf" "$out" | sed -n '1p'
 done
