@@ -31,6 +31,11 @@ object Bench {
     // min over iterations: single runs at this scale carry ±50% JIT/GC
     // noise that would swamp real regressions in the round-over-round diff.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
+    // An EXPLICIT iteration count is a fast-iteration request (README's
+    // single-query workflow): the stability/heavy/contamination guards
+    // below must not silently top samples back up — they apply only to
+    // the defaulted artifact-producing run.
+    val guards = !sys.env.contains("SPARK_GRAFT_BENCH_ITERS")
     // comma-separated allowlist for single-query iteration; unset = all
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
@@ -61,7 +66,7 @@ object Bench {
       // JIT/GC/contention noise (r8→r9 swung the suite 7.7 s on identical
       // code), so give them one extra iteration — cheap by construction —
       // before taking the min.
-      if (!errors.contains(name) && times.nonEmpty && times.min < 1.0)
+      if (guards && !errors.contains(name) && times.nonEmpty && times.min < 1.0)
         times = times ++ once()
       // Heavy-query guard: multi-second queries dominate the suite total
       // AND are the ones sustained box load disturbs in BOTH default
@@ -70,7 +75,7 @@ object Bench {
       // the two samples are inflated together). Three samples always for
       // anything whose first run exceeds 1 s: the min of three survives
       // a contamination burst that a min of two doesn't.
-      if (!errors.contains(name) && times.nonEmpty && times.head > 1.0)
+      if (guards && !errors.contains(name) && times.nonEmpty && times.head > 1.0)
         while (times.size < 3 && !errors.contains(name))
           times = times ++ once()
       // Contamination retry: when the two samples disagree by >40%, at
@@ -78,7 +83,7 @@ object Bench {
       // exactly then. On a clean run this costs nothing; on a loaded box
       // it keeps the min close to the query's true time instead of
       // letting a doubly-disturbed pair inflate the round total.
-      if (!errors.contains(name) && times.size >= 2) {
+      if (guards && !errors.contains(name) && times.size >= 2) {
         val s = times.sorted
         if (s(1) / s(0) - 1.0 > 0.4) times = times ++ once()
       }

@@ -28,6 +28,14 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.operators.VectorOps.cosine(a, b)
 
+  /** 8-bit hyperplane-sign LSH bucket of an embedding: bit i = sign of
+    * component i. The ONE definition shared by both LSH queries, the
+    * DuckDB oracle ([[bucketSql]]) and RecallSpec's exact-within-bucket
+    * assertion — the bucket geometry is load-bearing for all three, so
+    * they must never diverge. */
+  def bucketOf(emb: Column): Column = (0 until 8).map(i =>
+    when(element_at(emb, i + 1) > 0f, lit(1L << i)).otherwise(0L)).reduce(_ + _)
+
   private def probe(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).filter(col("vec_id") === 0)
       .select(col("embedding").as("probe_emb"))
@@ -46,8 +54,6 @@ object Similarity {
     // LSH-bucketed top-k: score only vectors sharing the probe's 8-bit
     // sign bucket.
     "q_similarity_lsh" -> ((s, d) => {
-      def bucketOf(emb: Column): Column = (0 until 8).map(i =>
-        when(element_at(emb, i + 1) > 0f, lit(1L << i)).otherwise(0L)).reduce(_ + _)
       val withB = Tables.embeddings(s, d)
         .select(col("vec_id"), col("label"), col("embedding"),
                 bucketOf(col("embedding")).as("bucket"))
@@ -72,8 +78,6 @@ object Similarity {
     // the probe side stays a tiny broadcast (9 rows), the join stays an
     // equi-join on the bucket id.
     "q_similarity_lsh_multi" -> ((s, d) => {
-      def bucketOf(emb: Column): Column = (0 until 8).map(i =>
-        when(element_at(emb, i + 1) > 0f, lit(1L << i)).otherwise(0L)).reduce(_ + _)
       val withB = Tables.embeddings(s, d)
         .select(col("vec_id"), col("label"), col("embedding"),
                 bucketOf(col("embedding")).as("bucket"))

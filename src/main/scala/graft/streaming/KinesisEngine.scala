@@ -250,6 +250,10 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
     saveCatalog()
   }
 
+  /** Registered continuous-view names (the reference's `pipeline_views()`
+    * catalog listing, pipeline_kinesis--0.9.0.sql's CV catalog). */
+  def listViews: Seq[String] = synchronized(views.keys.toSeq)
+
   /** DROP CONTINUOUS VIEW parity: stop the view's standing query (if
     * running), unregister it, and delete its materialized state. The
     * consumer and its other views keep running. */
@@ -625,66 +629,78 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
     * Batch SQL over view/stream tables is untouched — exact distinct
     * stays exact there. */
   private[graft] def rewriteCountDistinct(sql: String): String = {
-    val pat = "(?i)\\bcount\\s*\\(\\s*distinct\\b".r
-    // Paren/comma scans are STRING-LITERAL-AWARE: a quoted '(' , ')' or
-    // ',' inside the DISTINCT argument (count(DISTINCT concat(u, '(')))
-    // must not perturb depth tracking or argument splitting. '' inside a
-    // literal is SQL's escaped quote — consumed as content.
+    val pat = "(?i)count\\s*\\(\\s*distinct\\b".r
+    // Every scan here is QUOTE-AWARE for all three SQL quote kinds —
+    // '…' string literals, "…" literals (Spark's default double-quote
+    // strings), and `…` quoted identifiers; a doubled quote inside each
+    // is the escaped form, consumed as content. That covers both
+    // directions of the hazard: quoted '(' / ')' / ',' must not perturb
+    // depth tracking or argument splitting, and a literal CONTAINING the
+    // text "count(distinct …" must not itself be rewritten.
+    def isQuote(c: Char) = c == '\'' || c == '"' || c == '`'
+    // One step of the quote state machine: (in-quote char or ' ',
+    // position) → (new state, next position). Skips doubled quotes.
+    def step(s: String, i: Int, q: Char): (Char, Int) = {
+      val c = s(i)
+      if (q != ' ') {
+        if (c != q) (q, i + 1)
+        else if (i + 1 < s.length && s(i + 1) == q) (q, i + 2)
+        else (' ', i + 1)
+      } else if (isQuote(c)) (c, i + 1)
+      else (q, i + 1)
+    }
     @annotation.tailrec
-    def go(s: String): String = pat.findFirstMatchIn(s) match {
-      case None => s
-      case Some(m) =>
-        val open = s.indexOf('(', m.start)
+    def go(s: String): String = {
+      // find the first count(DISTINCT whose match site is OUTSIDE quotes
+      var i = 0; var q = ' '; var site = -1
+      while (i < s.length && site < 0) {
+        val c = s(i)
+        if (q == ' ' && (c == 'c' || c == 'C') &&
+            (i == 0 || (!Character.isLetterOrDigit(s(i - 1)) &&
+                        s(i - 1) != '_')) &&
+            pat.findPrefixMatchOf(s.subSequence(i, s.length)).isDefined)
+          site = i
+        else { val (nq, ni) = step(s, i, q); q = nq; i = ni }
+      }
+      if (site < 0) s
+      else {
+        val m = pat.findPrefixMatchOf(s.subSequence(site, s.length)).get
+        val argStart = site + m.end
         var depth = 1
-        var i = open + 1
-        var inQ = false
-        while (depth > 0 && i < s.length) {
-          val c = s(i)
-          if (inQ) {
-            if (c == '\'') {
-              if (i + 1 < s.length && s(i + 1) == '\'') i += 1 // escaped ''
-              else inQ = false
-            }
-          } else c match {
-            case '\'' => inQ = true
+        var j = s.indexOf('(', site) + 1
+        var q1 = ' '
+        while (depth > 0 && j < s.length) {
+          if (q1 == ' ') s(j) match {
             case '(' => depth += 1
             case ')' => depth -= 1
             case _ =>
           }
-          i += 1
+          val (nq, nj) = step(s, j, q1); q1 = nq; j = nj
         }
-        require(depth == 0 && !inQ,
-          s"unbalanced parentheses or unterminated string literal in: $sql")
-        val arg = s.substring(m.end, i - 1).trim
+        require(depth == 0 && q1 == ' ',
+          s"unbalanced parentheses or unterminated quote in: $sql")
+        val arg = s.substring(argStart, j - 1).trim
         // top-level comma = multi-column distinct → hash one struct value
-        var d2 = 0
-        var q2 = false
-        var multi = false
-        var j = 0
-        while (j < arg.length) {
-          val c = arg(j)
-          if (q2) {
-            if (c == '\'') {
-              if (j + 1 < arg.length && arg(j + 1) == '\'') j += 1
-              else q2 = false
-            }
-          } else c match {
-            case '\'' => q2 = true
+        var d2 = 0; var q2 = ' '; var multi = false; var k = 0
+        while (k < arg.length) {
+          if (q2 == ' ') arg(k) match {
             case '(' => d2 += 1
             case ')' => d2 -= 1
             case ',' if d2 == 0 => multi = true
             case _ =>
           }
-          j += 1
+          val (nq, nk) = step(arg, k, q2); q2 = nq; k = nk
         }
         val inner = if (multi) s"struct($arg)" else arg
-        go(s.substring(0, m.start) + s"approx_count_distinct($inner)" +
-           s.substring(i))
+        go(s.substring(0, site) + s"approx_count_distinct($inner)" +
+           s.substring(j))
+      }
     }
     go(sql)
   }
 
-  private def sqlAgg(relation: String, sql: String): DataFrame => DataFrame = {
+  private def sqlAgg(relation: String, sql: String,
+                     strict: Boolean = false): DataFrame => DataFrame = {
     val streamSql = rewriteCountDistinct(sql)
     // SQL has no withWatermark syntax, but append-mode sessionization
     // requires one: when the SELECT calls session_window(col, gap),
@@ -704,7 +720,13 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
               if f.nameParts.map(_.toLowerCase) == Seq("session_window") => f
         })}.flatten
     }.getOrElse(Seq.empty)
-    val sessionWm: Option[(String, String)] = sessionCalls.headOption.map { f =>
+    // strict=true only on the CREATE path: an extraction failure for a
+    // catalog-loaded view must NOT throw — that would run inside
+    // loadCatalog and make an engine with one legacy session-window view
+    // unconstructible (no engine left to even DROP it through). Loaded
+    // views fall back to the old no-watermark behavior and surface
+    // Spark's own error if/when their query starts.
+    val sessionWm: Option[(String, String)] = sessionCalls.headOption.flatMap { f =>
       val col = f.arguments.headOption.collect {
         case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
           a.name
@@ -713,14 +735,16 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
         case org.apache.spark.sql.catalyst.expressions.Literal(s, _) =>
           String.valueOf(s)
       }
-      (for (c <- col; g <- gap) yield (c, g)).getOrElse(
+      val cg = for (c <- col; g <- gap) yield (c, g)
+      if (cg.isEmpty && strict)
         throw new IllegalArgumentException(
           "CREATE CONTINUOUS VIEW: cannot derive a watermark from " +
             s"session_window(...) in [$sql] — the first argument must be a " +
             "bare stream column and the gap a string literal (e.g. " +
             "session_window(ts, '30 seconds')); append-mode sessionization " +
             "requires a watermark, so wrap casts/expressions in the " +
-            "stream's parse step instead"))
+            "stream's parse step instead")
+      cg
     }
     df => {
       val src = sessionWm match {
@@ -752,7 +776,12 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
                               materialize: String = "parquet"): Unit = synchronized {
     require(Set("memory", "parquet", "append")(materialize),
       s"materialize=$materialize")
-    views(name) = View(relation, sqlAgg(relation, sql), materialize, Some(sql), None)
+    // strict only for the materializations that run session windows in
+    // append mode (watermark mandatory); memory views run complete-mode
+    // snapshots and are legal without one.
+    views(name) = View(relation,
+      sqlAgg(relation, sql, strict = materialize != "memory"),
+      materialize, Some(sql), None)
     saveCatalog()
   }
 

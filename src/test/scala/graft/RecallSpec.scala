@@ -43,8 +43,9 @@ class RecallSpec extends SparkSpec {
     // misranking: within its candidate bucket, LSH must return exactly
     // the exact-cosine ranking.
     val withB = Tables.embeddings(spark, sf001)
-    def bucketOf(emb: org.apache.spark.sql.Column) = (0 until 8).map(i =>
-      when(element_at(emb, i + 1) > 0f, lit(1L << i)).otherwise(0L)).reduce(_ + _)
+    // the queries' own bucket geometry — asserting with a private copy
+    // would keep passing against stale bucketing after a bits change
+    import graft.queries.Similarity.bucketOf
     val pb = withB.filter(col("vec_id") === 0)
       .select(col("embedding").as("probe_emb"),
               bucketOf(col("embedding")).as("probe_bucket"))

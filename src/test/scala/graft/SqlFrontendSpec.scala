@@ -161,6 +161,22 @@ class SqlFrontendSpec extends SparkSpec {
     assert(eng.rewriteCountDistinct(
         "SELECT count(DISTINCT concat(u, 'it''s (odd,')) FROM t")
       === "SELECT approx_count_distinct(concat(u, 'it''s (odd,')) FROM t")
+    // Spark's default double-quoted string literals and backtick-quoted
+    // identifiers get the same treatment as '…'
+    assert(eng.rewriteCountDistinct(
+        "SELECT count(DISTINCT concat(u, \"(\")) FROM t")
+      === "SELECT approx_count_distinct(concat(u, \"(\")) FROM t")
+    assert(eng.rewriteCountDistinct(
+        "SELECT count(DISTINCT `weird(col,`) FROM t")
+      === "SELECT approx_count_distinct(`weird(col,`) FROM t")
+    // a literal whose CONTENT spells count(distinct …) is content, not
+    // syntax — the match site itself must be quote-aware
+    assert(eng.rewriteCountDistinct(
+        "SELECT count(*) AS n, 'count(distinct u)' AS note FROM t")
+      === "SELECT count(*) AS n, 'count(distinct u)' AS note FROM t")
+    assert(eng.rewriteCountDistinct(
+        "SELECT 'count(distinct a)' AS doc, count(DISTINCT b) AS d FROM t")
+      === "SELECT 'count(distinct a)' AS doc, approx_count_distinct(b) AS d FROM t")
   }
 
   test("session_window CV with a non-bare time column fails at CREATE, not at start") {
@@ -176,6 +192,42 @@ class SqlFrontendSpec extends SparkSpec {
     assert(e.getMessage.contains("watermark") &&
            e.getMessage.contains("session_window"),
       s"expected a descriptive front-end error, got: ${e.getMessage}")
+    // memory materialization runs complete-mode snapshots — no watermark
+    // needed, so the same SQL is legal there
+    eng.createContinuousViewSql("sessbad_mem", "sessbad_stream",
+      "SELECT session_window(cast(ts AS timestamp), '30 seconds') AS w, " +
+        "count(*) AS n FROM sessbad_stream " +
+        "GROUP BY session_window(cast(ts AS timestamp), '30 seconds')",
+      materialize = "memory")
+    eng.dropView("sessbad_mem")
+  }
+
+  test("a legacy non-derivable session-window view loads leniently from the catalog") {
+    // Pre-strict-era catalogs may hold a session-window view whose
+    // watermark can't be derived (previously accepted at CREATE). The
+    // loader must tolerate it: a throw inside loadCatalog would make the
+    // whole engine unconstructible — with no engine left to DROP the
+    // offending view through.
+    val meta = tmpDir("sesslegacy-meta")
+    val eng = new KinesisEngine(spark, meta)
+    eng.sql("CREATE STREAM legacy_stream (ts timestamp, u text)")
+    eng.sql("CREATE CONTINUOUS VIEW legacy_ok AS " +
+      "SELECT u, count(*) AS n FROM legacy_stream GROUP BY u")
+    val vf = java.nio.file.Paths.get(meta, "views.tsv")
+    def b64(s: String) = // the catalog's field encoding
+      java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+    val bad = Seq("legacy_sess", "legacy_stream",
+      "SELECT session_window(cast(ts AS timestamp), '30 seconds') AS w, " +
+        "count(*) AS n FROM legacy_stream " +
+        "GROUP BY session_window(cast(ts AS timestamp), '30 seconds')",
+      "parquet").map(b64).mkString("\t")
+    java.nio.file.Files.writeString(vf,
+      java.nio.file.Files.readString(vf) + "\n" + bad)
+    val eng2 = new KinesisEngine(spark, meta) // must not throw
+    eng2.dropView("legacy_sess") // and the bad view is droppable through it
+    val eng3 = new KinesisEngine(spark, meta)
+    assert(eng3.listViews.contains("legacy_ok") &&
+           !eng3.listViews.contains("legacy_sess"))
   }
 
   test("INSERT INTO stream VALUES feeds the pipeline through the bound consumer") {
