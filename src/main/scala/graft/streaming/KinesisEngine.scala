@@ -1779,8 +1779,9 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
     *    is inferred from the plan exactly as in the Scala API)
     *  - `DROP CONTINUOUS VIEW v`, `DROP STREAM s`
     *  - anything else runs as a query with every catalog object readable:
-    *    views by name, streams by name (their persistent tables), and
-    *    `pipeline_kinesis.seqnums`.
+    *    views by name, streams by name (their persistent tables), and the
+    *    qualified catalogs `pipeline_kinesis.seqnums` / `.consumers` /
+    *    `.endpoints` / `.views`.
     *
     * Sliding-window DDL (`WITH (sw = '1 hour' [, slide = '5 minutes'])`)
     * accepts the restricted combinable grammar — key columns plus
@@ -1931,6 +1932,19 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
             listEndpoints.map(e => (e.name, e.region, e.credfile, e.url))
               .toDF("name", "region", "credfile", "url"))
           q = q2
+        }
+        // catalog of continuous views (PipelineDB's pipeline_views();
+        // pipeline_kinesis--0.9.0.sql catalog tables follow the same
+        // qualified-name convention)
+        val q3 = mapOutsideLiterals(q)(_.replaceAll(
+          "(?i)pipeline_kinesis\\.views", "graft_views"))
+        if (q3 != q) {
+          import spark.implicits._
+          register("graft_views")(
+            synchronized(views.toSeq).map { case (n, v) =>
+              (n, v.relation, v.materialize, v.sql.getOrElse(""))
+            }.toDF("name", "relation", "materialize", "query"))
+          q = q3
         }
         val (vs, sts) = synchronized((views.keys.toSeq, streams.keys.toSeq))
         val code = codeOutsideLiterals(q)

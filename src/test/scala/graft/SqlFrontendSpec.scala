@@ -202,6 +202,24 @@ class SqlFrontendSpec extends SparkSpec {
     eng.dropView("sessbad_mem")
   }
 
+  test("pipeline_kinesis.views lists the CV catalog in SQL") {
+    val eng = new KinesisEngine(spark, tmpDir("pv-meta"))
+    eng.sql("CREATE STREAM pv_stream (k text, v integer)")
+    eng.sql("CREATE CONTINUOUS VIEW pv_sums AS " +
+      "SELECT k, sum(v) AS total FROM pv_stream GROUP BY k")
+    val rows = eng.sql(
+        "SELECT name, relation, materialize FROM pipeline_kinesis.views " +
+        "ORDER BY name").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(rows === Seq(("pv_sums", "pv_stream", "parquet")))
+    // a literal naming the catalog is data, not a catalog reference
+    assert(eng.sql("SELECT 'pipeline_kinesis.views' AS s").head().getString(0)
+      === "pipeline_kinesis.views")
+    eng.dropView("pv_sums")
+    assert(eng.sql("SELECT count(*) AS n FROM pipeline_kinesis.views")
+      .head().getLong(0) === 0L)
+  }
+
   test("a legacy non-derivable session-window view loads leniently from the catalog") {
     // Pre-strict-era catalogs may hold a session-window view whose
     // watermark can't be derived (previously accepted at CREATE). The
