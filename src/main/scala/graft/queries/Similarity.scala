@@ -103,14 +103,23 @@ object Similarity {
       val emb = Tables.embeddings(s, d)
       val cents = emb.filter(col("vec_id") <= 15)
         .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
-        .orderBy(col("cos_c").desc, col("cent_id").asc)
+      // Nearest-centroid assignment as a PARTIAL max_by aggregation — the
+      // same rank-1→aggregation idiom as q_upsert_last_wins/q_dedup. The
+      // row_number form it replaces was already shuffle-equivalent (Spark's
+      // WindowGroupLimit prunes to one candidate per vector map-side), but
+      // the aggregation tracks the max in one pass where the window sorts
+      // the fan-out within every partition on both sides of the exchange;
+      // measured at parity at sf0.1, and it keeps every rank-1 reduction
+      // in the codebase on the one aggregation shape.
+      // max over (cos_c, -cent_id) ≡ the window's cos DESC, cent_id ASC.
       val assigned = emb.crossJoin(broadcast(cents))
         .withColumn("cos_c", round(cosine(col("embedding"), col("cent_emb")), 6))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("label"), col("embedding"),
-                col("cent_id").as("cluster"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("label"), col("embedding"), col("cent_id")),
+                    struct(col("cos_c"), -col("cent_id"))).as("m"))
+        .select(col("vec_id"), col("m.label").as("label"),
+                col("m.embedding").as("embedding"),
+                col("m.cent_id").as("cluster"))
       val probeC = assigned.filter(col("vec_id") === 0)
         .select(col("embedding").as("probe_emb"), col("cluster").as("probe_cluster"))
       assigned.join(broadcast(probeC), col("cluster") === col("probe_cluster"))
