@@ -638,24 +638,24 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
     // depth tracking or argument splitting, and a literal CONTAINING the
     // text "count(distinct …" must not itself be rewritten.
     def isQuote(c: Char) = c == '\'' || c == '"' || c == '`'
-    // One step of the quote state machine: (in-quote char or ' ',
+    // One step of the quote state machine: (in-quote char or NUL for none,
     // position) → (new state, next position). Skips doubled quotes.
     def step(s: String, i: Int, q: Char): (Char, Int) = {
       val c = s(i)
-      if (q != ' ') {
+      if (q != '\u0000') {
         if (c != q) (q, i + 1)
         else if (i + 1 < s.length && s(i + 1) == q) (q, i + 2)
-        else (' ', i + 1)
+        else ('\u0000', i + 1)
       } else if (isQuote(c)) (c, i + 1)
       else (q, i + 1)
     }
     @annotation.tailrec
     def go(s: String): String = {
       // find the first count(DISTINCT whose match site is OUTSIDE quotes
-      var i = 0; var q = ' '; var site = -1
+      var i = 0; var q = '\u0000'; var site = -1
       while (i < s.length && site < 0) {
         val c = s(i)
-        if (q == ' ' && (c == 'c' || c == 'C') &&
+        if (q == '\u0000' && (c == 'c' || c == 'C') &&
             (i == 0 || (!Character.isLetterOrDigit(s(i - 1)) &&
                         s(i - 1) != '_')) &&
             pat.findPrefixMatchOf(s.subSequence(i, s.length)).isDefined)
@@ -668,22 +668,22 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
         val argStart = site + m.end
         var depth = 1
         var j = s.indexOf('(', site) + 1
-        var q1 = ' '
+        var q1 = '\u0000'
         while (depth > 0 && j < s.length) {
-          if (q1 == ' ') s(j) match {
+          if (q1 == '\u0000') s(j) match {
             case '(' => depth += 1
             case ')' => depth -= 1
             case _ =>
           }
           val (nq, nj) = step(s, j, q1); q1 = nq; j = nj
         }
-        require(depth == 0 && q1 == ' ',
+        require(depth == 0 && q1 == '\u0000',
           s"unbalanced parentheses or unterminated quote in: $sql")
         val arg = s.substring(argStart, j - 1).trim
         // top-level comma = multi-column distinct → hash one struct value
-        var d2 = 0; var q2 = ' '; var multi = false; var k = 0
+        var d2 = 0; var q2 = '\u0000'; var multi = false; var k = 0
         while (k < arg.length) {
-          if (q2 == ' ') arg(k) match {
+          if (q2 == '\u0000') arg(k) match {
             case '(' => d2 += 1
             case ')' => d2 -= 1
             case ',' if d2 == 0 => multi = true
