@@ -628,76 +628,8 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
     * distinct is wrapped in a struct (one hashed value, same semantics).
     * Batch SQL over view/stream tables is untouched — exact distinct
     * stays exact there. */
-  private[graft] def rewriteCountDistinct(sql: String): String = {
-    val pat = "(?i)count\\s*\\(\\s*distinct\\b".r
-    // Every scan here is QUOTE-AWARE for all three SQL quote kinds —
-    // '…' string literals, "…" literals (Spark's default double-quote
-    // strings), and `…` quoted identifiers; a doubled quote inside each
-    // is the escaped form, consumed as content. That covers both
-    // directions of the hazard: quoted '(' / ')' / ',' must not perturb
-    // depth tracking or argument splitting, and a literal CONTAINING the
-    // text "count(distinct …" must not itself be rewritten.
-    def isQuote(c: Char) = c == '\'' || c == '"' || c == '`'
-    // One step of the quote state machine: (in-quote char or NUL for none,
-    // position) → (new state, next position). Skips doubled quotes.
-    def step(s: String, i: Int, q: Char): (Char, Int) = {
-      val c = s(i)
-      if (q != '\u0000') {
-        if (c != q) (q, i + 1)
-        else if (i + 1 < s.length && s(i + 1) == q) (q, i + 2)
-        else ('\u0000', i + 1)
-      } else if (isQuote(c)) (c, i + 1)
-      else (q, i + 1)
-    }
-    @annotation.tailrec
-    def go(s: String): String = {
-      // find the first count(DISTINCT whose match site is OUTSIDE quotes
-      var i = 0; var q = '\u0000'; var site = -1
-      while (i < s.length && site < 0) {
-        val c = s(i)
-        if (q == '\u0000' && (c == 'c' || c == 'C') &&
-            (i == 0 || (!Character.isLetterOrDigit(s(i - 1)) &&
-                        s(i - 1) != '_')) &&
-            pat.findPrefixMatchOf(s.subSequence(i, s.length)).isDefined)
-          site = i
-        else { val (nq, ni) = step(s, i, q); q = nq; i = ni }
-      }
-      if (site < 0) s
-      else {
-        val m = pat.findPrefixMatchOf(s.subSequence(site, s.length)).get
-        val argStart = site + m.end
-        var depth = 1
-        var j = s.indexOf('(', site) + 1
-        var q1 = '\u0000'
-        while (depth > 0 && j < s.length) {
-          if (q1 == '\u0000') s(j) match {
-            case '(' => depth += 1
-            case ')' => depth -= 1
-            case _ =>
-          }
-          val (nq, nj) = step(s, j, q1); q1 = nq; j = nj
-        }
-        require(depth == 0 && q1 == '\u0000',
-          s"unbalanced parentheses or unterminated quote in: $sql")
-        val arg = s.substring(argStart, j - 1).trim
-        // top-level comma = multi-column distinct → hash one struct value
-        var d2 = 0; var q2 = '\u0000'; var multi = false; var k = 0
-        while (k < arg.length) {
-          if (q2 == '\u0000') arg(k) match {
-            case '(' => d2 += 1
-            case ')' => d2 -= 1
-            case ',' if d2 == 0 => multi = true
-            case _ =>
-          }
-          val (nq, nk) = step(arg, k, q2); q2 = nq; k = nk
-        }
-        val inner = if (multi) s"struct($arg)" else arg
-        go(s.substring(0, site) + s"approx_count_distinct($inner)" +
-           s.substring(j))
-      }
-    }
-    go(sql)
-  }
+  private[graft] def rewriteCountDistinct(sql: String): String =
+    KinesisEngine.rewriteCountDistinct(sql)
 
   private def sqlAgg(relation: String, sql: String,
                      strict: Boolean = false): DataFrame => DataFrame = {
@@ -2128,5 +2060,81 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
     }
     rows.toDF("consumer_id", "shard_id", "seqnum", "records_behind_latest",
       "millis_behind_latest")
+  }
+}
+
+/** Pure SQL-text helpers, instance-state-free so they live on the
+  * companion and are property-testable without a SparkSession
+  * (PropertySpec). */
+object KinesisEngine {
+  private[graft] def rewriteCountDistinct(sql: String): String = {
+    val pat = "(?i)count\\s*\\(\\s*distinct\\b".r
+    // Every scan here is QUOTE-AWARE for all three SQL quote kinds —
+    // '…' string literals, "…" literals (Spark's default double-quote
+    // strings), and `…` quoted identifiers; a doubled quote inside each
+    // is the escaped form, consumed as content. That covers both
+    // directions of the hazard: quoted '(' / ')' / ',' must not perturb
+    // depth tracking or argument splitting, and a literal CONTAINING the
+    // text "count(distinct …" must not itself be rewritten.
+    def isQuote(c: Char) = c == '\'' || c == '"' || c == '`'
+    // One step of the quote state machine: (in-quote char or NUL for none,
+    // position) → (new state, next position). Skips doubled quotes.
+    def step(s: String, i: Int, q: Char): (Char, Int) = {
+      val c = s(i)
+      if (q != '\u0000') {
+        if (c != q) (q, i + 1)
+        else if (i + 1 < s.length && s(i + 1) == q) (q, i + 2)
+        else ('\u0000', i + 1)
+      } else if (isQuote(c)) (c, i + 1)
+      else (q, i + 1)
+    }
+    @annotation.tailrec
+    def go(s: String): String = {
+      // find the first count(DISTINCT whose match site is OUTSIDE quotes
+      var i = 0; var q = '\u0000'; var site = -1
+      while (i < s.length && site < 0) {
+        val c = s(i)
+        if (q == '\u0000' && (c == 'c' || c == 'C') &&
+            (i == 0 || (!Character.isLetterOrDigit(s(i - 1)) &&
+                        s(i - 1) != '_')) &&
+            pat.findPrefixMatchOf(s.subSequence(i, s.length)).isDefined)
+          site = i
+        else { val (nq, ni) = step(s, i, q); q = nq; i = ni }
+      }
+      if (site < 0) s
+      else {
+        val m = pat.findPrefixMatchOf(s.subSequence(site, s.length)).get
+        val argStart = site + m.end
+        var depth = 1
+        var j = s.indexOf('(', site) + 1
+        var q1 = '\u0000'
+        while (depth > 0 && j < s.length) {
+          if (q1 == '\u0000') s(j) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case _ =>
+          }
+          val (nq, nj) = step(s, j, q1); q1 = nq; j = nj
+        }
+        require(depth == 0 && q1 == '\u0000',
+          s"unbalanced parentheses or unterminated quote in: $sql")
+        val arg = s.substring(argStart, j - 1).trim
+        // top-level comma = multi-column distinct → hash one struct value
+        var d2 = 0; var q2 = '\u0000'; var multi = false; var k = 0
+        while (k < arg.length) {
+          if (q2 == '\u0000') arg(k) match {
+            case '(' => d2 += 1
+            case ')' => d2 -= 1
+            case ',' if d2 == 0 => multi = true
+            case _ =>
+          }
+          val (nq, nk) = step(arg, k, q2); q2 = nq; k = nk
+        }
+        val inner = if (multi) s"struct($arg)" else arg
+        go(s.substring(0, site) + s"approx_count_distinct($inner)" +
+           s.substring(j))
+      }
+    }
+    go(sql)
   }
 }

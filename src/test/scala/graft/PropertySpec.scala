@@ -96,6 +96,41 @@ class PropertySpec extends AnyFunSuite {
       })
   }
 
+  test("count(DISTINCT rewrite never disturbs quoted content, for arbitrary nasty literals") {
+    import graft.streaming.KinesisEngine.rewriteCountDistinct
+    // A literal of any of the three SQL quote kinds whose CONTENT is built
+    // from the scanner's own hazard alphabet — parens, commas, the OTHER
+    // quote characters, doubled own-quotes, and the literal text
+    // "count(distinct x)" itself.
+    val litGen: Gen[String] = for {
+      q <- Gen.oneOf('\'', '"', '`')
+      toks <- Gen.listOf(Gen.oneOf(
+        Gen.oneOf("(", ")", ",", "((", "),", "count(distinct x)", "a b",
+                  s"$q$q"), // doubled own-quote = escaped content
+        Gen.oneOf("'", "\"", "`").suchThat(_ != q.toString),
+        Gen.alphaNumStr.map(_.take(6))))
+    } yield q + toks.mkString + q
+    // (a) a hazard literal in the DISTINCT argument: the rewrite must be
+    // exactly the count→approx substitution, literal untouched
+    check("rcd-arg-literal", Prop.forAll(litGen) { lit =>
+      rewriteCountDistinct(s"SELECT count(DISTINCT concat(u, $lit)) FROM t") ==
+        s"SELECT approx_count_distinct(concat(u, $lit)) FROM t"
+    })
+    // (b) the same literal elsewhere in the statement, no real
+    // count(DISTINCT present: the statement must come back verbatim even
+    // when the literal's content spells count(distinct …)
+    check("rcd-bystander-literal", Prop.forAll(litGen) { lit =>
+      val sql = s"SELECT $lit AS x, count(*) AS n FROM t"
+      rewriteCountDistinct(sql) == sql
+    })
+    // (c) multi-column distinct with a hazard literal: comma splitting
+    // must see only the ONE top-level comma
+    check("rcd-multi-literal", Prop.forAll(litGen) { lit =>
+      rewriteCountDistinct(s"SELECT count(DISTINCT a, $lit) FROM t") ==
+        s"SELECT approx_count_distinct(struct(a, $lit)) FROM t"
+    })
+  }
+
   test("consecutive offset ranges partition the log: each record planned exactly once") {
     // Model of planInputPartitions over successive latestOffset values:
     // slices [prev, next) must tile [0, total) with no gap or overlap.
