@@ -1905,56 +1905,13 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
     }
   }
 
-  /** Split a SQL text into alternating code / non-code segments, where
-    * non-code is anything whose content must never be rewritten or
-    * mention-checked: single-quoted literals (with `''` and `\'` escapes —
-    * Spark's default lexer, `escapedStringLiterals` off), double-quoted
-    * literals (Spark treats `"…"` as a STRING unless
-    * `doubleQuotedIdentifiers` is on, which this engine never sets), `--`
-    * line comments, and `/* */` block comments. Literals keep their
-    * quotes; an unterminated literal/comment extends to end-of-string. */
-  private def sqlSegments(q: String): Seq[(String, Boolean)] = {
-    val out = Seq.newBuilder[(String, Boolean)]
-    var i = 0; var start = 0
-    def emit(end: Int): Unit = {
-      out += ((q.substring(start, i), false))
-      out += ((q.substring(i, end), true))
-      start = end; i = end
-    }
-    while (i < q.length) {
-      val c = q.charAt(i)
-      if (c == '\'' || c == '"') {
-        var j = i + 1; var done = false
-        while (j < q.length && !done) {
-          val cj = q.charAt(j)
-          if (cj == '\\' && j + 1 < q.length) j += 2
-          else if (cj == c && j + 1 < q.length && q.charAt(j + 1) == c) j += 2
-          else if (cj == c) { done = true; j += 1 }
-          else j += 1
-        }
-        emit(j)
-      } else if (c == '-' && i + 1 < q.length && q.charAt(i + 1) == '-') {
-        var j = i + 2
-        while (j < q.length && q.charAt(j) != '\n') j += 1
-        emit(j)
-      } else if (c == '/' && i + 1 < q.length && q.charAt(i + 1) == '*') {
-        var j = i + 2
-        while (j + 1 < q.length && !(q.charAt(j) == '*' && q.charAt(j + 1) == '/')) j += 1
-        emit(if (j + 1 < q.length) j + 2 else q.length)
-      } else i += 1
-    }
-    out += ((q.substring(start), false))
-    out.result()
-  }
-
-  /** Apply `f` to the non-literal segments of `q` only. */
+  // sqlSegments / mapOutsideLiterals / codeOutsideLiterals live on the
+  // companion: pure text functions, property-tested without a session.
   private def mapOutsideLiterals(q: String)(f: String => String): String =
-    sqlSegments(q).map { case (s, lit) => if (lit) s else f(s) }.mkString
+    KinesisEngine.mapOutsideLiterals(q)(f)
 
-  /** The non-literal text of `q` (literals blanked to a space so tokens
-    * on either side of one never merge). */
   private def codeOutsideLiterals(q: String): String =
-    sqlSegments(q).map { case (s, lit) => if (lit) " " else s }.mkString
+    KinesisEngine.codeOutsideLiterals(q)
 
   // --- observability (seqnums view, README.md:119-126) --------------------
 
@@ -2137,4 +2094,55 @@ object KinesisEngine {
     }
     go(sql)
   }
+
+  /** Split a SQL text into alternating code / non-code segments, where
+    * non-code is anything whose content must never be rewritten or
+    * mention-checked: single-quoted literals (with `''` and `\'` escapes —
+    * Spark's default lexer, `escapedStringLiterals` off), double-quoted
+    * literals (Spark treats `"…"` as a STRING unless
+    * `doubleQuotedIdentifiers` is on, which this engine never sets), `--`
+    * line comments, and `/* */` block comments. Literals keep their
+    * quotes; an unterminated literal/comment extends to end-of-string. */
+  private[graft] def sqlSegments(q: String): Seq[(String, Boolean)] = {
+    val out = Seq.newBuilder[(String, Boolean)]
+    var i = 0; var start = 0
+    def emit(end: Int): Unit = {
+      out += ((q.substring(start, i), false))
+      out += ((q.substring(i, end), true))
+      start = end; i = end
+    }
+    while (i < q.length) {
+      val c = q.charAt(i)
+      if (c == '\'' || c == '"') {
+        var j = i + 1; var done = false
+        while (j < q.length && !done) {
+          val cj = q.charAt(j)
+          if (cj == '\\' && j + 1 < q.length) j += 2
+          else if (cj == c && j + 1 < q.length && q.charAt(j + 1) == c) j += 2
+          else if (cj == c) { done = true; j += 1 }
+          else j += 1
+        }
+        emit(j)
+      } else if (c == '-' && i + 1 < q.length && q.charAt(i + 1) == '-') {
+        var j = i + 2
+        while (j < q.length && q.charAt(j) != '\n') j += 1
+        emit(j)
+      } else if (c == '/' && i + 1 < q.length && q.charAt(i + 1) == '*') {
+        var j = i + 2
+        while (j + 1 < q.length && !(q.charAt(j) == '*' && q.charAt(j + 1) == '/')) j += 1
+        emit(if (j + 1 < q.length) j + 2 else q.length)
+      } else i += 1
+    }
+    out += ((q.substring(start), false))
+    out.result()
+  }
+
+  /** Apply `f` to the non-literal segments of `q` only. */
+  private[graft] def mapOutsideLiterals(q: String)(f: String => String): String =
+    sqlSegments(q).map { case (s, lit) => if (lit) s else f(s) }.mkString
+
+  /** The non-literal text of `q` (literals blanked to a space so tokens
+    * on either side of one never merge). */
+  private[graft] def codeOutsideLiterals(q: String): String =
+    sqlSegments(q).map { case (s, lit) => if (lit) " " else s }.mkString
 }

@@ -131,6 +131,36 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("SQL segmenting reassembles any input and shields literal content from rewrites") {
+    import graft.streaming.KinesisEngine.{sqlSegments, mapOutsideLiterals}
+    // (a) lossless: segments always concatenate back to the input, for
+    // ARBITRARY text — including unterminated quotes/comments (they extend
+    // to end-of-string, but must not drop or duplicate a byte)
+    val sqlishGen = Gen.listOf(Gen.oneOf(
+      "'", "\"", "--", "/*", "*/", "\n", "\\'", "''", "(", ")", ",",
+      " SELECT ", "x", "pipeline_kinesis.seqnums")).map(_.mkString)
+    check("segments-lossless", Prop.forAll(sqlishGen) { s =>
+      sqlSegments(s).map(_._1).mkString == s
+    })
+    check("segments-lossless-arbitrary", Prop.forAll(Gen.asciiPrintableStr) { s =>
+      sqlSegments(s).map(_._1).mkString == s
+    })
+    // (b) a WELL-FORMED literal's content never reaches the rewrite
+    // function, whatever hazard text it carries
+    val litGen = for {
+      q <- Gen.oneOf("'", "\"")
+      toks <- Gen.listOf(Gen.oneOf("pipeline_kinesis.seqnums", "--", "/*",
+        "x", " ", s"$q$q", "\\" + q))
+    } yield q + toks.mkString + q
+    check("literal-shielded", Prop.forAll(litGen, litGen) { (l1, l2) =>
+      val sql = s"SELECT $l1 AS a, col FROM t WHERE b <> $l2"
+      mapOutsideLiterals(sql)(_.replaceAll(
+        "(?i)pipeline_kinesis\\.seqnums", "graft_seqnums")) == sql &&
+      mapOutsideLiterals(sql)(_.toUpperCase) ==
+        s"SELECT $l1 AS A, COL FROM T WHERE B <> $l2"
+    })
+  }
+
   test("consecutive offset ranges partition the log: each record planned exactly once") {
     // Model of planInputPartitions over successive latestOffset values:
     // slices [prev, next) must tile [0, total) with no gap or overlap.
