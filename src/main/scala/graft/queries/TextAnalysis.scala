@@ -205,6 +205,46 @@ object TextAnalysis {
         .withColumn("is_repetitive", (col("dup_frac") >= 0.01).cast("long"))
         .orderBy("doc_id")),
 
+    // The composed keep/drop pipeline a training-data ingest actually runs
+    // over a raw corpus: language gate + length gate + repetition gate
+    // (with the stopword quality score carried as a signal), then
+    // exact-dedup survivor selection. Every per-document signal comes out
+    // of ONE narrow map over the pruned (doc_id, text) scan — the gates
+    // are free riders on the scan — and the only shuffle is the dedup
+    // groupBy, whose partial min_by carries one candidate per fingerprint
+    // per mapper. At 100 TB: scan-bound, one fingerprint-keyed exchange.
+    "q_corpus_filter" -> ((s, d) => {
+      val scores = markers.map { case (l, ws) => l -> markerScore(ws) }
+      val best = greatest(scores.map(_._2): _*)
+      val predOrdered = scores.foldRight(lit("und")) { case ((l, sc), rest) =>
+        when(sc === best, lit(l)).otherwise(rest)
+      }
+      val n = size(toks)
+      val stopRatio =
+        markerScore(Seq("the", "a", "of", "and", "in")).cast("double") / n
+      val sh = call_function("graft_shingles", col("text"))
+      val dupFrac = when(size(sh) > 0,
+        graft.Q.r4(lit(1.0) -
+          size(array_distinct(sh)).cast("double") / size(sh)))
+        .otherwise(lit(0.0))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+                n.cast("long").as("n_tokens"),
+                graft.Q.r4(stopRatio).as("stop_ratio"),
+                predOrdered.as("lang_pred"),
+                dupFrac.as("dup_frac"))
+        .filter(col("lang_pred") === "en" && col("n_tokens") >= 5 &&
+                col("dup_frac") < 0.5)
+        .groupBy(md5(col("text")).as("fp"))
+        .agg(min_by(struct(col("doc_id"), col("n_tokens"),
+                           col("stop_ratio"), col("dup_frac")),
+                    col("doc_id")).as("m"))
+        .select(col("m.doc_id").as("doc_id"), col("m.n_tokens").as("n_tokens"),
+                col("m.stop_ratio").as("stop_ratio"),
+                col("m.dup_frac").as("dup_frac"))
+        .orderBy("doc_id")
+    }),
+
     // Multimodal plumbing demo on a real oracle-checkable path: treat text
     // as an opaque binary payload (the image/audio column pattern), compute
     // byte-level features. Real media decode lives in
@@ -309,6 +349,34 @@ object TextAnalysis {
                       CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
                FROM documents)
          ORDER BY doc_id""",
+    "q_corpus_filter" -> {
+      val nSql = "CAST(len(string_split(text,' ')) AS BIGINT)"
+      val stopSql =
+        s"CAST(${markerSql(Seq("the", "a", "of", "and", "in"))} AS DOUBLE) / len(string_split(text,' '))"
+      val dupSql = graft.Q.r4Sql(
+        "1.0 - CAST(len(list_distinct(shs)) AS DOUBLE) / len(shs)")
+      s"""WITH base AS (SELECT doc_id, text, ${langScoreSql.mkString(", ")},
+                               $nSql AS n_tokens,
+                               ${graft.Q.r4Sql(stopSql)} AS stop_ratio
+                        FROM documents),
+            tok AS (SELECT doc_id, ${Dedup.thSql} AS th FROM documents),
+            hs AS (SELECT doc_id, ${Dedup.shingleHashSql} AS shs FROM tok),
+            rep AS (SELECT doc_id,
+                           CASE WHEN len(shs) > 0 THEN $dupSql
+                                ELSE 0.0 END AS dup_frac
+                    FROM hs),
+            scored AS (SELECT b.doc_id, b.text, b.n_tokens, b.stop_ratio,
+                              $langCaseSql AS lang_pred, r.dup_frac
+                       FROM base b JOIN rep r ON b.doc_id = r.doc_id),
+            kept AS (SELECT * FROM scored
+                     WHERE lang_pred = 'en' AND n_tokens >= 5
+                       AND dup_frac < 0.5)
+          SELECT doc_id, n_tokens, stop_ratio, dup_frac
+          FROM (SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                             ORDER BY doc_id) AS rn
+                FROM kept)
+          WHERE rn = 1 ORDER BY doc_id"""
+    },
     "q_repetition" ->
       s"""WITH tok AS (SELECT doc_id, ${Dedup.thSql} AS th FROM documents),
             hs AS (SELECT doc_id, ${Dedup.shingleHashSql} AS shs FROM tok)
