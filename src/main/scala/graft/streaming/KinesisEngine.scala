@@ -1513,29 +1513,11 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
   private val DropStream = """(?is)^DROP\s+STREAM\s+([A-Za-z_]\w*)\s*$""".r
   private val InsertStream =
     """(?is)^INSERT\s+INTO\s+([A-Za-z_]\w*)\s*(?:\(([^)]*)\)\s*)?VALUES\s+(.*)$""".r
-  // literal tokens inside one VALUES row
-  private val ValTok =
-    """(?i)'((?:[^']|'')*)'|(-?\d+(?:\.\d+)?)|(NULL)|(TRUE|FALSE)""".r
-
-  /** Split a VALUES tail into its top-level parenthesized row groups,
-    * quote-aware (parens inside string literals don't count). */
-  private def valueRows(tail: String): Seq[String] = {
-    val out = Seq.newBuilder[String]
-    var depth = 0; var inQ = false; var start = -1
-    var i = 0
-    while (i < tail.length) {
-      val c = tail.charAt(i)
-      if (inQ) { if (c == '\'') inQ = false }
-      else c match {
-        case '\'' => inQ = true
-        case '(' => if (depth == 0) start = i + 1; depth += 1
-        case ')' => depth -= 1; if (depth == 0) { out += tail.substring(start, i) }
-        case _ =>
-      }
-      i += 1
-    }
-    out.result()
-  }
+  // ValTok / valueRows live on the companion (pure text parsing,
+  // property-tested without a session).
+  private def ValTok = KinesisEngine.ValTok
+  private def valueRows(tail: String): Seq[String] =
+    KinesisEngine.valueRows(tail)
 
   // the consumer-removal idiom the reference documents: a DELETE on its
   // consumers catalog table, keyed by the unique triple
@@ -2145,4 +2127,28 @@ object KinesisEngine {
     * on either side of one never merge). */
   private[graft] def codeOutsideLiterals(q: String): String =
     sqlSegments(q).map { case (s, lit) => if (lit) " " else s }.mkString
+
+  // literal tokens inside one VALUES row
+  private[graft] val ValTok =
+    """(?i)'((?:[^']|'')*)'|(-?\d+(?:\.\d+)?)|(NULL)|(TRUE|FALSE)""".r
+
+  /** Split a VALUES tail into its top-level parenthesized row groups,
+    * quote-aware (parens inside string literals don't count). */
+  private[graft] def valueRows(tail: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0; var inQ = false; var start = -1
+    var i = 0
+    while (i < tail.length) {
+      val c = tail.charAt(i)
+      if (inQ) { if (c == '\'') inQ = false }
+      else c match {
+        case '\'' => inQ = true
+        case '(' => if (depth == 0) start = i + 1; depth += 1
+        case ')' => depth -= 1; if (depth == 0) { out += tail.substring(start, i) }
+        case _ =>
+      }
+      i += 1
+    }
+    out.result()
+  }
 }

@@ -161,6 +161,42 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("INSERT VALUES parsing round-trips arbitrary typed rows") {
+    import graft.streaming.KinesisEngine.{ValTok, valueRows}
+    // A value as the INSERT front-end sees it: SQL-encoded text plus the
+    // decoded form insertIntoStream reconstructs from the ValTok groups.
+    sealed trait V { def enc: String; def dec: Option[String] }
+    case class S(raw: String) extends V {
+      def enc = "'" + raw.replace("'", "''") + "'"
+      def dec = Some(raw)
+    }
+    case class N(s: String) extends V { def enc = s; def dec = Some(s) }
+    case object Null extends V { def enc = "NULL"; def dec = None }
+    case class B(b: Boolean) extends V {
+      def enc = if (b) "TRUE" else "FALSE"; def dec = Some(enc.toLowerCase)
+    }
+    val vGen: Gen[V] = Gen.oneOf(
+      Gen.listOf(Gen.oneOf("(", ")", ",", "'", "NULL", "a b", "--", "x1"))
+        .map(ts => S(ts.mkString)),     // strings from the hazard alphabet
+      Gen.oneOf(Gen.choose(-9999, 9999).map(n => N(n.toString)),
+                Gen.choose(-999, 999).map(n => N(s"$n.25"))),
+      Gen.const(Null),
+      Gen.oneOf(B(true), B(false)))
+    val rowsGen = Gen.nonEmptyListOf(Gen.nonEmptyListOf(vGen))
+    check("insert-values-roundtrip", Prop.forAll(rowsGen) { rows =>
+      val tail = rows.map(_.map(_.enc).mkString("(", ", ", ")")).mkString(", ")
+      val parsed = valueRows(tail).map { r =>
+        ValTok.findAllMatchIn(r).map { m =>
+          if (m.group(3) != null) None
+          else if (m.group(2) != null) Some(m.group(2))
+          else if (m.group(4) != null) Some(m.group(4).toLowerCase)
+          else Some(m.group(1).replace("''", "'"))
+        }.toSeq
+      }
+      parsed == rows.map(_.map(_.dec))
+    })
+  }
+
   test("consecutive offset ranges partition the log: each record planned exactly once") {
     // Model of planInputPartitions over successive latestOffset values:
     // slices [prev, next) must tile [0, total) with no gap or overlap.
