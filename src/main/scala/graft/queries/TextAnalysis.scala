@@ -222,16 +222,21 @@ object TextAnalysis {
       val n = size(toks)
       val stopRatio =
         markerScore(Seq("the", "a", "of", "and", "in")).cast("double") / n
-      val sh = call_function("graft_shingles", col("text"))
-      val dupFrac = when(size(sh) > 0,
+      // materialize shingles once (q_repetition's two-step form): the
+      // shingle scan is the dominant per-row cost, and CSE across the
+      // three uses inside a `when` is not guaranteed
+      val dupFrac = when(size(col("shs")) > 0,
         graft.Q.r4(lit(1.0) -
-          size(array_distinct(sh)).cast("double") / size(sh)))
+          size(array_distinct(col("shs"))).cast("double") / size(col("shs"))))
         .otherwise(lit(0.0))
       Tables.documents(s, d)
         .select(col("doc_id"), col("text"),
                 n.cast("long").as("n_tokens"),
                 graft.Q.r4(stopRatio).as("stop_ratio"),
                 predOrdered.as("lang_pred"),
+                call_function("graft_shingles", col("text")).as("shs"))
+        .select(col("doc_id"), col("text"), col("n_tokens"),
+                col("stop_ratio"), col("lang_pred"),
                 dupFrac.as("dup_frac"))
         .filter(col("lang_pred") === "en" && col("n_tokens") >= 5 &&
                 col("dup_frac") < 0.5)

@@ -619,21 +619,9 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
     * and restored, never clobbered (same contract as the `sql()` query
     * path below; `spark.sql` analyzes eagerly, so the returned frame keeps
     * its resolved plan after the rollback). */
-  /** PipelineDB parity for CV DDL: `count(DISTINCT x)` in a continuous
-    * view is HLL-approximate BY DESIGN in PipelineDB (fixed-size per-group
-    * state), and Spark streaming rejects exact distinct aggregation
-    * outright — so the front-end applies the same HLL substitution,
-    * rewriting to `approx_count_distinct`. Balanced-paren scan, so nested
-    * calls (`count(DISTINCT upper(u))`) rewrite correctly; a multi-column
-    * distinct is wrapped in a struct (one hashed value, same semantics).
-    * Batch SQL over view/stream tables is untouched — exact distinct
-    * stays exact there. */
-  private[graft] def rewriteCountDistinct(sql: String): String =
-    KinesisEngine.rewriteCountDistinct(sql)
-
   private def sqlAgg(relation: String, sql: String,
                      strict: Boolean = false): DataFrame => DataFrame = {
-    val streamSql = rewriteCountDistinct(sql)
+    val streamSql = KinesisEngine.rewriteCountDistinct(sql)
     // SQL has no withWatermark syntax, but append-mode sessionization
     // requires one: when the SELECT calls session_window(col, gap),
     // watermark the stream on that column with the gap as the delay —
@@ -1513,12 +1501,6 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
   private val DropStream = """(?is)^DROP\s+STREAM\s+([A-Za-z_]\w*)\s*$""".r
   private val InsertStream =
     """(?is)^INSERT\s+INTO\s+([A-Za-z_]\w*)\s*(?:\(([^)]*)\)\s*)?VALUES\s+(.*)$""".r
-  // ValTok / valueRows live on the companion (pure text parsing,
-  // property-tested without a session).
-  private def ValTok = KinesisEngine.ValTok
-  private def valueRows(tail: String): Seq[String] =
-    KinesisEngine.valueRows(tail)
-
   // the consumer-removal idiom the reference documents: a DELETE on its
   // consumers catalog table, keyed by the unique triple
   private val DeleteConsumer =
@@ -1630,10 +1612,10 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
     val idx = cols.map(n => schema.fieldNames.indexOf(n))
     require(idx.forall(_ >= 0),
       s"unknown column among (${cols.mkString(", ")}) for stream '$relation'")
-    val rows = valueRows(valuesTail)
+    val rows = KinesisEngine.valueRows(valuesTail)
     require(rows.nonEmpty, "INSERT: no VALUES rows")
     val recs = rows.map { r =>
-      val toks = ValTok.findAllMatchIn(r).map { m =>
+      val toks = KinesisEngine.ValTok.findAllMatchIn(r).map { m =>
         if (m.group(3) != null) (null: String, "null")
         else if (m.group(2) != null) (m.group(2), m.group(2))
         else if (m.group(4) != null)
@@ -1809,7 +1791,7 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
         // All catalog-name rewrites and mention checks apply OUTSIDE
         // single-quoted literals only — a query comparing a column to the
         // string 'pipeline_kinesis.seqnums' must not have its data edited.
-        var q = mapOutsideLiterals(query)(_.replaceAll(
+        var q = KinesisEngine.mapOutsideLiterals(query)(_.replaceAll(
           "(?i)pipeline_kinesis\\.seqnums", "graft_seqnums"))
         // temp views registered for THIS statement shadow, never destroy:
         // a same-named user temp view is captured first and re-registered
@@ -1827,7 +1809,7 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
           }
         }
         if (q != query) register("graft_seqnums")(seqnums)
-        val q1 = mapOutsideLiterals(q)(_.replaceAll(
+        val q1 = KinesisEngine.mapOutsideLiterals(q)(_.replaceAll(
           "(?i)pipeline_kinesis\\.consumers", "graft_consumers"))
         if (q1 != q) {
           import spark.implicits._
@@ -1838,7 +1820,7 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
                 "delimiter", "batchsize", "parallelism"))
           q = q1
         }
-        val q2 = mapOutsideLiterals(q)(_.replaceAll(
+        val q2 = KinesisEngine.mapOutsideLiterals(q)(_.replaceAll(
           "(?i)pipeline_kinesis\\.endpoints", "graft_endpoints"))
         if (q2 != q) {
           import spark.implicits._
@@ -1850,7 +1832,7 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
         // catalog of continuous views (PipelineDB's pipeline_views();
         // pipeline_kinesis--0.9.0.sql catalog tables follow the same
         // qualified-name convention)
-        val q3 = mapOutsideLiterals(q)(_.replaceAll(
+        val q3 = KinesisEngine.mapOutsideLiterals(q)(_.replaceAll(
           "(?i)pipeline_kinesis\\.views", "graft_views"))
         if (q3 != q) {
           import spark.implicits._
@@ -1861,7 +1843,7 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
           q = q3
         }
         val (vs, sts) = synchronized((views.keys.toSeq, streams.keys.toSeq))
-        val code = codeOutsideLiterals(q)
+        val code = KinesisEngine.codeOutsideLiterals(q)
         def mentions(name: String): Boolean =
           code.matches("(?is).*\\b" + java.util.regex.Pattern.quote(name) + "\\b.*")
         vs.foreach { v =>
@@ -1886,14 +1868,6 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
         }
     }
   }
-
-  // sqlSegments / mapOutsideLiterals / codeOutsideLiterals live on the
-  // companion: pure text functions, property-tested without a session.
-  private def mapOutsideLiterals(q: String)(f: String => String): String =
-    KinesisEngine.mapOutsideLiterals(q)(f)
-
-  private def codeOutsideLiterals(q: String): String =
-    KinesisEngine.codeOutsideLiterals(q)
 
   // --- observability (seqnums view, README.md:119-126) --------------------
 
@@ -2006,6 +1980,15 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
   * companion and are property-testable without a SparkSession
   * (PropertySpec). */
 object KinesisEngine {
+  /** PipelineDB parity for CV DDL: `count(DISTINCT x)` in a continuous
+    * view is HLL-approximate BY DESIGN in PipelineDB (fixed-size per-group
+    * state), and Spark streaming rejects exact distinct aggregation
+    * outright — so the front-end applies the same HLL substitution,
+    * rewriting to `approx_count_distinct`. Balanced-paren scan, so nested
+    * calls (`count(DISTINCT upper(u))`) rewrite correctly; a multi-column
+    * distinct is wrapped in a struct (one hashed value, same semantics).
+    * Batch SQL over view/stream tables is untouched — exact distinct
+    * stays exact there. */
   private[graft] def rewriteCountDistinct(sql: String): String = {
     val pat = "(?i)count\\s*\\(\\s*distinct\\b".r
     // Every scan here is QUOTE-AWARE for all three SQL quote kinds —

@@ -141,40 +141,39 @@ class SqlFrontendSpec extends SparkSpec {
   }
 
   test("rewriteCountDistinct handles nesting, multi-column, and case") {
-    val eng = new KinesisEngine(spark, tmpDir("rcd-meta"))
-    assert(eng.rewriteCountDistinct("SELECT COUNT ( DISTINCT upper(u) ) FROM t")
+    assert(KinesisEngine.rewriteCountDistinct("SELECT COUNT ( DISTINCT upper(u) ) FROM t")
       === "SELECT approx_count_distinct(upper(u)) FROM t")
-    assert(eng.rewriteCountDistinct("SELECT count(DISTINCT a, b) FROM t")
+    assert(KinesisEngine.rewriteCountDistinct("SELECT count(DISTINCT a, b) FROM t")
       === "SELECT approx_count_distinct(struct(a, b)) FROM t")
-    assert(eng.rewriteCountDistinct(
+    assert(KinesisEngine.rewriteCountDistinct(
         "SELECT k, count(*) AS n, count(distinct u) AS d FROM t GROUP BY k")
       === "SELECT k, count(*) AS n, approx_count_distinct(u) AS d FROM t GROUP BY k")
     // plain count(*) and column names containing "distinct" are untouched
-    assert(eng.rewriteCountDistinct("SELECT count(*), sum(distinct_total) FROM t")
+    assert(KinesisEngine.rewriteCountDistinct("SELECT count(*), sum(distinct_total) FROM t")
       === "SELECT count(*), sum(distinct_total) FROM t")
     // parens/commas INSIDE string literals must not perturb the depth or
     // argument scan — including SQL's '' escape
-    assert(eng.rewriteCountDistinct("SELECT count(DISTINCT concat(u, '(')) FROM t")
+    assert(KinesisEngine.rewriteCountDistinct("SELECT count(DISTINCT concat(u, '(')) FROM t")
       === "SELECT approx_count_distinct(concat(u, '(')) FROM t")
-    assert(eng.rewriteCountDistinct("SELECT count(DISTINCT concat(u, '),')) FROM t")
+    assert(KinesisEngine.rewriteCountDistinct("SELECT count(DISTINCT concat(u, '),')) FROM t")
       === "SELECT approx_count_distinct(concat(u, '),')) FROM t")
-    assert(eng.rewriteCountDistinct(
+    assert(KinesisEngine.rewriteCountDistinct(
         "SELECT count(DISTINCT concat(u, 'it''s (odd,')) FROM t")
       === "SELECT approx_count_distinct(concat(u, 'it''s (odd,')) FROM t")
     // Spark's default double-quoted string literals and backtick-quoted
     // identifiers get the same treatment as '…'
-    assert(eng.rewriteCountDistinct(
+    assert(KinesisEngine.rewriteCountDistinct(
         "SELECT count(DISTINCT concat(u, \"(\")) FROM t")
       === "SELECT approx_count_distinct(concat(u, \"(\")) FROM t")
-    assert(eng.rewriteCountDistinct(
+    assert(KinesisEngine.rewriteCountDistinct(
         "SELECT count(DISTINCT `weird(col,`) FROM t")
       === "SELECT approx_count_distinct(`weird(col,`) FROM t")
     // a literal whose CONTENT spells count(distinct …) is content, not
     // syntax — the match site itself must be quote-aware
-    assert(eng.rewriteCountDistinct(
+    assert(KinesisEngine.rewriteCountDistinct(
         "SELECT count(*) AS n, 'count(distinct u)' AS note FROM t")
       === "SELECT count(*) AS n, 'count(distinct u)' AS note FROM t")
-    assert(eng.rewriteCountDistinct(
+    assert(KinesisEngine.rewriteCountDistinct(
         "SELECT 'count(distinct a)' AS doc, count(DISTINCT b) AS d FROM t")
       === "SELECT 'count(distinct a)' AS doc, approx_count_distinct(b) AS d FROM t")
   }
