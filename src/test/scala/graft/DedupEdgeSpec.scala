@@ -68,6 +68,32 @@ class DedupEdgeSpec extends SparkSpec {
       "one keeper per component (min doc_id); singletons are absent")
   }
 
+  test("q_dedup_lines drops >2-doc segments, keeps order, counts docs not rows") {
+    import spark.implicits._
+    val d = tmpDir("dedup-lines")
+    val B = "b1 b2 b3 b4 b5 b6 b7 b8"  // in 3 docs → boilerplate, dropped
+    val S = "s1 s2 s3 s4 s5 s6 s7 s8"  // in 2 docs → at the threshold, kept
+    val U = "u1 u2 u3 u4 u5 u6 u7 u8"
+    val X = "x1 x2 x3 x4 x5 x6 x7 x8"
+    val R = "r1 r2 r3 r4 r5 r6 r7 r8"
+    Seq(
+      (1L, s"$B $S $U"),     // reassembly must keep S before U
+      (2L, s"$S $B"),
+      (3L, B),               // every segment dropped → empty text_clean
+      (4L, s"$X t1 t2 t3"),  // short tail is its own (unique) segment
+      (5L, s"$R $R")         // twice in ONE doc: ndocs=1, both kept
+    ).toDF("doc_id", "text").coalesce(1)
+      .write.parquet(s"$d/documents.parquet")
+    val rows = Dedup.queries("q_dedup_lines")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(rows === Seq(
+      (1L, 3L, 2L, s"$S $U"),
+      (2L, 2L, 1L, S),
+      (3L, 1L, 0L, ""),
+      (4L, 2L, 2L, s"$X t1 t2 t3"),
+      (5L, 2L, 2L, s"$R $R")))
+  }
+
   test("graft_shingles of NULL text is an empty array, not null") {
     import spark.implicits._
     // parity with the when/otherwise + transform chain it replaced: a
