@@ -81,7 +81,8 @@ class DedupEdgeSpec extends SparkSpec {
       (2L, s"$S $B"),
       (3L, B),               // every segment dropped → empty text_clean
       (4L, s"$X t1 t2 t3"),  // short tail is its own (unique) segment
-      (5L, s"$R $R")         // twice in ONE doc: ndocs=1, both kept
+      (5L, s"$R $R $R")      // 3 occurrences in ONE doc: ndocs=1, all kept
+                             // (row-counting would see 3 > 2 and drop R)
     ).toDF("doc_id", "text").coalesce(1)
       .write.parquet(s"$d/documents.parquet")
     val rows = Dedup.queries("q_dedup_lines")(spark, d).collect()
@@ -91,7 +92,7 @@ class DedupEdgeSpec extends SparkSpec {
       (2L, 2L, 1L, S),
       (3L, 1L, 0L, ""),
       (4L, 2L, 2L, s"$X t1 t2 t3"),
-      (5L, 2L, 2L, s"$R $R")))
+      (5L, 3L, 3L, s"$R $R $R")))
   }
 
   test("graft_shingles of NULL text is an empty array, not null") {
