@@ -2000,11 +2000,15 @@ object KinesisEngine {
     // text "count(distinct …" must not itself be rewritten.
     def isQuote(c: Char) = c == '\'' || c == '"' || c == '`'
     // One step of the quote state machine: (in-quote char or NUL for none,
-    // position) → (new state, next position). Skips doubled quotes.
+    // position) → (new state, next position). Skips doubled quotes, and —
+    // inside '…'/"…" string literals only — backslash escapes, matching
+    // sqlSegments' model of Spark's default lexer (backtick identifiers
+    // know only the doubled-quote escape).
     def step(s: String, i: Int, q: Char): (Char, Int) = {
       val c = s(i)
       if (q != '\u0000') {
-        if (c != q) (q, i + 1)
+        if (c == '\\' && q != '`' && i + 1 < s.length) (q, i + 2)
+        else if (c != q) (q, i + 1)
         else if (i + 1 < s.length && s(i + 1) == q) (q, i + 2)
         else ('\u0000', i + 1)
       } else if (isQuote(c)) (c, i + 1)

@@ -104,9 +104,15 @@ class PropertySpec extends AnyFunSuite {
     // "count(distinct x)" itself.
     val litGen: Gen[String] = for {
       q <- Gen.oneOf('\'', '"', '`')
+      // backslash escapes are lexer syntax only inside '…'/"…" (Spark's
+      // default mode); in backticks a backslash is plain content — but a
+      // trailing \` would end the literal, so there only the bare char.
+      escTok = if (q == '`') Gen.const("\\")
+               else Gen.oneOf(s"\\$q", "\\\\", "\\z")
       toks <- Gen.listOf(Gen.oneOf(
         Gen.oneOf("(", ")", ",", "((", "),", "count(distinct x)", "a b",
                   s"$q$q"), // doubled own-quote = escaped content
+        escTok,
         Gen.oneOf("'", "\"", "`").suchThat(_ != q.toString),
         Gen.alphaNumStr.map(_.take(6))))
     } yield q + toks.mkString + q

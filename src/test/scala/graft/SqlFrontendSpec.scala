@@ -176,6 +176,18 @@ class SqlFrontendSpec extends SparkSpec {
     assert(KinesisEngine.rewriteCountDistinct(
         "SELECT 'count(distinct a)' AS doc, count(DISTINCT b) AS d FROM t")
       === "SELECT 'count(distinct a)' AS doc, approx_count_distinct(b) AS d FROM t")
+    // backslash escapes inside '…'/"…" (Spark's default lexer) — a \'
+    // must not leave the scanner stuck in-quote; in backticks a backslash
+    // is plain content
+    assert(KinesisEngine.rewriteCountDistinct(
+        "SELECT count(DISTINCT replace(u, '\\'', '')) FROM t")
+      === "SELECT approx_count_distinct(replace(u, '\\'', '')) FROM t")
+    assert(KinesisEngine.rewriteCountDistinct(
+        "SELECT count(DISTINCT concat(u, \"\\\"),\")) FROM t")
+      === "SELECT approx_count_distinct(concat(u, \"\\\"),\")) FROM t")
+    assert(KinesisEngine.rewriteCountDistinct(
+        "SELECT count(DISTINCT `a\\b`) FROM t")
+      === "SELECT approx_count_distinct(`a\\b`) FROM t")
   }
 
   test("session_window CV with a non-bare time column fails at CREATE, not at start") {
