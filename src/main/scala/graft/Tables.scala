@@ -13,16 +13,24 @@ object Tables {
     // safety net: queries using graft_md5h/graft_cosine must resolve even
     // in sessions built without the GraftExtensions config
     org.apache.spark.sql.GraftRegistrar.register(spark)
-    // events.ts is TIMESTAMP(NANOS) in parquet, which Spark 4 refuses to
-    // read natively; read nanos as long and truncate to µs (exactly what
-    // DuckDB's reader does), keeping both engines' view identical.
+    // The driver has shipped events.ts under two physical encodings across
+    // rounds: TIMESTAMP(NANOS) — which Spark 4 refuses to read natively, so
+    // we read nanos-as-long and truncate to µs (exactly what DuckDB's reader
+    // does) — and plain timestamp[us], which Spark infers as TIMESTAMP_NTZ.
+    // Branch on the LOADED schema rather than assuming either encoding, and
+    // normalise both to session-TZ TIMESTAMP (sessions run UTC) so every
+    // downstream query and the DuckDB oracle see identical wall-clock values.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    if (name == "events") {
+      import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+      df.schema("ts").dataType match {
+        case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+        case _                => df
+      }
+    } else df
   }
 
   val ALL = Seq("region", "nation", "customer", "supplier", "part", "orders",

@@ -1991,19 +1991,21 @@ object KinesisEngine {
     * stays exact there. */
   private[graft] def rewriteCountDistinct(sql: String): String = {
     val pat = "(?i)count\\s*\\(\\s*distinct\\b".r
-    // Every scan here is QUOTE-AWARE for all three SQL quote kinds —
-    // '…' string literals, "…" literals (Spark's default double-quote
-    // strings), and `…` quoted identifiers; a doubled quote inside each
-    // is the escaped form, consumed as content. That covers both
-    // directions of the hazard: quoted '(' / ')' / ',' must not perturb
-    // depth tracking or argument splitting, and a literal CONTAINING the
-    // text "count(distinct …" must not itself be rewritten.
+    // Every scan here is QUOTE- and COMMENT-AWARE, matching sqlSegments'
+    // model of Spark's lexer: the three quote kinds — '…' string literals,
+    // "…" literals (Spark's default double-quote strings), and `…` quoted
+    // identifiers, each with doubled-quote escapes and (for the string
+    // kinds) backslash escapes — plus `--` line comments and non-nested
+    // `/* */` block comments. That covers both directions of the hazard:
+    // a '(' / ')' / ',' / quote inside a literal or comment must not
+    // perturb depth tracking, argument splitting, or quote state, and a
+    // literal or comment CONTAINING the text "count(distinct …" must not
+    // itself be rewritten.
     def isQuote(c: Char) = c == '\'' || c == '"' || c == '`'
-    // One step of the quote state machine: (in-quote char or NUL for none,
-    // position) → (new state, next position). Skips doubled quotes, and —
-    // inside '…'/"…" string literals only — backslash escapes, matching
-    // sqlSegments' model of Spark's default lexer (backtick identifiers
-    // know only the doubled-quote escape).
+    // One step of the scanner state machine: (in-quote char or NUL for
+    // none, position) → (new state, next position). Outside quotes a
+    // comment opener is consumed atomically — positions inside comments
+    // are never visited, so callers' per-char checks see code only.
     def step(s: String, i: Int, q: Char): (Char, Int) = {
       val c = s(i)
       if (q != '\u0000') {
@@ -2011,6 +2013,12 @@ object KinesisEngine {
         else if (c != q) (q, i + 1)
         else if (i + 1 < s.length && s(i + 1) == q) (q, i + 2)
         else ('\u0000', i + 1)
+      } else if (c == '-' && i + 1 < s.length && s(i + 1) == '-') {
+        val nl = s.indexOf('\n', i + 2)
+        ('\u0000', if (nl < 0) s.length else nl)
+      } else if (c == '/' && i + 1 < s.length && s(i + 1) == '*') {
+        val end = s.indexOf("*/", i + 2)
+        ('\u0000', if (end < 0) s.length else end + 2)
       } else if (isQuote(c)) (c, i + 1)
       else (q, i + 1)
     }

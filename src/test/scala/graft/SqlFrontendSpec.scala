@@ -188,6 +188,29 @@ class SqlFrontendSpec extends SparkSpec {
     assert(KinesisEngine.rewriteCountDistinct(
         "SELECT count(DISTINCT `a\\b`) FROM t")
       === "SELECT approx_count_distinct(`a\\b`) FROM t")
+    // -- line comments and /* */ block comments are skipped like
+    // sqlSegments does: unbalanced parens/quotes inside them must not
+    // throw or perturb the scan, and commented-out count(distinct …)
+    // must not be rewritten
+    assert(KinesisEngine.rewriteCountDistinct(
+        "SELECT count(DISTINCT a) FROM t -- count(distinct b")
+      === "SELECT approx_count_distinct(a) FROM t -- count(distinct b")
+    assert(KinesisEngine.rewriteCountDistinct(
+        "SELECT count(DISTINCT a) FROM t -- don't")
+      === "SELECT approx_count_distinct(a) FROM t -- don't")
+    assert(KinesisEngine.rewriteCountDistinct(
+        "SELECT count(DISTINCT a) /* ) '( */ FROM t")
+      === "SELECT approx_count_distinct(a) /* ) '( */ FROM t")
+    // a comment splicing the count( … DISTINCT keywords defeats the match
+    // pattern — the statement passes through untouched (exact distinct),
+    // never corrupted
+    assert(KinesisEngine.rewriteCountDistinct(
+        "SELECT count(/* n.b. ( */DISTINCT a) FROM t")
+      === "SELECT count(/* n.b. ( */DISTINCT a) FROM t")
+    // a comment BETWEEN lines with the rewrite on the next line
+    assert(KinesisEngine.rewriteCountDistinct(
+        "SELECT -- count(distinct x(\n count(DISTINCT a) FROM t")
+      === "SELECT -- count(distinct x(\n approx_count_distinct(a) FROM t")
   }
 
   test("session_window CV with a non-bare time column fails at CREATE, not at start") {
