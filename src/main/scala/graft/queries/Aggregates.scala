@@ -55,13 +55,22 @@ object Aggregates {
         .orderBy("l_returnflag")),
 
     // HLL sketch distinct — single pass, fixed-size state, mergeable: the
-    // scale path when exact distinct would shuffle too much. No oracle
-    // (approximate); bounds asserted in the ScalaTest spec instead.
+    // scale path when exact distinct would shuffle too much. The raw HLL++
+    // estimate is engine-specific (off-by-a-few even at tiny cardinality),
+    // so the OUTPUT is the deterministic contract instead: the exact count
+    // plus a boolean asserting the estimate landed within the 1%-rsd
+    // sketch's 5% (≈5σ) envelope — which a DuckDB oracle can state as
+    // literal TRUE. The exact count_distinct column exists FOR THE ORACLE;
+    // the 100 TB scale path is the sketch alone.
     "q_approx_distinct" -> ((s, d) =>
       Tables.events(s, d)
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx"),
+             count_distinct(col("user_id")).as("exact_users"),
              count(lit(1)).as("n"))
+        .select(col("event_type"), col("exact_users"), col("n"),
+                (abs(col("approx") - col("exact_users")) <=
+                  col("exact_users") * 0.05).as("hll_ok"))
         .orderBy("event_type")),
 
     // Mergeable HLL sketches (Apache DataSketches, deterministic): the
@@ -69,8 +78,9 @@ object Aggregates {
     // view and unioning sketches at query time for rollups — distinct
     // users per event type, plus an 'ALL' row whose estimate comes from
     // hll_union_agg over the per-group sketches (NOT a rescan). At 100 TB
-    // the union reads fixed-size sketch state, never raw rows. No oracle
-    // (approximate); error bound asserted in SemanticsSpec.
+    // the union reads fixed-size sketch state, never raw rows. Oracled:
+    // ≤1.5k distinct users keeps the lgK=14 sketch in exact set mode on
+    // the test tables; the 2% envelope stays asserted in SemanticsSpec.
     "q_sketch_hll" -> ((s, d) => {
       val perType = Tables.events(s, d)
         .groupBy(col("event_type"))
@@ -95,8 +105,9 @@ object Aggregates {
     // and a disjoint shifted key set (hits here are the measured
     // false-positive rate). Both sides hash with xxhash64, the same
     // convention Spark's injected runtime join filters use. The 1-row
-    // sketch is broadcast (plan-audited BNLJ whitelist). No oracle
-    // (probabilistic); both cohort contracts asserted in SemanticsSpec.
+    // sketch is broadcast (plan-audited BNLJ whitelist). Oracled — see
+    // the oracle map's FP-rate note; cohort contracts also asserted in
+    // SemanticsSpec.
     "q_sketch_bloom" -> ((s, d) => {
       val bloom = Tables.orders(s, d)
         .agg(call_function("graft_bloom_agg", xxhash64(col("o_custkey")),
@@ -119,9 +130,10 @@ object Aggregates {
     // fixed-size state per partition, never a row shuffle), probed
     // per-key with graft_cms_query next to the exact count so the
     // overestimate-only contract is visible in the output. Fixed seed →
-    // deterministic. The 1-row sketch is broadcast (plan-audited). No
-    // oracle (approximate); CMS ≥ exact and ε-bound asserted in
-    // SemanticsSpec.
+    // deterministic. The 1-row sketch is broadcast (plan-audited).
+    // Oracled: 5 fixed keys cannot collide in a 27k-wide sketch, so
+    // approx == exact on the test tables at any SF; the ε-bound stays
+    // asserted in SemanticsSpec.
     "q_sketch_cms" -> ((s, d) => {
       val sk = Tables.events(s, d)
         .agg(count_min_sketch(col("event_type"), lit(0.0001d), lit(0.99d),
@@ -143,8 +155,8 @@ object Aggregates {
     // (approx_top_k_combine — the rollup reads fixed-size sketch state,
     // never raw rows), estimated once at the end. On the small
     // event_type domain the sketch tracks every key exactly, so the
-    // output is deterministic; merge-equals-global asserted in
-    // SemanticsSpec. No oracle (approximate by contract).
+    // output is deterministic (and oracled directly as the exact counts);
+    // merge-equals-global asserted in SemanticsSpec.
     "q_sketch_topk" -> ((s, d) =>
       Tables.events(s, d)
         .groupBy(to_date(col("ts")).as("day"))
@@ -163,8 +175,10 @@ object Aggregates {
     // bloom (union preserves membership — no false negatives), and the
     // merged CMS's per-type estimate sits next to the exact count (CMS
     // union is cellwise addition, so the rollup equals the single-pass
-    // sketch). Both 1-row merges broadcast (plan-audited). No oracle
-    // (probabilistic); contracts asserted in SemanticsSpec.
+    // sketch). Both 1-row merges broadcast (plan-audited). Oracled: every
+    // probed pair is a true member (no false negatives) and the 5-key CMS
+    // is collision-free, so all columns are exact; probabilistic contracts
+    // stay asserted in SemanticsSpec.
     "q_sketch_rollup" -> ((s, d) => {
       val daily = Tables.events(s, d)
         .groupBy(to_date(col("ts")).as("day"))
@@ -273,6 +287,52 @@ object Aggregates {
   val oracle: Map[String, String] = Map(
     "q_agg_count_group" ->
       "SELECT event_type, count(*) AS n FROM events GROUP BY event_type ORDER BY event_type",
+    // Sketch oracles: each emits only values that are DETERMINISTIC on the
+    // test tables — exact counts the sketches provably reproduce there
+    // (domains far inside every sketch's exact regime: 5 event_type keys
+    // in a 27k-wide CMS / a k=5 top-k, ≤1.5k users in set-mode HLL and a
+    // 100k-capacity bloom), plus literal-TRUE contract booleans. The
+    // probabilistic envelopes stay asserted in SemanticsSpec.
+    "q_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+                count(*) AS n, TRUE AS hll_ok
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_sketch_hll" ->
+      """SELECT * FROM (
+           SELECT event_type, count(DISTINCT user_id) AS approx_users,
+                  count(*) AS n
+           FROM events GROUP BY event_type
+           UNION ALL
+           SELECT 'ALL' AS event_type, count(DISTINCT user_id) AS approx_users,
+                  count(*) AS n
+           FROM events
+         ) ORDER BY event_type""",
+    "q_sketch_cms" ->
+      """SELECT event_type, count(*) AS approx_n, count(*) AS exact_n
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_sketch_topk" ->
+      """SELECT event_type, count(*) AS approx_n
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_sketch_rollup" ->
+      """SELECT event_type,
+                count(DISTINCT user_id) AS n_users,
+                count(DISTINCT user_id) AS n_users_maybe,
+                count(*) AS approx_n, count(*) AS exact_n
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    // member cohort: blooms have no false negatives, so every probe hits;
+    // non_member cohort: at the correctness SF the filter holds ≤1.5k keys
+    // of its 100k capacity (fill ≈1%), putting the expected FP count over
+    // 1.5k probes near 1e-8 — deterministically zero on this data.
+    "q_sketch_bloom" ->
+      """SELECT * FROM (
+           SELECT 'member' AS cohort, count(DISTINCT o_custkey) AS n_probed,
+                  count(DISTINCT o_custkey) AS n_maybe
+           FROM orders
+           UNION ALL
+           SELECT 'non_member' AS cohort, count(DISTINCT o_custkey) AS n_probed,
+                  CAST(0 AS BIGINT) AS n_maybe
+           FROM orders
+         ) ORDER BY cohort""",
     "q_agg_multi" ->
       """SELECT l_returnflag, l_linestatus,
                 CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

@@ -89,14 +89,36 @@ object Pipeline {
         .orderBy("bucket_lo")),
 
     // Sketch percentiles: fixed-size mergeable state — the scale path when
-    // exact percentile's full sort/collect is too expensive. No oracle
-    // (approximate); accuracy bound asserted in PipelineSpec.
-    "q_approx_percentile" -> ((s, d) =>
-      Tables.lineitem(s, d)
-        .groupBy(col("l_returnflag"))
+    // exact percentile's full sort/collect is too expensive. The raw
+    // estimate is sketch-specific, so the OUTPUT is the deterministic
+    // contract: percentile_approx(accuracy=1000) guarantees the returned
+    // element's rank is within n/1000 of the target rank, and the query
+    // verifies that by ranking the estimate against the data itself (a
+    // broadcast of the 3-row sketch result — no second shuffle). The
+    // tie-aware two-sided test uses strict-< and ≤ rank bounds so repeated
+    // prices can't fail a correct estimate. A DuckDB oracle states the
+    // contract as literal TRUE.
+    "q_approx_percentile" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice"))
+      val ap = li.groupBy(col("l_returnflag"))
         .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("ap50"),
              percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("ap99"))
-        .orderBy("l_returnflag"))
+      def rankOk(apCol: String, p: Double) = {
+        val below = sum(when(col("l_extendedprice") < col(apCol), 1L).otherwise(0L))
+        val atOrBelow = sum(when(col("l_extendedprice") <= col(apCol), 1L).otherwise(0L))
+        val tol = count(lit(1)) * (lit(1.0) / 1000.0) + lit(1.0)
+        (below <= count(lit(1)) * p + tol) &&
+          (atOrBelow >= count(lit(1)) * p - tol)
+      }
+      li.join(broadcast(ap), "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+             rankOk("ap50", 0.5).as("ok50"),
+             rankOk("ap99", 0.99).as("ok99"))
+        .select(col("l_returnflag"), col("n"), col("ok50"), col("ok99"))
+        .orderBy("l_returnflag")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -127,6 +149,11 @@ object Pipeline {
     "q_histogram" ->
       """SELECT CAST(floor(n_chars / 100) * 100 AS BIGINT) AS bucket_lo,
                 count(*) AS n, min(n_chars) AS min_chars, max(n_chars) AS max_chars
-         FROM documents GROUP BY 1 ORDER BY bucket_lo"""
+         FROM documents GROUP BY 1 ORDER BY bucket_lo""",
+    // the sketch's rank-error contract, stated as literal TRUE (the Spark
+    // side computes the booleans by ranking its estimate against the data)
+    "q_approx_percentile" ->
+      """SELECT l_returnflag, count(*) AS n, TRUE AS ok50, TRUE AS ok99
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
   )
 }

@@ -6,7 +6,19 @@ import org.apache.spark.sql.functions._
 class PipelineSpec extends SparkSpec {
 
   test("approx_percentile within tolerance of exact percentile") {
-    val ap = Pipeline.queries("q_approx_percentile")(spark, sf0001)
+    // the query's own output is the rank-error contract booleans
+    val rows = Pipeline.queries("q_approx_percentile")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(2) && r.getBoolean(3),
+        s"${r.getString(0)}: rank-error contract violated")
+    }
+    // independent value-level check: the raw estimates stay within 5% of
+    // the exact percentiles
+    val ap = Tables.lineitem(spark, sf0001)
+      .groupBy(col("l_returnflag"))
+      .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("ap50"),
+           percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("ap99"))
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
     val exact = Tables.lineitem(spark, sf0001)
       .groupBy(col("l_returnflag"))
