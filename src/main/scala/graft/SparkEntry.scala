@@ -30,5 +30,5 @@ object SparkEntry {
     Relational.oracle ++ Joins.oracle ++ Aggregates.oracle ++
       TimeWindows.oracle ++ TextAnalysis.oracle ++ Dedup.oracle ++
       Similarity.oracle ++ Relational2.oracle ++ Relational3.oracle ++
-      Pipeline.oracle ++ Analytics.oracle
+      Pipeline.oracle ++ StreamingIngest.oracle ++ Analytics.oracle
 }

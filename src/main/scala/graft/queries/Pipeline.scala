@@ -88,6 +88,33 @@ object Pipeline {
              max(col("n_chars")).as("max_chars"))
         .orderBy("bucket_lo")),
 
+    // Context-window chunking: split each document into overlapping
+    // token-window chunks (window 64, stride 48 → 16-token overlap), the
+    // step that turns variable-length documents into model-context-sized
+    // training rows (the inverse direction of q_seq_pack, which packs
+    // SHORT docs into fixed bins). Pure per-row generate + projection —
+    // one scan, no shuffle beyond the oracle's output sort; at 100 TB
+    // the fan-out is bounded by tokens/stride per doc and AQE splits any
+    // long-doc partition skew. Chunk identity is (doc_id, chunk_idx =
+    // start/stride), so the output is deterministic and fully
+    // SQL-expressible for the oracle.
+    "q_chunk_docs" -> ((s, d) => {
+      val W = 64; val S = 48
+      Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("tk"),
+                size(toks).cast("long").as("n_tokens"))
+        .select(col("doc_id"), col("tk"), col("n_tokens"),
+                explode(expr(s"sequence(0L, n_tokens - 1, ${S}L)")).as("start_tok"))
+        .select(col("doc_id"),
+                (col("start_tok") / S).cast("long").as("chunk_idx"),
+                col("start_tok"),
+                least(lit(W.toLong), col("n_tokens") - col("start_tok"))
+                  .as("chunk_tokens"),
+                array_join(slice(col("tk"), (col("start_tok") + 1).cast("int"),
+                  lit(W)), " ").as("chunk_text"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // Sketch percentiles: fixed-size mergeable state — the scale path when
     // exact percentile's full sort/collect is too expensive. The raw
     // estimate is sketch-specific, so the OUTPUT is the deterministic
@@ -154,6 +181,23 @@ object Pipeline {
     // side computes the booleans by ranking its estimate against the data)
     "q_approx_percentile" ->
       """SELECT l_returnflag, count(*) AS n, TRUE AS ok50, TRUE AS ok99
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // DuckDB range(0, n, 48) = Spark sequence(0, n-1, 48); list_slice is
+    // 1-based inclusive on both ends, matching Spark's slice(arr, start, len)
+    "q_chunk_docs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk,
+                           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                    FROM documents),
+            c AS (SELECT doc_id, tk, n_tokens,
+                         unnest(range(0, n_tokens, 48)) AS start_tok
+                  FROM t)
+         SELECT doc_id,
+                CAST(start_tok // 48 AS BIGINT) AS chunk_idx,
+                start_tok,
+                least(64, n_tokens - start_tok) AS chunk_tokens,
+                array_to_string(list_slice(tk, CAST(start_tok + 1 AS INT),
+                                           CAST(start_tok + 64 AS INT)), ' ')
+                  AS chunk_text
+         FROM c ORDER BY doc_id, chunk_idx"""
   )
 }

@@ -96,4 +96,19 @@ object StreamingIngest {
       }
     })
   )
+
+  /** The end-to-end ingest RESULT is a known constant (payloads foo0…foo99,
+    * 20000/100 = 200 records each), so the oracle states it as a
+    * constants-only query: the driver's hash-compare then verifies the full
+    * seed → source → parse → continuous-view pipeline produced exactly the
+    * expected counts, not merely >0 rows. Pins the DEFAULT config — the
+    * GRAFT_INGEST_* env knobs are local-iteration-only and must not be set
+    * for a Verify run. */
+  val oracle: Map[String, String] = Map(
+    "q_stream_ingest" ->
+      """SELECT 'foo' || CAST(i AS VARCHAR) AS payload,
+                CAST(200 AS BIGINT) AS "count"
+         FROM (SELECT unnest(range(100)) AS i)
+         ORDER BY payload"""
+  )
 }

@@ -31,6 +31,34 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("q_chunk_docs covers every token with stride-48 windows") {
+    val chunks = Pipeline.queries("q_chunk_docs")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getString(4)))
+      .groupBy(_._1)
+    val nTokens = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chunks.keySet == nTokens.keySet, "every doc is chunked")
+    chunks.foreach { case (doc, cs) =>
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.head._3 == 0L, s"doc $doc: first chunk starts at 0")
+      sorted.sliding(2).foreach {
+        case Array((_, _, s1, _, _), (_, _, s2, _, _)) =>
+          assert(s2 - s1 == 48L, s"doc $doc: stride 48")
+        case _ =>
+      }
+      val (_, _, lastStart, lastLen, _) = sorted.last
+      assert(lastStart + lastLen == nTokens(doc),
+        s"doc $doc: final chunk reaches the last token")
+      sorted.foreach { case (_, _, start, len, text) =>
+        assert(len == math.min(64L, nTokens(doc) - start), s"doc $doc len")
+        assert(text.split(" ", -1).length == len, s"doc $doc text/len agree")
+      }
+    }
+  }
+
   test("hash sampling is deterministic and near the target rate") {
     val a = Pipeline.queries("q_sample_hash")(spark, sf0001).collect()
     val b = Pipeline.queries("q_sample_hash")(spark, sf0001).collect()
