@@ -99,6 +99,34 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // Corpus-LM quality score (the CCNet-style filter signal, approximated
+    // at the unigram level): per-document mean log-probability of its
+    // tokens under the corpus's own unigram distribution — low scores
+    // flag gibberish/rare-token documents, high scores flag boilerplate.
+    // Two aggregations (token counts, then per-doc mean) plus one join of
+    // the token stream against the unigram table; the join key is the
+    // token, so at 100 TB the unigram table is orders of magnitude
+    // smaller than the corpus and AQE broadcasts it when it fits (here it
+    // does). Cross-engine determinism: each token's logp is rounded to 4
+    // decimals FIRST (same ln → same double on both engines, as q_tfidf
+    // already relies on), then summed exactly as decimals, so the
+    // per-doc mean is order-independent.
+    "q_unigram_logprob" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks).as("token"))
+      val cnt = tok.groupBy("token").agg(count(lit(1)).as("tf"))
+      val tot = cnt.agg(sum(col("tf")).as("n_total"))
+      tok.join(cnt, "token")
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"),
+                round(log(col("tf").cast("double") / col("n_total")), 4).as("lp"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+             (sum(col("lp").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+               .cast("double") / count(lit(1))).as("avg_logp"))
+        .orderBy("doc_id")
+    }),
+
     // Language ID: argmax of per-language marker scores, ties broken by the
     // fixed language order (greatest + first-match CASE).
     "q_lang_id" -> ((s, d) => {
@@ -306,6 +334,18 @@ object TextAnalysis {
                 ${graft.Q.r4Sql(s"1.0 - 0.5 * ($stopSql) - 0.3 * ($shortSql)")} AS quality
          FROM documents ORDER BY doc_id"""
     },
+    // per-token logp rounded to 4 decimals before the exact decimal sum,
+    // mirroring the Spark side's order-independent mean
+    "q_unigram_logprob" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                      FROM documents),
+            cnt AS (SELECT token, count(*) AS tf FROM tok GROUP BY token),
+            tot AS (SELECT sum(tf) AS n_total FROM cnt)
+         SELECT doc_id, count(*) AS n_tokens,
+                CAST(sum(CAST(round(ln(CAST(tf AS DOUBLE) / n_total), 4)
+                              AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_logp
+         FROM tok JOIN cnt USING (token) CROSS JOIN tot
+         GROUP BY doc_id ORDER BY doc_id""",
     "q_lang_id" ->
       s"""SELECT doc_id, ${markers.map { case (l, _) => s"s_$l" }.mkString(", ")}, $langCaseSql AS lang_pred
          FROM (SELECT doc_id, ${langScoreSql.mkString(", ")} FROM documents)

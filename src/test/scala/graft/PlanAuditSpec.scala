@@ -21,7 +21,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_histogram",       // 2-row min/max bounds broadcast
     "q_sketch_bloom",    // 1-row bloom-filter sketch broadcast
     "q_sketch_cms",      // 1-row count-min sketch broadcast
-    "q_sketch_rollup")   // 1-row merged-sketch broadcast
+    "q_sketch_rollup",   // 1-row merged-sketch broadcast
+    "q_unigram_logprob") // 1-row corpus token-total broadcast
 
   test("no cartesian products; nested-loop joins only on broadcast dims") {
     SparkEntry.queries.keys.toSeq.sorted

@@ -89,6 +89,32 @@ class SemanticsSpec extends SparkSpec {
     assert(out("stale") === None, "90-minute-old state is cut off")
   }
 
+  test("q_unigram_logprob matches a driver-side recomputation for one document") {
+    val rows = graft.queries.TextAnalysis.queries("q_unigram_logprob")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // independent recomputation: corpus unigram counts → per-token logp
+    // rounded to 4 decimals → exact mean, for an arbitrary fixed doc
+    val counts = docs.values.toSeq.flatMap(_.split(" ", -1))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nTotal = counts.values.sum.toDouble
+    val docId = docs.keys.min
+    val toks = docs(docId).split(" ", -1)
+    val expected = toks.map { t =>
+      BigDecimal(math.log(counts(t) / nTotal)).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    }.sum.toDouble / toks.length
+    val (nTokens, avgLogp) = rows(docId)
+    assert(nTokens == toks.length.toLong, s"doc $docId token count")
+    assert(math.abs(avgLogp - expected) < 1e-9,
+      s"doc $docId: got $avgLogp expected $expected")
+    // global sanity: every score is a negative finite logprob
+    rows.values.foreach { case (_, lp) =>
+      assert(lp < 0.0 && !lp.isNaN && !lp.isInfinite)
+    }
+  }
+
   test("approx_count_distinct stays within its 1% rsd bound at sf0.001") {
     val e = Tables.events(spark, sf0001)
     val exact = e.select(countDistinct(col("user_id"))).head().getLong(0)
