@@ -83,7 +83,8 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
   case class Endpoint(name: String, region: String, credfile: String, url: String)
   case class Consumer(id: Int, endpoint: String, stream: String, relation: String,
                       format: String, delimiter: String, quote: String, escape: String,
-                      batchsize: Long, parallelism: Int, startSeq: Long)
+                      batchsize: Long, parallelism: Int, startSeq: Long,
+                      pollMs: Long = 0L)
 
   private case class View(relation: String, agg: DataFrame => DataFrame,
                           materialize: String, sql: Option[String],
@@ -144,7 +145,8 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
     save("consumers.tsv", consumers.values.map(c =>
       Seq(c.id.toString, esc(c.endpoint), esc(c.stream), esc(c.relation),
           esc(c.format), esc(c.delimiter), esc(c.quote), esc(c.escape),
-          c.batchsize.toString, c.parallelism.toString, c.startSeq.toString)
+          c.batchsize.toString, c.parallelism.toString, c.startSeq.toString,
+          c.pollMs.toString)
         .mkString("\t")))
     save("streams.tsv", streams.map { case (rel, schema) =>
       Seq(esc(rel), esc(schema.json)).mkString("\t")
@@ -174,9 +176,13 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
       endpoints(name) = Endpoint(name, unesc(f(1)), unesc(f(2)), unesc(f(3)))
     }
     rows("consumers.tsv").foreach { f =>
+      // pollMs is a trailing OPTIONAL column: v1 rows written before the
+      // knob existed lack it (default 0 = unpaced), and older engines
+      // reading a newer catalog simply ignore it — no version bump needed
       val c = Consumer(f(0).toInt, unesc(f(1)), unesc(f(2)), unesc(f(3)),
         unesc(f(4)), unesc(f(5)), unesc(f(6)), unesc(f(7)), f(8).toLong,
-        f(9).toInt, f(10).toLong)
+        f(9).toInt, f(10).toLong,
+        pollMs = if (f.length > 11) f(11).toLong else 0L)
       consumers((c.endpoint, c.stream, c.relation)) = c
       nextId = math.max(nextId, c.id + 1)
     }
@@ -1139,14 +1145,28 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
   }
 
   /** consume_begin_sr analog (pipeline_kinesis.c:857-948): upsert consumer,
-    * launch one StreamingQuery per continuous view over the relation. */
+    * launch one StreamingQuery per continuous view over the relation.
+    *
+    * `pollMs` is the rate-pacing knob, the analog of the reference's
+    * fixed 4 req/s GetRecords pacing (sleep `0.25 − delta` between
+    * requests, kinesis_consumer.cpp:417-420): micro-batches trigger on a
+    * `Trigger.ProcessingTime(pollMs)` clock instead of ASAP, so the
+    * intake ceiling is `batchsize × shards × (1000/pollMs)` records/s —
+    * the same `rate × batchsize` arithmetic as the reference's ≈4,000
+    * rec/s/shard ceiling (BASELINE.md). 0 (default) = unpaced ASAP
+    * triggers. The reference's linear throttle backoff
+    * (kinesis_consumer.cpp:397-401) has no local analog — it reacts to a
+    * remote ProvisionedThroughputExceeded signal that a local log cannot
+    * emit; pacing is the user-visible half of that contract. Persisted in
+    * the consumer catalog like batchsize, so consumeBeginAll resumes the
+    * same pacing. */
   def consumeBegin(endpoint: String, stream: String, relation: String,
                    format: String = "text", delimiter: String = "\t",
                    quote: String = null, escape: String = null,
                    batchsize: Long = 1000L, parallelism: Int = 1,
-                   startSeq: Long = -2L): Int =
+                   startSeq: Long = -2L, pollMs: Long = 0L): Int =
     consumeBeginWith(None, endpoint, stream, relation, format, delimiter,
-      quote, escape, batchsize, parallelism, startSeq)
+      quote, escape, batchsize, parallelism, startSeq, pollMs)
 
   /** Backfill variant of consume_begin: the SAME pipeline (parse → stream
     * table + every continuous view), run with `Trigger.AvailableNow` — the
@@ -1172,7 +1192,7 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
       val id = consumeBeginWith(
         Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()),
         endpoint, stream, relation, format, delimiter, quote, escape,
-        batchsize, parallelism, startSeq)
+        batchsize, parallelism, startSeq, pollMs = 0L)
       (id, running.getOrElse(id, Seq.empty))
     }
     // await OUTSIDE the engine monitor: the drain runs foreachBatch bodies
@@ -1196,7 +1216,7 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
                    format: String, delimiter: String,
                    quote: String, escape: String,
                    batchsize: Long, parallelism: Int,
-                   startSeq: Long): Int = synchronized {
+                   startSeq: Long, pollMs: Long): Int = synchronized {
     // Backfill refusal is checked HERE, atomically with the launch: a
     // separate check-then-start let a concurrent consumeBegin attach the
     // backfill to never-ending continuous queries (awaitTermination hang).
@@ -1215,13 +1235,19 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
       case Some(old) => // ON CONFLICT … DO UPDATE (C3)
         val upd = old.copy(format = format, delimiter = delimiter, quote = quote,
           escape = escape, batchsize = batchsize, parallelism = par,
-          startSeq = startSeq)
+          startSeq = startSeq, pollMs = pollMs)
         consumers(key) = upd; upd
       case None =>
         val c = Consumer(nextId, endpoint, stream, relation, format, delimiter,
-          quote, escape, batchsize, par, startSeq)
+          quote, escape, batchsize, par, startSeq, pollMs)
         nextId += 1; consumers(key) = c; c
     }
+    // Effective trigger: an explicit trigger (backfill's AvailableNow)
+    // wins; otherwise a paced consumer triggers on its pollMs clock.
+    val effTrig = trig.orElse(
+      if (c.pollMs > 0)
+        Some(org.apache.spark.sql.streaming.Trigger.ProcessingTime(c.pollMs))
+      else None)
     saveCatalog()
     // Additive launch: a repeated consume_begin attaches queries that are
     // not yet running — in particular, a continuous view declared AFTER
@@ -1289,7 +1315,7 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
             }
           }
           .option("checkpointLocation", s"$metaDir/checkpoints/${c.id}/__table")
-          .pipe(w => trig.fold(w)(w.trigger))
+          .pipe(w => effTrig.fold(w)(w.trigger))
           .start())
       val viewQs = wanted.map { case (vname, v) =>
         val writer = v.materialize match {
@@ -1438,7 +1464,7 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
         }
         writer.option("checkpointLocation",
             s"$metaDir/checkpoints/${c.id}/$vname")
-          .pipe(w => trig.fold(w)(w.trigger))
+          .pipe(w => effTrig.fold(w)(w.trigger))
           .start()
       }
       running(c.id) = have ++ tableQ ++ viewQs
@@ -1455,7 +1481,7 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
   def consumeBeginAll(): Unit =
     consumers.values.toSeq.foreach(c => consumeBegin(c.endpoint, c.stream, c.relation,
       c.format, c.delimiter, c.quote, c.escape, c.batchsize, c.parallelism,
-      c.startSeq))
+      c.startSeq, c.pollMs))
 
   def consumeEndAll(): Unit = synchronized {
     running.values.flatten.foreach(_.stop()); running.clear() // D4
@@ -1664,7 +1690,8 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
     *
     *  - `SELECT pipeline_kinesis.add_endpoint('ep','region'[,credfile,url])`
     *  - `SELECT pipeline_kinesis.consume_begin('ep','stream','rel'
-    *    [,format,delimiter,quote,escape,batchsize,parallelism,start_seq])`,
+    *    [,format,delimiter,quote,escape,batchsize,parallelism,start_seq
+    *    ,poll_ms])` (`poll_ms` = trigger pacing, an engine extension),
     *    0-arg `consume_begin()` / `consume_end()` = the `_all` variants;
     *    `consume_backfill(…)` (engine extension) = the same args driven
     *    through [[consumeBackfill]]'s bounded AvailableNow drain
@@ -1743,7 +1770,9 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
               batchsize = a.lift(7).flatten.map(_.toLong).getOrElse(1000L),
               parallelism = a.lift(8).flatten.map(_.toInt).getOrElse(1),
               // reference: start_seq NULL = trim_horizon (pipeline_kinesis.c:922-925)
-              startSeq = a.lift(9).flatten.map(_.toLong).getOrElse(-2L))
+              startSeq = a.lift(9).flatten.map(_.toLong).getOrElse(-2L),
+              // engine extension: trigger pacing (see consumeBegin scaladoc)
+              pollMs = a.lift(10).flatten.map(_.toLong).getOrElse(0L))
             result1(id.toString)
           case "consume_end" if a.isEmpty =>
             consumeEndAll(); result1("ok")

@@ -752,6 +752,42 @@ class StreamingSpec extends SparkSpec {
     eng.consumeEndAll()
   }
 
+  test("poll_ms rate pacing: paced consumer drains, knob survives restart") {
+    val root = tmpDir("kin-pace-root")
+    val meta = tmpDir("kin-pace-meta")
+    (1 to 40).foreach(i => ShardedLog.append(s"$root/pst", i % 2,
+      Seq((s"p$i", s"p$i"))))
+    val eng = new KinesisEngine(spark, meta)
+    eng.addEndpoint("pep", "local", url = root)
+    eng.createStream("p_stream", StructType(Seq(StructField("payload", StringType))))
+    // SQL-declared so the view itself survives the engine restart below
+    // (closure views are application code and don't persist)
+    eng.createContinuousViewSql("p_view", "p_stream",
+      "SELECT payload, count(*) AS n FROM p_stream GROUP BY payload")
+    // SQL front-end: poll_ms is the optional 11th consume_begin arg
+    eng.sql("SELECT pipeline_kinesis.consume_begin('pep','pst','p_stream'," +
+      "'text','\\t',NULL,NULL,10,2,-2,200)")
+    eng.processAllAvailable()
+    assert(eng.viewTable("p_view").count() === 40L,
+      "paced consumer still drains everything")
+    assert(eng.listConsumers.head.pollMs === 200L)
+    eng.consumeEndAll()
+    // the knob is catalog state, like batchsize: a fresh engine over the
+    // same metaDir resumes the same pacing
+    val eng2 = new KinesisEngine(spark, meta)
+    assert(eng2.listConsumers.head.pollMs === 200L)
+    ShardedLog.append(s"$root/pst", 0, Seq(("p41", "p41")))
+    eng2.consumeBeginAll()
+    eng2.processAllAvailable()
+    assert(eng2.viewTable("p_view").count() === 41L)
+    // upsert semantics (ON CONFLICT DO UPDATE): re-begin without the knob
+    // resets it, exactly as for every other consumer setting
+    eng2.consumeEndAll()
+    eng2.consumeBegin("pep", "pst", "p_stream", format = "text")
+    assert(eng2.listConsumers.head.pollMs === 0L)
+    eng2.consumeEndAll()
+  }
+
   test("catalog round-trips hostile names (tabs/newlines in fields)") {
     val meta = tmpDir("kin-hostile-meta")
     val eng = new KinesisEngine(spark, meta)
