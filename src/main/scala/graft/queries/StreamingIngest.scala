@@ -11,11 +11,12 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * 4-shard log with 20k records, run the full engine pipeline (source →
   * text parse → continuous view) to completion, return the final counts.
   *
-  * Output is deterministic (100 payloads × 200 each) so the driver's
-  * rows-only check passes; timing lands in the bench JSON, making
-  * single-node ingest throughput comparable round-over-round against the
-  * reference's ~4,000 records/s/shard design ceiling (BASELINE.md).
-  * No DuckDB oracle — the oracle cannot observe the engine's temp dirs.
+  * Output is deterministic (100 payloads × 200 each) and hash-compared
+  * against a constants-only DuckDB oracle (see [[oracle]] — the oracle
+  * can't observe the engine's temp dirs, but it CAN state the known
+  * expected result); timing lands in the bench JSON, making single-node
+  * ingest throughput comparable round-over-round against the reference's
+  * ~4,000 records/s/shard design ceiling (BASELINE.md).
   */
 object StreamingIngest {
 

@@ -112,6 +112,10 @@ object TextAnalysis {
     // already relies on), then summed exactly as decimals, so the
     // per-doc mean is order-independent.
     "q_unigram_logprob" -> ((s, d) => {
+      // tok is consumed twice (count agg + join probe) but deliberately NOT
+      // cached: unlike q_dedup_ngram's md5-dense shingles, a split+explode
+      // recompute is cheaper than materializing the full token stream
+      // (measured 633 ms uncached vs 687 ms cached floor at sf0.1).
       val tok = Tables.documents(s, d)
         .select(col("doc_id"), explode(toks).as("token"))
       val cnt = tok.groupBy("token").agg(count(lit(1)).as("tf"))

@@ -1181,7 +1181,7 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
                       format: String = "text", delimiter: String = "\t",
                       quote: String = null, escape: String = null,
                       batchsize: Long = 1000L, parallelism: Int = 1,
-                      startSeq: Long = -2L): Int = {
+                      startSeq: Long = -2L, pollMs: Long = 0L): Int = {
     // The not-running-continuously check lives INSIDE consumeBeginWith's
     // monitor (gated on trig.isDefined), and the query snapshot is taken
     // under the same lock acquisition (reentrant), so a concurrent
@@ -1189,10 +1189,14 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
     // and start nor into the awaited set — awaitTermination below only
     // ever sees this drain's AvailableNow queries.
     val (id, qs) = synchronized {
+      // pollMs doesn't pace the drain itself (AvailableNow wins in
+      // consumeBeginWith's effective-trigger choice) but it IS upserted
+      // into the catalog like every other consumer setting, so a backfill
+      // can carry a paced consumer's knob instead of silently wiping it
       val id = consumeBeginWith(
         Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()),
         endpoint, stream, relation, format, delimiter, quote, escape,
-        batchsize, parallelism, startSeq, pollMs = 0L)
+        batchsize, parallelism, startSeq, pollMs)
       (id, running.getOrElse(id, Seq.empty))
     }
     // await OUTSIDE the engine monitor: the drain runs foreachBatch bodies
@@ -1790,7 +1794,8 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
               escape = a.lift(6).flatten.orNull,
               batchsize = a.lift(7).flatten.map(_.toLong).getOrElse(1000L),
               parallelism = a.lift(8).flatten.map(_.toInt).getOrElse(1),
-              startSeq = a.lift(9).flatten.map(_.toLong).getOrElse(-2L))
+              startSeq = a.lift(9).flatten.map(_.toLong).getOrElse(-2L),
+              pollMs = a.lift(10).flatten.map(_.toLong).getOrElse(0L))
             result1(id.toString)
         }
       case CreateStream(name, cols) =>

@@ -60,9 +60,13 @@ class TablesSchemaDriftSpec extends SparkSpec {
       val first = ev.orderBy("event_id").select("ts").as[Timestamp](
         org.apache.spark.sql.Encoders.TIMESTAMP).head()
       assert(first == Timestamp.valueOf("2024-01-01 00:01:00"), s"got $first")
-      // every declared query must at least pass analysis against this dir
+      // every declared query must at least pass analysis against this dir.
+      // q_stream_ingest is excluded: its builder eagerly runs the whole
+      // 20k-record ingest engine and reads no sfDir tables at all — pure
+      // cost, zero coverage for the schema drift under test.
       val failures = SparkEntry.queries.flatMap { case (name, fn) =>
-        try { fn(spark, dir).queryExecution.analyzed; None }
+        if (name == "q_stream_ingest") None
+        else try { fn(spark, dir).queryExecution.analyzed; None }
         catch { case e: Throwable =>
           Some(s"$name: ${Option(e.getMessage).getOrElse(e.getClass.getName).linesIterator.next()}")
         }
