@@ -59,6 +59,33 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("q_chunk_docs boundary arithmetic on crafted token counts") {
+    import spark.implicits._
+    // window 64 / stride 48: starts are 0, 48, 96, … while start < n
+    val cases = Map(1L -> 1, 47L -> 1, 48L -> 1, 49L -> 2, 63L -> 2,
+                    64L -> 2, 96L -> 2, 97L -> 3, 160L -> 4)
+    val dir = tmpDir("chunk-fixture")
+    cases.keys.toSeq.sorted.zipWithIndex
+      .map { case (n, i) => (i.toLong, Seq.fill(n.toInt)("w").mkString(" "),
+                             "en", "src0", n) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val byDoc = Pipeline.queries("q_chunk_docs")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    cases.keys.toSeq.sorted.zipWithIndex.foreach { case (n, i) =>
+      val cs = byDoc(i.toLong).sortBy(_._2)
+      assert(cs.length == cases(n), s"n=$n: ${cs.length} chunks, want ${cases(n)}")
+      // chunks tile the doc: strides of 48, final chunk ends at token n
+      cs.zipWithIndex.foreach { case ((_, idx, start, len), k) =>
+        assert(idx == k && start == 48L * k, s"n=$n chunk $k start")
+        assert(len == math.min(64L, n - start), s"n=$n chunk $k len")
+      }
+      val (_, _, lastStart, lastLen) = cs.last
+      assert(lastStart + lastLen == n, s"n=$n: last chunk reaches token $n")
+    }
+  }
+
   test("hash sampling is deterministic and near the target rate") {
     val a = Pipeline.queries("q_sample_hash")(spark, sf0001).collect()
     val b = Pipeline.queries("q_sample_hash")(spark, sf0001).collect()
