@@ -50,6 +50,33 @@ class TablesSchemaDriftSpec extends SparkSpec {
     "timestamp-ltz" -> (df => df.withColumn("ts", col("ts").cast(TimestampType)))
   )
 
+  test("date-column drift: lineitem/orders temporal columns as DATE still analyze") {
+    // The same generator change that turned events.ts into timestamp[us]
+    // could plausibly ship l_shipdate / o_orderdate as date32 next. Output
+    // -type drift is symmetric (Spark dump and DuckDB oracle read the same
+    // parquet), so the r12 failure mode to guard against is ANALYSIS
+    // breakage — mixed-type comparisons/unions inside the queries.
+    val dir = tmpDir("datedrift")
+    for (t <- Tables.ALL if t != "lineitem" && t != "orders")
+      Files.createSymbolicLink(
+        Paths.get(s"$dir/$t.parquet"), Paths.get(s"$sf0001/$t.parquet"))
+    spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .withColumn("l_shipdate", col("l_shipdate").cast(DateType))
+      .coalesce(1).write.parquet(s"$dir/lineitem.parquet")
+    spark.read.parquet(s"$sf0001/orders.parquet")
+      .withColumn("o_orderdate", col("o_orderdate").cast(DateType))
+      .coalesce(1).write.parquet(s"$dir/orders.parquet")
+    val failures = SparkEntry.queries.flatMap { case (name, fn) =>
+      if (name == "q_stream_ingest") None // reads no sfDir tables
+      else try { fn(spark, dir).queryExecution.analyzed; None }
+      catch { case e: Throwable =>
+        Some(s"$name: ${Option(e.getMessage).getOrElse(e.getClass.getName).linesIterator.next()}")
+      }
+    }
+    assert(failures.isEmpty,
+      s"${failures.size} queries failed analysis on DATE drift:\n${failures.mkString("\n")}")
+  }
+
   for ((encName, enc) <- encodings) {
     test(s"events ts encoding '$encName': Tables normalises to TimestampType and all queries analyze") {
       val dir = mkDir(enc)
