@@ -1221,6 +1221,10 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
                    quote: String, escape: String,
                    batchsize: Long, parallelism: Int,
                    startSeq: Long, pollMs: Long): Int = synchronized {
+    // a negative interval is always a caller bug (sign typo / bad unit
+    // conversion); accepted silently it would mean UNPACED — the opposite
+    // of what the caller asked — and persist that way in the catalog
+    require(pollMs >= 0L, s"poll_ms must be >= 0 (got $pollMs)")
     // Backfill refusal is checked HERE, atomically with the launch: a
     // separate check-then-start let a concurrent consumeBegin attach the
     // backfill to never-ending continuous queries (awaitTermination hang).
@@ -1849,9 +1853,9 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
           import spark.implicits._
           register("graft_consumers")(
             listConsumers.map(c => (c.id, c.endpoint, c.stream, c.relation,
-                c.format, c.delimiter, c.batchsize, c.parallelism))
+                c.format, c.delimiter, c.batchsize, c.parallelism, c.pollMs))
               .toDF("id", "endpoint", "stream", "relation", "format",
-                "delimiter", "batchsize", "parallelism"))
+                "delimiter", "batchsize", "parallelism", "poll_ms"))
           q = q1
         }
         val q2 = KinesisEngine.mapOutsideLiterals(q)(_.replaceAll(

@@ -13,25 +13,23 @@ import org.apache.spark.sql.classic.ClassicConversions._
   * `graft.Tables` so any declared query resolves in any session.
   */
 object GraftRegistrar {
-  // register() is called from graft.Tables on EVERY table read; skip the
-  // registry write (and its "function replaced" WARN per call) once this
-  // session has the functions. Weak keys: a dropped session must not be
-  // pinned by the guard set.
-  private val done =
-    java.util.Collections.newSetFromMap(
-      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
-
-  def register(spark: SparkSession): Unit = done.synchronized {
-    if (!done.contains(spark)) {
-      val reg = spark.sessionState.functionRegistry
+  // register() is called from graft.Tables on EVERY table read. Guard on
+  // the registry's OWN state (not a one-shot memo): registering only when
+  // a function is absent kills the per-read "function replaced" WARN pair
+  // while keeping the safety net self-healing — a later DROP TEMPORARY
+  // FUNCTION or catalog reset makes the next table read re-register.
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_md5h")))
       reg.createOrReplaceTempFunction("graft_md5h",
         (children: Seq[Expression]) =>
           Md5Prefix64(children(0), children(1).eval().asInstanceOf[Number].intValue()),
         "scala_udf")
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cosine")))
       reg.createOrReplaceTempFunction("graft_cosine",
         (children: Seq[Expression]) => CosineSimilarity(children(0), children(1)),
         "scala_udf")
-      done.add(spark)
-    }
   }
 }

@@ -65,7 +65,10 @@ class PipelineSpec extends SparkSpec {
     val cases = Map(1L -> 1, 47L -> 1, 48L -> 1, 49L -> 2, 63L -> 2,
                     64L -> 2, 96L -> 2, 97L -> 3, 160L -> 4)
     val dir = tmpDir("chunk-fixture")
-    cases.keys.toSeq.sorted.zipWithIndex
+    // bind the (n_tokens -> doc_id) assignment ONCE: the fixture writer
+    // and the asserter must agree on it
+    val docs = cases.keys.toSeq.sorted.zipWithIndex
+    docs
       .map { case (n, i) => (i.toLong, Seq.fill(n.toInt)("w").mkString(" "),
                              "en", "src0", n) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
@@ -73,7 +76,7 @@ class PipelineSpec extends SparkSpec {
     val byDoc = Pipeline.queries("q_chunk_docs")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .groupBy(_._1)
-    cases.keys.toSeq.sorted.zipWithIndex.foreach { case (n, i) =>
+    docs.foreach { case (n, i) =>
       val cs = byDoc(i.toLong).sortBy(_._2)
       assert(cs.length == cases(n), s"n=$n: ${cs.length} chunks, want ${cases(n)}")
       // chunks tile the doc: strides of 48, final chunk ends at token n

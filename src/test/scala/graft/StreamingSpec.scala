@@ -771,6 +771,12 @@ class StreamingSpec extends SparkSpec {
     assert(eng.viewTable("p_view").count() === 40L,
       "paced consumer still drains everything")
     assert(eng.listConsumers.head.pollMs === 200L)
+    // SQL-only users must be able to audit the knob they set
+    assert(eng.sql("SELECT poll_ms FROM pipeline_kinesis.consumers")
+      .head().getLong(0) === 200L)
+    // a negative interval is a caller bug, rejected up front
+    intercept[IllegalArgumentException](
+      eng.consumeBegin("pep", "pst", "p_stream", pollMs = -200L))
     eng.consumeEndAll()
     // the knob is catalog state, like batchsize: a fresh engine over the
     // same metaDir resumes the same pacing
