@@ -25,7 +25,7 @@ object SaltedJoin {
             leftKey: String, rightKey: String, nSalts: Int): DataFrame = {
     require(nSalts > 0)
     val l = left.withColumn("__salt",
-      pmod(hash(left.columns.map(col): _*), lit(nSalts)))
+      pmod(hash(left.columns.toIndexedSeq.map(col): _*), lit(nSalts)))
     val r = right.withColumn("__salt",
       explode(array((0 until nSalts).map(lit): _*)))
     l.join(r, l(leftKey) === r(rightKey) && l("__salt") === r("__salt"))

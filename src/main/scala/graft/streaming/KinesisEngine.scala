@@ -589,7 +589,7 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
     val stageStr = stageDir.toString
     val arrival = System.currentTimeMillis()
     val pk = vname
-    batch.select(to_json(struct(batch.columns.map(col): _*)).as("j"))
+    batch.select(to_json(struct(batch.columns.toIndexedSeq.map(col): _*)).as("j"))
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
         if (it.hasNext) {
           val pid = org.apache.spark.TaskContext.getPartitionId()
