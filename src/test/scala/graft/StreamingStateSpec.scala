@@ -59,6 +59,45 @@ class StreamingStateSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup detection: incoming docs LSH-matched against a static corpus") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // The training-pipeline admission gate: "is this incoming document a
+    // near-dup of anything already in the corpus?" — Dedup.bandKeys on
+    // BOTH sides, stream-static equi-join on (band, bk). Stateless,
+    // no cross join; the static side is the same banding the batch
+    // q_dedup_minhash uses, so batch and streaming agree on candidates.
+    val corpus = Tables.documents(spark, sf0001)
+    val static = graft.queries.Dedup.bandKeys(corpus, "doc_id", "text")
+      .select(col("doc_id").as("corpus_doc"), col("band"), col("bk"))
+    val copies = corpus.select("doc_id", "text")
+      .orderBy("doc_id").limit(2).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[(Long, String)]
+    val q = graft.queries.Dedup.bandKeys(in.toDF().toDF("in_id", "text"),
+        "in_id", "text")
+      .join(broadcast(static), Seq("band", "bk"))
+      .select(col("doc_id").as("in_id"), col("corpus_doc"))
+      .writeStream.queryName("neardup_view").outputMode("append")
+      .format("memory").start()
+    try {
+      // two verbatim corpus copies (must match) + one novel doc (must not)
+      in.addData((9001L, copies(0)._2), (9002L, copies(1)._2),
+                 (9003L, "zq xv qj vw kz jx wq zv"))
+      q.processAllAvailable()
+      val hits = spark.table("neardup_view").collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+      val matchedIds = hits.map(_._1).toSet
+      assert(matchedIds.contains(9001L) && matchedIds.contains(9002L),
+        s"corpus copies must be flagged, got $matchedIds")
+      assert(!matchedIds.contains(9003L), "novel doc must not be flagged")
+      // a verbatim copy collides with its source in EVERY band (identical
+      // signature), and the source doc is among its matches
+      assert(hits.count(h => h._1 == 9001L && h._2 == copies(0)._1) == 4,
+        "identical text matches its source in all 4 bands")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState: custom per-key running state across batches") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
