@@ -31,6 +31,16 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("every declared query has an oracle and every oracle has a query") {
+    // Round 13 reached zero no-oracle queries; this pins the invariant —
+    // a new query without an oracle silently downgrades to the driver's
+    // weak rows-only check, and an orphaned oracle is dead SQL.
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries without oracle: ${(q -- o).toSeq.sorted}")
+    assert((o -- q).isEmpty, s"oracles without query: ${(o -- q).toSeq.sorted}")
+  }
+
   test("q_chunk_docs covers every token with stride-48 windows") {
     val chunks = Pipeline.queries("q_chunk_docs")(spark, sf0001)
       .collect()
