@@ -126,8 +126,7 @@ object TextAnalysis {
                 round(log(col("tf").cast("double") / col("n_total")), 4).as("lp"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tokens"),
-             (sum(col("lp").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
-               .cast("double") / count(lit(1))).as("avg_logp"))
+             graft.Q.davg4(col("lp")).as("avg_logp"))
         .orderBy("doc_id")
     }),
 

@@ -20,16 +20,12 @@ object GraftRegistrar {
   // FUNCTION or catalog reset makes the next table read re-register.
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_md5h")))
-      reg.createOrReplaceTempFunction("graft_md5h",
-        (children: Seq[Expression]) =>
-          Md5Prefix64(children(0), children(1).eval().asInstanceOf[Number].intValue()),
-        "scala_udf")
-    if (!reg.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cosine")))
-      reg.createOrReplaceTempFunction("graft_cosine",
-        (children: Seq[Expression]) => CosineSimilarity(children(0), children(1)),
-        "scala_udf")
+    def ensure(name: String)(builder: Seq[Expression] => Expression): Unit =
+      if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    ensure("graft_md5h")(children =>
+      Md5Prefix64(children(0), children(1).eval().asInstanceOf[Number].intValue()))
+    ensure("graft_cosine")(children =>
+      CosineSimilarity(children(0), children(1)))
   }
 }
