@@ -100,9 +100,13 @@ object Pipeline {
     // SQL-expressible for the oracle.
     "q_chunk_docs" -> ((s, d) => {
       val W = 64; val S = 48
+      // tk is aliased once and n_tokens derived from the alias in a second
+      // projection: naming both off `toks` in one select evaluated the
+      // split twice per row (2 split( sites in the physical plan → 1)
       Tables.documents(s, d)
-        .select(col("doc_id"), toks.as("tk"),
-                size(toks).cast("long").as("n_tokens"))
+        .select(col("doc_id"), toks.as("tk"))
+        .select(col("doc_id"), col("tk"),
+                size(col("tk")).cast("long").as("n_tokens"))
         .select(col("doc_id"), col("tk"), col("n_tokens"),
                 explode(expr(s"sequence(0L, n_tokens - 1, ${S}L)")).as("start_tok"))
         .select(col("doc_id"),
