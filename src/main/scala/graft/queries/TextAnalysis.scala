@@ -42,18 +42,41 @@ object TextAnalysis {
     "fr" -> Seq("query", "filter", "join"),
     "zh" -> Seq("vector", "hash", "stream"))
 
-  private def markerScore(words: Seq[String]): Column =
-    size(filter(toks, t => t.isInCollection(words))).cast("long")
+  private def markerScore(tk: Column, words: Seq[String]): Column =
+    size(filter(tk, t => t.isInCollection(words))).cast("long")
+
+  /** Per-language score columns off a STAGED token array (see the staging
+    * note on q_text_tokens — every per-row scalar pipeline aliases the
+    * split once and derives from the alias). */
+  private def langScores(tk: Column): Seq[(String, Column)] =
+    markers.map { case (l, ws) => l -> markerScore(tk, ws) }
+
+  /** argmax with first-language tie-break over score columns — pass the
+    * ALIASED score columns, not raw expressions, so the CASE chain's many
+    * references don't re-expand the scoring work per row. */
+  private def langPred(scores: Seq[(String, Column)]): Column = {
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((l, sc), rest) =>
+      when(sc === best, lit(l)).otherwise(rest)
+    }
+  }
 
   val queries: Map[String, Qf] = Map(
     // Token counting: whitespace tokens + a BPE-ish regex tokenizer.
+    // STAGING PATTERN (all per-row scalar pipelines here): alias the
+    // split ONCE in a first projection and derive every stat from the
+    // alias — naming each stat off the raw `toks` expression re-evaluated
+    // the split per stat per row (this query planned 4 split( sites; the
+    // optimizer never un-duplicates a non-cheap expression, it only
+    // declines to collapse the staged form).
     "q_text_tokens" -> ((s, d) =>
       Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), toks.as("tk"))
         .select(col("doc_id"),
-                size(toks).cast("long").as("n_tokens"),
-                size(array_distinct(toks)).cast("long").as("n_distinct"),
-                round(aggregate(toks, lit(0L), (a, t) => a + length(t))
-                        .cast("double") / size(toks), 4).as("mean_tok_len"),
+                size(col("tk")).cast("long").as("n_tokens"),
+                size(array_distinct(col("tk"))).cast("long").as("n_distinct"),
+                round(aggregate(col("tk"), lit(0L), (a, t) => a + length(t))
+                        .cast("double") / size(col("tk")), 4).as("mean_tok_len"),
                 size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
                   .cast("long").as("n_bpe"))
         .orderBy("doc_id")),
@@ -81,19 +104,28 @@ object TextAnalysis {
     // composite score. Ratios are double divisions evaluated in the same
     // order on both engines → bit-identical before the final round.
     "q_text_quality" -> ((s, d) => {
-      val n = size(toks)
-      val stopRatio = markerScore(Seq("the", "a", "of", "and", "in")).cast("double") / n
-      val shortRatio = size(filter(toks, t => length(t) <= 3)).cast("double") / n
-      val meanLen = aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double") / n
+      // staged (see q_text_tokens): raw integer components once per row,
+      // then ratios off the aliases — the single-projection form planned
+      // 11 split( sites. Same doubles: the divisions are computed from the
+      // identical integers in the identical order.
+      val n = col("n").cast("double")
+      val stopRatio = col("n_stop").cast("double") / n
+      val shortRatio = col("n_short").cast("double") / n
       // graft.Q.r4, not round(): these are ratios of small integers, which
       // land exactly on 4-decimal half-way points where Spark and DuckDB
       // round() disagree (observed at sf0.1)
       Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("tk"))
         .select(col("doc_id"),
-                n.cast("long").as("n_tokens"),
+                size(col("tk")).as("n"),
+                markerScore(col("tk"), Seq("the", "a", "of", "and", "in")).as("n_stop"),
+                size(filter(col("tk"), t => length(t) <= 3)).as("n_short"),
+                aggregate(col("tk"), lit(0L), (a, t) => a + length(t)).as("len_sum"))
+        .select(col("doc_id"),
+                col("n").cast("long").as("n_tokens"),
                 graft.Q.r4(stopRatio).as("stop_ratio"),
                 graft.Q.r4(shortRatio).as("short_ratio"),
-                graft.Q.r4(meanLen).as("mean_len"),
+                graft.Q.r4(col("len_sum").cast("double") / n).as("mean_len"),
                 graft.Q.r4(lit(1.0) - lit(0.5) * stopRatio - lit(0.3) * shortRatio)
                   .as("quality"))
         .orderBy("doc_id")
@@ -133,16 +165,17 @@ object TextAnalysis {
     // Language ID: argmax of per-language marker scores, ties broken by the
     // fixed language order (greatest + first-match CASE).
     "q_lang_id" -> ((s, d) => {
-      val scores = markers.map { case (l, ws) => l -> markerScore(ws) }
-      val best = greatest(scores.map(_._2): _*)
-      // CASE evaluates in order, so the first language hitting the max wins.
-      val predOrdered = scores.foldRight(lit("und")) { case ((l, sc), rest) =>
-        when(sc === best, lit(l)).otherwise(rest)
-      }
+      // staged (see q_text_tokens): split once, score each language once,
+      // then the argmax CASE chain references the score ALIASES — the
+      // single-projection form re-expanded every score inside the CASE
+      // (35 split( sites in the physical plan).
+      val aliased = markers.map { case (l, _) => l -> col(s"s_$l") }
       Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("tk"))
         .select(Seq(col("doc_id")) ++
-                scores.map { case (l, sc) => sc.as(s"s_$l") } :+
-                predOrdered.as("lang_pred"): _*)
+                langScores(col("tk")).map { case (l, sc) => sc.as(s"s_$l") }: _*)
+        .select(Seq(col("doc_id")) ++ aliased.map(_._2) :+
+                langPred(aliased).as("lang_pred"): _*)
         .orderBy("doc_id")
     }),
 
@@ -151,10 +184,11 @@ object TextAnalysis {
     // arithmetic stays < 2^35 — exact on both engines).
     "q_fingerprint" -> ((s, d) =>
       Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), toks.as("tk")) // staged, see q_text_tokens
         .select(col("doc_id"),
                 md5(col("text")).as("fp_md5"),
-                md5(array_join(slice(toks, 1, 5), " ")).as("fp_prefix"),
-                aggregate(transform(toks, t => hex7(t)), lit(0L),
+                md5(array_join(slice(col("tk"), 1, 5), " ")).as("fp_prefix"),
+                aggregate(transform(col("tk"), t => hex7(t)), lit(0L),
                           (a, h) => (a * 31L + h) % 1000000007L).as("fp_roll"))
         .orderBy("doc_id")),
 
@@ -245,14 +279,10 @@ object TextAnalysis {
     // groupBy, whose partial min_by carries one candidate per fingerprint
     // per mapper. At 100 TB: scan-bound, one fingerprint-keyed exchange.
     "q_corpus_filter" -> ((s, d) => {
-      val scores = markers.map { case (l, ws) => l -> markerScore(ws) }
-      val best = greatest(scores.map(_._2): _*)
-      val predOrdered = scores.foldRight(lit("und")) { case ((l, sc), rest) =>
-        when(sc === best, lit(l)).otherwise(rest)
-      }
-      val n = size(toks)
-      val stopRatio =
-        markerScore(Seq("the", "a", "of", "and", "in")).cast("double") / n
+      // staged (see q_text_tokens): one split, one score per language, one
+      // shingle scan; ratios/argmax off the aliases (the fused single
+      // projection planned 11 split( sites)
+      val aliased = markers.map { case (l, _) => l -> col(s"s_$l") }
       // materialize shingles once (q_repetition's two-step form): the
       // shingle scan is the dominant per-row cost, and CSE across the
       // three uses inside a `when` is not guaranteed
@@ -261,13 +291,17 @@ object TextAnalysis {
           size(array_distinct(col("shs"))).cast("double") / size(col("shs"))))
         .otherwise(lit(0.0))
       Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), toks.as("tk"))
+        .select(Seq(col("doc_id"), col("text"),
+                size(col("tk")).as("n"),
+                markerScore(col("tk"), Seq("the", "a", "of", "and", "in")).as("n_stop"),
+                call_function("graft_shingles", col("text")).as("shs")) ++
+                langScores(col("tk")).map { case (l, sc) => sc.as(s"s_$l") }: _*)
         .select(col("doc_id"), col("text"),
-                n.cast("long").as("n_tokens"),
-                graft.Q.r4(stopRatio).as("stop_ratio"),
-                predOrdered.as("lang_pred"),
-                call_function("graft_shingles", col("text")).as("shs"))
-        .select(col("doc_id"), col("text"), col("n_tokens"),
-                col("stop_ratio"), col("lang_pred"),
+                col("n").cast("long").as("n_tokens"),
+                graft.Q.r4(col("n_stop").cast("double") / col("n").cast("double"))
+                  .as("stop_ratio"),
+                langPred(aliased).as("lang_pred"),
                 dupFrac.as("dup_frac"))
         .filter(col("lang_pred") === "en" && col("n_tokens") >= 5 &&
                 col("dup_frac") < 0.5)
