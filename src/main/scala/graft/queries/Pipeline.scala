@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline composition operators: relevance scoring,
@@ -119,35 +120,46 @@ object Pipeline {
         .orderBy("doc_id", "chunk_idx")
     }),
 
-    // Sketch percentiles: fixed-size mergeable state — the scale path when
-    // exact percentile's full sort/collect is too expensive. The raw
-    // estimate is sketch-specific, so the OUTPUT is the deterministic
-    // contract: percentile_approx(accuracy=1000) guarantees the returned
-    // element's rank is within n/1000 of the target rank, and the query
-    // verifies that by ranking the estimate against the data itself (a
-    // broadcast of the 3-row sketch result — no second shuffle). The
-    // tie-aware two-sided test uses strict-< and ≤ rank bounds so repeated
-    // prices can't fail a correct estimate. A DuckDB oracle states the
-    // contract as literal TRUE.
+    // Approximate percentiles in a SINGLE scan: fixed-width histogram
+    // partials (price floored to unit buckets) with map-side combine, so
+    // the shuffle carries (group, bucket) counts — bounded by the price
+    // domain, not the row count — then cumulative sums over the tiny
+    // partial table pick the estimate AND verify its rank contract with
+    // no second pass over lineitem. (The r12/r13 shape re-scanned
+    // lineitem to rank a percentile_approx sketch estimate; the
+    // histogram IS a mergeable percentile sketch — value error ≤ bucket
+    // width, rank error ≤ in-bucket ties — so one scan serves both the
+    // estimate and the check. See PLANS.md "q_approx_percentile".)
+    // `cum`/`cum - c` are monotone in bucket order, so min(when(cond,·))
+    // reads each quantity off the minimal qualifying bucket — no join
+    // back, no window beyond the partials.
     "q_approx_percentile" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-        .select(col("l_returnflag"), col("l_extendedprice"))
-      val ap = li.groupBy(col("l_returnflag"))
-        .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("ap50"),
-             percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("ap99"))
-      def rankOk(apCol: String, p: Double) = {
-        val below = sum(when(col("l_extendedprice") < col(apCol), 1L).otherwise(0L))
-        val atOrBelow = sum(when(col("l_extendedprice") <= col(apCol), 1L).otherwise(0L))
-        val tol = count(lit(1)) * (lit(1.0) / 1000.0) + lit(1.0)
-        (below <= count(lit(1)) * p + tol) &&
-          (atOrBelow >= count(lit(1)) * p - tol)
-      }
-      li.join(broadcast(ap), "l_returnflag")
-        .groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as("n"),
-             rankOk("ap50", 0.5).as("ok50"),
-             rankOk("ap99", 0.99).as("ok99"))
-        .select(col("l_returnflag"), col("n"), col("ok50"), col("ok99"))
+      val parts = Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+                floor(col("l_extendedprice")).cast("double").as("pb"))
+        .groupBy("l_returnflag", "pb")
+        .agg(count(lit(1)).as("c"))
+      val g = Window.partitionBy("l_returnflag")
+      val cum = parts
+        .withColumn("cum", sum("c").over(g.orderBy("pb")))
+        .withColumn("n", sum("c").over(g))
+      val c50 = col("cum") >= ceil(col("n") * 0.5)
+      val c99 = col("cum") >= ceil(col("n") * 0.99)
+      val tol = col("n") / 1000.0 + 1.0
+      cum.groupBy("l_returnflag")
+        .agg(max("n").as("n"),
+             min(when(c50, col("pb"))).as("ap50"),
+             min(when(c99, col("pb"))).as("ap99"),
+             min(when(c50, col("cum") - col("c"))).as("below50"),
+             min(when(c50, col("cum"))).as("ab50"),
+             min(when(c99, col("cum") - col("c"))).as("below99"),
+             min(when(c99, col("cum"))).as("ab99"),
+             max(tol).as("tol"))
+        .select(col("l_returnflag"), col("n"), col("ap50"), col("ap99"),
+                (col("below50") <= col("n") * 0.5 + col("tol") &&
+                 col("ab50") >= col("n") * 0.5 - col("tol")).as("ok50"),
+                (col("below99") <= col("n") * 0.99 + col("tol") &&
+                 col("ab99") >= col("n") * 0.99 - col("tol")).as("ok99"))
         .orderBy("l_returnflag")
     })
   )
@@ -181,11 +193,33 @@ object Pipeline {
       """SELECT CAST(floor(n_chars / 100) * 100 AS BIGINT) AS bucket_lo,
                 count(*) AS n, min(n_chars) AS min_chars, max(n_chars) AS max_chars
          FROM documents GROUP BY 1 ORDER BY bucket_lo""",
-    // the sketch's rank-error contract, stated as literal TRUE (the Spark
-    // side computes the booleans by ranking its estimate against the data)
+    // the histogram-sketch percentile is fully SQL-expressible, so the
+    // oracle recomputes the estimates AND the rank-contract booleans —
+    // a real value-level compare, not a literal-TRUE contract statement
     "q_approx_percentile" ->
-      """SELECT l_returnflag, count(*) AS n, TRUE AS ok50, TRUE AS ok99
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+      """WITH parts AS (
+           SELECT l_returnflag, floor(l_extendedprice) AS pb, count(*) AS c
+           FROM lineitem GROUP BY 1, 2),
+         cum AS (
+           SELECT l_returnflag, pb, c,
+                  sum(c) OVER (PARTITION BY l_returnflag ORDER BY pb) AS cum,
+                  sum(c) OVER (PARTITION BY l_returnflag) AS n
+           FROM parts),
+         est AS (
+           SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n,
+                  min(CASE WHEN cum >= ceil(n * 0.5) THEN pb END) AS ap50,
+                  min(CASE WHEN cum >= ceil(n * 0.99) THEN pb END) AS ap99,
+                  CAST(min(CASE WHEN cum >= ceil(n * 0.5) THEN cum - c END) AS BIGINT) AS below50,
+                  CAST(min(CASE WHEN cum >= ceil(n * 0.5) THEN cum END) AS BIGINT) AS ab50,
+                  CAST(min(CASE WHEN cum >= ceil(n * 0.99) THEN cum - c END) AS BIGINT) AS below99,
+                  CAST(min(CASE WHEN cum >= ceil(n * 0.99) THEN cum END) AS BIGINT) AS ab99
+           FROM cum GROUP BY 1)
+         SELECT l_returnflag, n, ap50, ap99,
+                (below50 <= n * 0.5 + (n / 1000.0 + 1) AND
+                 ab50 >= n * 0.5 - (n / 1000.0 + 1)) AS ok50,
+                (below99 <= n * 0.99 + (n / 1000.0 + 1) AND
+                 ab99 >= n * 0.99 - (n / 1000.0 + 1)) AS ok99
+         FROM est ORDER BY l_returnflag""",
     // DuckDB range(0, n, 48) = Spark sequence(0, n-1, 48); list_slice is
     // 1-based inclusive on both ends, matching Spark's slice(arr, start, len)
     "q_chunk_docs" ->

@@ -6,28 +6,26 @@ import org.apache.spark.sql.functions._
 class PipelineSpec extends SparkSpec {
 
   test("approx_percentile within tolerance of exact percentile") {
-    // the query's own output is the rank-error contract booleans
+    // output schema: (l_returnflag, n, ap50, ap99, ok50, ok99)
     val rows = Pipeline.queries("q_approx_percentile")(spark, sf0001).collect()
     assert(rows.nonEmpty)
-    rows.foreach { r =>
-      assert(r.getBoolean(2) && r.getBoolean(3),
+    val est = rows.map { r =>
+      assert(r.getBoolean(4) && r.getBoolean(5),
         s"${r.getString(0)}: rank-error contract violated")
-    }
-    // independent value-level check: the raw estimates stay within 5% of
-    // the exact percentiles
-    val ap = Tables.lineitem(spark, sf0001)
-      .groupBy(col("l_returnflag"))
-      .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("ap50"),
-           percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("ap99"))
-      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      r.getString(0) -> (r.getDouble(2), r.getDouble(3))
+    }.toMap
+    // independent value-level check: the single-pass histogram estimates
+    // stay within 5% of the exact percentiles (bucket width 1.0 on prices
+    // around 1e4–1e5 → the real error is far below 5%; the slack absorbs
+    // the rank-vs-interpolation difference between the two definitions)
     val exact = Tables.lineitem(spark, sf0001)
       .groupBy(col("l_returnflag"))
       .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"),
            expr("percentile(l_extendedprice, 0.99)").as("p99"))
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
     exact.foreach { case (flag, (p50, p99)) =>
-      assert(math.abs(ap(flag)._1 - p50) / p50 < 0.05, s"$flag p50")
-      assert(math.abs(ap(flag)._2 - p99) / p99 < 0.05, s"$flag p99")
+      assert(math.abs(est(flag)._1 - p50) / p50 < 0.05, s"$flag p50")
+      assert(math.abs(est(flag)._2 - p99) / p99 < 0.05, s"$flag p99")
     }
   }
 
