@@ -18,6 +18,11 @@ object GraftRegistrar {
   // a function is absent kills the per-read "function replaced" WARN pair
   // while keeping the safety net self-healing — a later DROP TEMPORARY
   // FUNCTION or catalog reset makes the next table read re-register.
+  // Known trade (adjudicated r14): if some OTHER code already bound these
+  // exact names in a shared session, absence-guarding keeps the foreign
+  // binding instead of replacing it. Acceptable because the graft_ prefix
+  // is repo-private; revisit with a builder-identity compare if these
+  // names are ever published.
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     def ensure(name: String)(builder: Seq[Expression] => Expression): Unit =

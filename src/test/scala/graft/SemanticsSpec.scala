@@ -109,9 +109,11 @@ class SemanticsSpec extends SparkSpec {
     assert(nTokens == toks.length.toLong, s"doc $docId token count")
     assert(math.abs(avgLogp - expected) < 1e-9,
       s"doc $docId: got $avgLogp expected $expected")
-    // global sanity: every score is a negative finite logprob
+    // global sanity: every score is a non-positive finite logprob (≤, not
+    // <: a degenerate corpus where one token IS the corpus gives tf ==
+    // n_total → lp rounds to exactly 0.0, which is still correct)
     rows.values.foreach { case (_, lp) =>
-      assert(lp < 0.0 && !lp.isNaN && !lp.isInfinite)
+      assert(lp <= 0.0 && !lp.isNaN && !lp.isInfinite)
     }
   }
 
@@ -125,22 +127,38 @@ class SemanticsSpec extends SparkSpec {
 
   test("q_sketch_hll: per-group estimates and the sketch-union ALL row stay within 2%") {
     import graft.queries.Aggregates
+    // query output is the contract form (exact_users, n, hll_ok): exacts
+    // must match an independent recount and every contract boolean holds
     val rows = Aggregates.queries("q_sketch_hll")(spark, sf0001).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+      .map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(3))).toMap
     val e = Tables.events(spark, sf0001)
     val exactAll = e.select(countDistinct(col("user_id"))).head().getLong(0)
     val exactByType = e.groupBy(col("event_type"))
       .agg(countDistinct(col("user_id"))).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     (exactByType + ("ALL" -> exactAll)).foreach { case (k, exact) =>
-      val approx = rows(k)
+      val (gotExact, ok) = rows(k)
+      assert(gotExact === exact, s"$k: exact_users=$gotExact recount=$exact")
+      assert(ok, s"$k: hll_ok contract violated")
+    }
+    // the raw estimates (no longer in the oracle-compared output) stay in
+    // the tight 2% envelope on this data — per-type and the sketch-union
+    val perType = e.groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+    val ests = perType
+      .select(col("event_type"), hll_sketch_estimate(col("sk")).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val estAll = perType.agg(hll_union_agg(col("sk"), lit(true)).as("sk"))
+      .select(hll_sketch_estimate(col("sk"))).head().getLong(0)
+    (ests + ("ALL" -> estAll)).foreach { case (k, approx) =>
+      val exact = (exactByType + ("ALL" -> exactAll))(k)
       assert(math.abs(approx - exact).toDouble / exact <= 0.02,
         s"$k: approx=$approx exact=$exact")
     }
     // determinism (DataSketches HLL has no random seed): two runs agree,
-    // so the driver's rows-only check is stable across rounds
+    // so the driver's hash check is stable across rounds
     val again = Aggregates.queries("q_sketch_hll")(spark, sf0001).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+      .map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(3))).toMap
     assert(again === rows)
   }
 
