@@ -130,6 +130,63 @@ class StreamingStateSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("CV minhash-band admission over the emulated source equals batch q_dedup_minhash") {
+    // r14 (judge item 5): the streaming near-dup ADMISSION path — incoming
+    // docs banded inside a continuous view over the emulated sharded-log
+    // source, stream-static-joined against the corpus banding — must
+    // admit/reject exactly the docs batch q_dedup_minhash pairs up.
+    val root = tmpDir("kin-admit")
+    val meta = tmpDir("kin-admit-meta")
+    val corpus = Tables.documents(spark, sf0001)
+    // feed the WHOLE corpus through the stream, 2 shards, "id text" payloads
+    val docs = corpus.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    docs.grouped((docs.length + 1) / 2).zipWithIndex.foreach { case (part, sh) =>
+      ShardedLog.append(s"$root/s", sh,
+        part.toSeq.map { case (id, t) => (id.toString, s"$id $t") })
+    }
+    val staticBands = graft.queries.Dedup.bandKeys(corpus, "doc_id", "text")
+      .select(col("doc_id").as("corpus_doc"), col("band"), col("bk"))
+    val eng = new KinesisEngine(spark, meta)
+    eng.addEndpoint("ep", "r", url = root)
+    eng.createStream("admit_stream",
+      StructType(Seq(StructField("payload", StringType))))
+    eng.createContinuousView("admit_view", "admit_stream", df => {
+      val parsed = df.select(
+        split(col("payload"), " ", 2).getItem(0).cast("long").as("in_id"),
+        split(col("payload"), " ", 2).getItem(1).as("text"))
+      graft.queries.Dedup.bandKeys(parsed, "in_id", "text")
+        .withColumnRenamed("doc_id", "in_id")
+        .join(broadcast(staticBands), Seq("band", "bk"), "left")
+        // self-collision (every doc matches its own banding) is not a dup
+        .groupBy(col("in_id"))
+        .agg(max(when(col("corpus_doc").isNotNull &&
+                      col("corpus_doc") =!= col("in_id"), 1L)
+               .otherwise(0L)).as("flagged"))
+    })
+    eng.consumeBackfill("ep", "s", "admit_stream", format = "text",
+      parallelism = 2)
+    val streamed = eng.viewTable("admit_view").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    eng.consumeEndAll()
+    // batch ground truth: members of any q_dedup_minhash candidate pair
+    val batchFlagged = graft.queries.Dedup.queries("q_dedup_minhash")(spark, sf0001)
+      .select("doc_a", "doc_b").collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    // banded docs = docs with >=3 tokens (a signature exists); parity is
+    // asserted over exactly that population on both sides
+    val banded = staticBands.select("corpus_doc").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed.keySet === banded,
+      "every banded doc flows through the CV exactly once")
+    val streamFlagged = streamed.collect { case (id, 1L) => id }.toSet
+    assert(streamFlagged === batchFlagged,
+      s"streaming admission disagrees with batch: stream-only=${
+        (streamFlagged -- batchFlagged).take(5)}, batch-only=${
+        (batchFlagged -- streamFlagged).take(5)}")
+    assert((banded -- streamFlagged).nonEmpty, "some docs are admitted")
+  }
+
   test("online content dedup: fingerprint + dropDuplicates in a continuous pipeline") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
