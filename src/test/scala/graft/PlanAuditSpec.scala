@@ -20,6 +20,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_sample_hash",     // 1-row corpus total broadcast
     "q_histogram",       // 2-row min/max bounds broadcast
     "q_sketch_bloom",    // 1-row bloom-filter sketch broadcast
+    "q_sketch_hll",      // 1-row global exact-distinct broadcast (ALL row)
     "q_sketch_cms",      // 1-row count-min sketch broadcast
     "q_sketch_rollup",   // 1-row merged-sketch broadcast
     "q_unigram_logprob") // 1-row corpus token-total broadcast
@@ -53,6 +54,19 @@ class PlanAuditSpec extends SparkSpec {
       .toSet
     assert(exchanges.size <= 2,
       s"q_dedup_minhash should shuffle on at most 2 distinct key sets, got $exchanges")
+  }
+
+  test("q_approx_percentile scans lineitem exactly once (r14 single-pass contract)") {
+    // The r12/r13 shape re-scanned lineitem to rank the sketch estimate;
+    // the r14 histogram design derives estimate AND rank check from one
+    // scan's partials. A second scan (e.g. someone re-adding an exact
+    // column over the raw table) regresses the query to 2x I/O at 100 TB
+    // — catch it here before the bench does.
+    val plan = SparkEntry.queries("q_approx_percentile")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllMatchIn(plan).size
+    assert(scans === 1, s"expected exactly 1 lineitem scan, got $scans")
+    assert(!plan.contains("Join"), "single-pass plan needs no join")
   }
 
   test("q_join_range plans a bucketed equi-join on the time-bin key") {
