@@ -221,9 +221,17 @@ object TextAnalysis {
     // The phrase set is tiny → broadcast nested-loop substring probe, the
     // scale-correct shape for small benchmark suites; for large ones the
     // inverted n-gram index of q_dedup_ngram is the swap-in.
+    // The sample window is PINNED to the first 5k doc ids (a no-op at
+    // every driver SF): a benchmark suite is a fixed external artifact,
+    // so the probe set must not grow with the corpus — the unpinned
+    // `% 97` form made the broadcast side O(corpus) and the probe
+    // O(corpus²/97), measured at scaling exponent 1.47 in the r14 10×
+    // rehearsal (29.6× time for 10× docs; PLANS.md appendix) vs ~linear
+    // pinned.
     "q_decontam" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      val bench = docs
+        .filter(pmod(col("doc_id"), lit(97)) === 0 && col("doc_id") < 5000)
         .select(array_join(slice(toks, 1, 5), " ").as("phrase")).distinct()
       docs.join(broadcast(bench), col("text").contains(col("phrase")), "left_semi")
         .select(col("doc_id"))
@@ -412,7 +420,7 @@ object TextAnalysis {
          WHERE EXISTS (
            SELECT 1 FROM (
              SELECT DISTINCT array_to_string(list_slice(string_split(text,' '), 1, 5), ' ') AS phrase
-             FROM documents WHERE doc_id % 97 = 0) b
+             FROM documents WHERE doc_id % 97 = 0 AND doc_id < 5000) b
            WHERE contains(d.text, b.phrase))
          ORDER BY doc_id""",
     "q_binary_cols" ->

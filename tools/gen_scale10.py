@@ -43,15 +43,7 @@ import pyarrow.parquet as pq
 SRC = "/root/testdata/sf0.1"
 
 
-def main():
-    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    mode = sys.argv[3] if len(sys.argv) > 3 else "grow"
-    out = (sys.argv[2] if len(sys.argv) > 2
-           else f"/tmp/graft_scale{factor}_{mode}")
-    assert mode in ("grow", "saturate"), mode
-    os.makedirs(out, exist_ok=True)
-    con = duckdb.connect()
-
+def gen_documents(con, factor, out, mode):
     docs = con.sql(
         f"SELECT doc_id, text, lang, source FROM '{SRC}/documents.parquet' "
         "ORDER BY doc_id").fetchall()
@@ -80,7 +72,10 @@ def main():
         "source": pa.array(sources, pa.string()),
         "n_chars": pa.array(nchars, pa.int64()),
     }), f"{out}/documents.parquet")
+    return factor * n_docs
 
+
+def gen_embeddings(con, factor, out):
     emb = con.sql(
         f"SELECT vec_id, embedding, label FROM '{SRC}/embeddings.parquet' "
         "ORDER BY vec_id").fetchall()
@@ -105,8 +100,20 @@ def main():
         "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
         "label": pa.array(np.concatenate(all_labels), pa.int32()),
     }), f"{out}/embeddings.parquet")
-    print(f"[gen_scale] wrote {out}: {factor * n_docs} docs, "
-          f"{factor * n_vec} vectors")
+    return factor * n_vec
+
+
+def main():
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    mode = sys.argv[3] if len(sys.argv) > 3 else "grow"
+    out = (sys.argv[2] if len(sys.argv) > 2
+           else f"/tmp/graft_scale{factor}_{mode}")
+    assert mode in ("grow", "saturate"), mode
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    n_docs = gen_documents(con, factor, out, mode)
+    n_vec = gen_embeddings(con, factor, out)
+    print(f"[gen_scale] wrote {out}: {n_docs} docs, {n_vec} vectors")
 
 
 if __name__ == "__main__":
