@@ -69,6 +69,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Join"), "single-pass plan needs no join")
   }
 
+  test("q_decontam probe set stays fixed when the corpus grows (r14 scale pin)") {
+    // The r14 10x rehearsal measured the unpinned (corpus-proportional)
+    // probe set at scaling exponent 1.47 — the only super-linear query in
+    // the suite. The fix pins the benchmark-phrase sample to doc ids
+    // < 5000 (a benchmark suite is a fixed external artifact). This pin:
+    // on a 15k-doc corpus, ONLY sampled docs below 5000 may be flagged —
+    // an unpinned regression would flag the %97 multiples above too.
+    import spark.implicits._
+    val dir = tmpDir("decontam-scale")
+    (0L until 15000L).map { i =>
+      val text = if (i % 97 == 0) s"marker$i a b c d e f"
+                 else s"filler$i u v w x y z"
+      (i, text, "en", "src0", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val flagged = SparkEntry.queries("q_decontam")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    val expect = (0L until 15000L).filter(i => i % 97 == 0 && i < 5000).toSet
+    assert(flagged === expect,
+      s"probe set leaked beyond the pinned window: unexpected=${
+        (flagged -- expect).take(5)}, missing=${(expect -- flagged).take(5)}")
+  }
+
   test("q_join_range plans a bucketed equi-join on the time-bin key") {
     val qe = SparkEntry.queries("q_join_range")(spark, sf0001).queryExecution
     val plan = qe.executedPlan.toString
