@@ -83,6 +83,64 @@ class RecallSpec extends SparkSpec {
         "true neighbors; check the centroid assignment")
   }
 
+  test("trained IVF: Lloyd objective non-decreasing per round; deterministic") {
+    // Spherical k-means theory: assignment maximizes each vector's cosine
+    // given the centroids, and (for ~unit vectors) the dimension-wise mean
+    // maximizes the summed cosine given the assignment — so the mean
+    // assigned cosine must not decrease across rounds. Tolerance 1e-4
+    // absorbs the deliberate engine-determinism quantizations (6-decimal
+    // components, decimal-exact means, round(cos, 6) ranking), each
+    // bounded well below it; a wrong update step moves the objective by
+    // orders of magnitude more.
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.types.DecimalType
+    import graft.operators.VectorOps
+    val e = Tables.embeddings(spark, sf001).select(
+      col("vec_id"),
+      transform(col("embedding"),
+        v => floor(v.cast("double") * 1e6 + 0.5) / 1e6).as("qemb"))
+    def assignObj(cents: DataFrame): (DataFrame, Double) = {
+      val a = e.crossJoin(broadcast(cents))
+        .withColumn("cos_c", round(
+          VectorOps.cosineUnrolled(col("qemb"), col("cent_emb")), 6))
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("qemb"), col("cent_id")),
+                    struct(col("cos_c"), -col("cent_id"))).as("m"),
+             max(col("cos_c")).as("best"))
+        .select(col("vec_id"), col("m.qemb").as("qemb"),
+                col("m.cent_id").as("cluster"), col("best"))
+      (a, a.agg(avg(col("best"))).head().getDouble(0))
+    }
+    def update(a: DataFrame): DataFrame = a
+      .select(col("cluster"), posexplode(col("qemb")).as(Seq("pos", "v")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg((sum(col("v").cast(DecimalType(18, 6))).cast("double") /
+            count(lit(1))).as("cv"))
+      .groupBy(col("cluster"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+                     x => x.getField("cv")).as("cent_emb"))
+      .select(col("cluster").as("cent_id"), col("cent_emb"))
+    val c0 = e.filter(col("vec_id") <= 15)
+      .select(col("vec_id").as("cent_id"), col("qemb").as("cent_emb"))
+    val (a1, o0) = assignObj(c0)
+    val (a2, o1) = assignObj(update(a1))
+    val (_, o2) = assignObj(update(a2))
+    info(f"spherical k-means mean-cosine objective: seed=$o0%.4f " +
+         f"round1=$o1%.4f round2=$o2%.4f")
+    assert(o1 >= o0 - 1e-4 && o2 >= o1 - 1e-4,
+      f"Lloyd objective decreased: $o0%.6f -> $o1%.6f -> $o2%.6f")
+    // determinism: the decimal-exact means make reruns bit-identical
+    def run() = SparkEntry.queries("q_similarity_ivf_trained")(spark, sf001)
+      .collect().toSeq
+    val r = run()
+    assert(r === run(), "trained IVF is not deterministic")
+    val exact = ids("q_similarity_topk").toSet
+    val trained = ids("q_similarity_ivf_trained").toSet
+    info(f"recall@10 ivf_trained=${(trained & exact).size / 10.0}%.2f " +
+         f"(scanned ~${trained.size} of 499; untrained ivf for comparison " +
+         f"is in the ANN recall test above)")
+  }
+
   test("minhash band stage recovers >= 75% of exact-Jaccard >= 0.75 pairs") {
     // Ground truth: exact shingle-set Jaccard over ALL pairs (all-pairs is
     // test-only — the operators under test exist precisely to avoid this
