@@ -65,6 +65,42 @@ class SketchRegimeSpec extends SparkSpec {
     }
   }
 
+  test("bloom capacity and decimal-double-cast margins hold at all SFs") {
+    // Two more regimes the r14 sf1-equivalent rehearsal measured breaking
+    // at 10x (92/94 value-exact there; PLANS.md appendix):
+    // 1. q_sketch_bloom sizes its filter for 100k items; the 10x slice's
+    //    150k distinct custkeys push the non-member FP rate to ~9%,
+    //    correctly breaching the 1% contract. Testdata must stay far
+    //    under capacity for the literal-TRUE oracle to be provable.
+    // 2. dsum6-style exact decimal sums cast to double are correctly
+    //    rounded by Spark (BigDecimal) at any magnitude, but DuckDB's
+    //    int128-based conversion can be off by the last ULP once
+    //    sum x 1e6 exceeds 2^53 — measured as a 1-ULP q_agg_multi
+    //    sum_charge diff at the 10x slice (sum 5.2e10). The gate SFs
+    //    must keep headline sums below that edge.
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1").foreach { sf =>
+      val nKeys = Tables.orders(spark, sf)
+        .agg(count_distinct(col("o_custkey"))).head().getLong(0)
+      assert(nKeys <= 50000,
+        s"$sf: $nKeys distinct custkeys near the 100k bloom capacity — " +
+          "testdata left q_sketch_bloom's provably-under-1%-FP regime; " +
+          "resize the filter or regenerate oracle")
+      // the compared values are PER-GROUP sums (q_agg_multi groups by
+      // returnflag x linestatus); the largest group is the binding one
+      val charge = Tables.lineitem(spark, sf)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+                 (lit(1.0) + col("l_tax"))).as("c"))
+        .agg(max(col("c"))).head().getDouble(0)
+      assert(charge * 1e6 < math.pow(2, 53),
+        f"$sf: max per-group sum_charge=$charge%.0f x 1e6 crosses 2^53 — " +
+          "DuckDB's decimal->double cast stops being correctly rounded " +
+          "there and the q_agg_multi oracle hash-compare breaks on the " +
+          "last ULP (measured at the 10x slice)")
+    }
+  }
+
   test("a 10x-users regeneration trips the HLL set-mode tripwire") {
     import spark.implicits._
     // synthetic stand-in for a regenerated sf0.1: same 5 types, 15,000
