@@ -95,6 +95,86 @@ class DedupEdgeSpec extends SparkSpec {
       (5L, 3L, 3L, s"$R $R $R")))
   }
 
+  test("q_dedup_semantic drops the centroid-near member of each dup pair") {
+    import spark.implicits._
+    val d = tmpDir("dedup-semantic")
+    def oneHot(i: Int, v: Float = 1f): Array[Float] = {
+      val a = Array.fill(64)(0f); a(i) = v; a
+    }
+    val vecs: Seq[(Long, Array[Float], Int)] =
+      // vec 0..15 = one-hot basis → each is its own cluster's centroid
+      (0 until 16).map(i => (i.toLong, oneHot(i), 0)) ++ Seq(
+        // near-dup of centroid 4 (cos ≈ 0.994 ≥ τ): it sits FARTHER from
+        // the centroid than vec 4 itself (cos_cent 0.994 < 1.0), so
+        // SemDeDup's keep-the-outlier rule keeps 16 and drops 4
+        (16L, { val a = oneHot(4, 0.9f); a(5) = 0.1f; a }, 0),
+        // equidistant from centroids 7 and 8 (cos 0.7071): assignment
+        // tie-break (cent_id ASC) puts it in cluster 7; pair (7, 17)
+        // crosses τ and 17 is the outlier → 7 dropped
+        (17L, { val a = oneHot(7, 0.5f); a(8) = 0.5f; a }, 0),
+        // orthogonal to every centroid (all cos 0, tie → cluster 0);
+        // no pair ≥ τ → kept
+        (18L, oneHot(20), 0),
+        // anti-parallel to centroid 0 → best cos is 0 at cent_id 1;
+        // its only cluster-mate e1 scores cos 0 → kept
+        (19L, oneHot(0, -1f), 0))
+    vecs.toDF("vec_id", "embedding", "label").coalesce(1)
+      .write.parquet(s"$d/embeddings.parquet")
+    val rows = Dedup.queries("q_dedup_semantic")(spark, d).collect()
+    assert(rows.length === 20, "one verdict row per input vector")
+    val byId = rows.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getInt(3))).toMap
+    assert(byId.filter(_._2._2 == 0).keySet === Set(4L, 7L),
+      "exactly the centroid-near members of the two dup pairs are dropped")
+    assert(byId(16L)._1 === 4L && byId(17L)._1 === 7L)
+    assert(byId(18L)._1 === 0L, "all-zero-cos tie assigns to cent_id 0")
+    assert(byId(19L)._1 === 1L, "anti-parallel vec avoids its own centroid")
+  }
+
+  test("q_dedup_semantic matches a driver-side recomputation on sf0.001") {
+    // independent reimplementation of assign + drop over collected rows,
+    // with the query's exact rounding (HALF_UP, as Spark round() does)
+    def r(x: Double, s: Int): Double =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      dot / math.sqrt(na * nb)
+    }
+    val emb = Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding").collect()
+      .map(row => row.getLong(0) -> row.getSeq[Float](1).toArray).toMap
+    val cents = emb.filter(_._1 <= 15)
+    val assigned = emb.map { case (id, v) =>
+      val (cid, cc) = cents.toSeq
+        .map { case (c, cv) => (c, r(cos(v, cv), 6)) }
+        .minBy { case (c, s) => (-s, c) }
+      id -> ((cid, cc))
+    }
+    val expectDropped = assigned.keySet.filter { id =>
+      val (cl, cc) = assigned(id)
+      assigned.exists { case (o, (ocl, occ)) =>
+        o != id && ocl == cl &&
+          r(cos(emb(id), emb(o)), 4) >= 0.35 &&
+          (occ < cc || (occ == cc && o < id))
+      }
+    }
+    val rows = Dedup.queries("q_dedup_semantic")(spark, sf0001).collect()
+    assert(rows.length === emb.size)
+    rows.foreach { row =>
+      val id = row.getLong(0)
+      assert(row.getLong(1) === assigned(id)._1, s"cluster of vec $id")
+      assert(row.getDouble(2) === assigned(id)._2, s"cos_cent of vec $id")
+      assert((row.getInt(3) == 0) === expectDropped(id), s"is_kept of vec $id")
+    }
+    assert(expectDropped.nonEmpty,
+      "fixture regime: τ=0.35 must produce at least one drop at sf0.001")
+  }
+
   test("graft_shingles of NULL text is an empty array, not null") {
     import spark.implicits._
     // parity with the when/otherwise + transform chain it replaced: a

@@ -16,6 +16,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_similarity_topk", // 1-row probe vector broadcast
     "q_similarity_ivf",  // ≤16-row centroid codebook broadcast
     "q_similarity_ivf_trained", // ≤16-row codebook broadcast per Lloyd round
+    "q_dedup_semantic",  // ≤16-row codebook broadcast (SemDeDup assignment)
     "q_similarity_lsh",  // 1-row probe (bucket-filtered) broadcast
     "q_data_mixture",    // 1-row corpus total broadcast
     "q_sample_hash",     // 1-row corpus total broadcast
