@@ -208,6 +208,64 @@ object Similarity {
         .limit(10)
     }),
 
+    // Product quantization + asymmetric-distance search (Jégou et al.
+    // 2011) — the memory layout behind billion-scale ANN (IVF-PQ): each
+    // 64-dim vector is encoded as 8 sub-codes (one per 8-dim subspace,
+    // nearest of 16 data-derived sub-centroids → 8×4 bits, a 64× storage
+    // cut), and search never decodes — the probe precomputes a 16×8
+    // distance table and every candidate's distance estimate is 8 table
+    // lookups (ADC). Plan shape: encode = ONE broadcast-codebook pass +
+    // one min-aggregation (integer argmin keys, see below); search = 8
+    // chained broadcast hash joins against the 16-row table — map-only,
+    // no shuffle — into TakeOrderedAndProject. At 100 TB the codes table
+    // is the stored index (re-encoded only when the codebook retrains)
+    // and the per-query cost is the 8-lookup scan, exactly this plan.
+    // Cross-engine determinism: per-subspace distances round to 6
+    // decimals, and the argmin is over the INTEGER key
+    // floor(d·1e6 + 0.5)·16 + cent_id — exact min() arithmetic on both
+    // engines with the cent_id tie-break built into the low bits,
+    // avoiding min_by-vs-arg_min tie divergence entirely.
+    "q_similarity_pq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = emb.filter(col("vec_id") <= 15)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+      // squared L2 over subspace j (1-based dims 8j+1 … 8j+8), unrolled
+      // left-to-right — IEEE-identical to the DuckDB expression
+      def subdist(v: Column, c: Column, j: Int): Column =
+        (1 to 8).map { k =>
+          val dlt = element_at(v, 8 * j + k).cast("double") -
+                    element_at(c, 8 * j + k).cast("double")
+          dlt * dlt
+        }.reduce(_ + _)
+      val keyed = emb.crossJoin(broadcast(cents))
+        .select(Seq(col("vec_id"), col("label")) ++ (0 until 8).map(j =>
+          (floor(round(subdist(col("embedding"), col("cent_emb"), j), 6)
+             * 1e6 + 0.5).cast("long") * 16 + col("cent_id")).as(s"k$j")): _*)
+      val coded = keyed.groupBy("vec_id", "label")
+        .agg(min(col("k0")).as("k0"), (1 until 8).map(j =>
+          min(col(s"k$j")).as(s"k$j")): _*)
+        .select(Seq(col("vec_id"), col("label")) ++ (0 until 8).map(j =>
+          (col(s"k$j") % 16).as(s"c$j")): _*)
+      val dt = cents.crossJoin(broadcast(
+          emb.filter(col("vec_id") === 0).select(col("embedding").as("p"))))
+        .select(Seq(col("cent_id")) ++ (0 until 8).map(j =>
+          round(subdist(col("p"), col("cent_emb"), j), 6).as(s"pd$j")): _*)
+      val adcJoined = (0 until 8).foldLeft(coded) { (r, j) =>
+        r.join(broadcast(dt.select(col("cent_id").as(s"c$j"), col(s"pd$j"))),
+               Seq(s"c$j"))
+      }
+      adcJoined.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+                (0 until 8).map(j => col(s"c$j") * lit(math.pow(16, j).toLong))
+                  .reduce(_ + _).as("code"),
+                // ranked on the 4-dp value (vec_id breaks its ties) so both
+                // engines pick the identical top-10 set AND row order
+                round((0 until 8).map(j => col(s"pd$j")).reduce(_ + _), 4)
+                  .as("adc_dist"))
+        .orderBy(col("adc_dist").asc, col("vec_id").asc)
+        .limit(10)
+    }),
+
     // Int8 symmetric quantization of the embedding column — the storage
     // compression step of an embedding pipeline (4× smaller than float32,
     // dequant error bounded by scale/2, verified in max_err). One narrow
@@ -358,6 +416,38 @@ object Similarity {
                     FROM a3 WHERE vec_id = 0) p
           WHERE cluster = p.pc AND vec_id <> 0
           ORDER BY cos_sim DESC, vec_id ASC LIMIT 10"""
+    },
+    "q_similarity_pq" -> {
+      // squared L2 over subspace j, unrolled left-to-right like the Spark
+      // side (SQL + is left-associative — identical IEEE evaluation)
+      def sdS(v: String, c: String, j: Int) =
+        (1 to 8).map { k =>
+          val i = 8 * j + k
+          s"(CAST($v[$i] AS DOUBLE) - CAST($c[$i] AS DOUBLE)) * (CAST($v[$i] AS DOUBLE) - CAST($c[$i] AS DOUBLE))"
+        }.mkString(" + ")
+      val keySel = (0 until 8).map(j =>
+        s"CAST(floor(round(${sdS("e.embedding", "c.cent_emb", j)}, 6) * 1000000.0 + 0.5) AS BIGINT) * 16 + c.cent_id AS k$j")
+        .mkString(", ")
+      val pdSel = (0 until 8).map(j =>
+        s"round(${sdS("p.p", "c.cent_emb", j)}, 6) AS pd$j").mkString(", ")
+      val dtJoins = (0 until 8).map(j =>
+        s"JOIN dt t$j ON co.c$j = t$j.cent_id").mkString(" ")
+      s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb
+                         FROM embeddings WHERE vec_id <= 15),
+            keyed AS (SELECT e.vec_id, e.label, $keySel
+                      FROM embeddings e CROSS JOIN cents c),
+            co AS (SELECT vec_id, label,
+                          ${(0 until 8).map(j => s"min(k$j) % 16 AS c$j").mkString(", ")}
+                   FROM keyed GROUP BY vec_id, label),
+            dt AS (SELECT c.cent_id, $pdSel
+                   FROM cents c CROSS JOIN
+                        (SELECT embedding AS p FROM embeddings WHERE vec_id = 0) p)
+          SELECT co.vec_id, CAST(co.label AS BIGINT) AS label,
+                 ${(0 until 8).map(j => s"co.c$j * ${math.pow(16, j).toLong}").mkString(" + ")} AS code,
+                 round(${(0 until 8).map(j => s"t$j.pd$j").mkString(" + ")}, 4) AS adc_dist
+          FROM co $dtJoins
+          WHERE co.vec_id <> 0
+          ORDER BY adc_dist ASC, co.vec_id ASC LIMIT 10"""
     },
     "q_embed_quant" ->
       """WITH m AS (
