@@ -86,20 +86,46 @@ object CosineSimilarity {
     }
     dot / math.sqrt(na * nb)
   }
+
+  /** Double-array variant (quantized/trained codebooks are array<double>);
+    * `element_at(arr, i).cast("double")` is a no-op on doubles, so this is
+    * bit-identical to the unrolled chain on the same inputs. */
+  def computeD(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i)
+      val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / math.sqrt(na * nb)
+  }
 }
 
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
-  // input contract: two ArrayType(FloatType) children
+  // input contract: two ArrayType(FloatType) or two ArrayType(DoubleType)
+  // children (element type dispatched below; mixed pairs are unsupported)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_cosine"
 
+  private def isDoubleArr: Boolean = left.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  private def fn: String = if (isDoubleArr) "computeD" else "compute"
+
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    CosineSimilarity.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (isDoubleArr)
+      CosineSimilarity.computeD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else
+      CosineSimilarity.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.expressions.CosineSimilarity.compute($a, $b)")
+      s"graft.expressions.CosineSimilarity.$fn($a, $b)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSimilarity =

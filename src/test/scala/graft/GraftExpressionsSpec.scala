@@ -35,6 +35,23 @@ class GraftExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("graft_cosine double-array path equals the unrolled composition, bit-exact") {
+    // array<double> inputs (quantized codebooks) dispatch to computeD;
+    // must stay bit-identical to the unrolled chain like the float path
+    val e = Tables.embeddings(spark, sf0001).limit(200)
+      .select(col("vec_id"), transform(col("embedding"),
+        v => floor(v.cast("double") * 1e6 + 0.5) / 1e6).as("q"))
+    val pairs = e.as("a").crossJoin(e.as("b")).limit(500)
+      .select(VectorOps.cosine(col("a.q"), col("b.q")).as("native"),
+              VectorOps.cosineUnrolled(col("a.q"), col("b.q")).as("unrolled"))
+      .collect()
+    pairs.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+             java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"${r.getDouble(0)} vs ${r.getDouble(1)}")
+    }
+  }
+
   test("graft_shingles equals the two-transform chain; graft_minhash equals array_min∘transform") {
     import spark.implicits._
     val P = 1000000007L
