@@ -65,9 +65,11 @@ object PlanDump {
          |billion-scale ANN memory layout. Encode = one broadcast-codebook
          |pass + one min-aggregation over INTEGER argmin keys
          |(floor(d*1e6+0.5)*16 + cent_id — exact min() on both engines,
-         |cent_id tie-break in the low bits); search = 8 chained broadcast
-         |hash joins against the probe's 16-row distance table, map-only
-         |into TakeOrderedAndProject. At 100 TB the codes table (8 bytes/
+         |cent_id tie-break in the low bits); search = the probe's 16x8
+         |distance table collapsed to one broadcast map row, 8 in-row
+         |lookups per candidate, map-only into TakeOrderedAndProject
+         |(replacing 8 chained broadcast joins: 1.16 s -> 0.82 s at
+         |sf0.1). At 100 TB the codes table (8 bytes/
          |vector vs 256 for raw float32) is the stored index; re-encode
          |only on codebook retrain. Measured recall@10 = 0.20 vs exact L2
          |on RANDOM vectors with an untrained 16-row codebook (chance

