@@ -104,4 +104,25 @@ class TablesSchemaDriftSpec extends SparkSpec {
         assert(SparkEntry.queries(q)(spark, dir).count() > 0, s"$q returned 0 rows")
     }
   }
+
+  test("embedding dimension stays 64 (unrolled vector ops + oracles assume it)") {
+    // Dim is DATA, not schema (array length), so schema checks can't catch
+    // a regeneration that changes it — and the failure mode is silent:
+    // VectorOps.dot/norm2 unroll positions 1…64 (a 128-dim corpus would
+    // half-compute), q_similarity_pq's 8×8 subspace grid covers exactly
+    // 64, and the trained-IVF DuckDB oracle hardcodes range(1, 65). The
+    // native graft_cosine alone is length-adaptive, so a drift would break
+    // queries INCONSISTENTLY — hash mismatches that look like engine bugs.
+    // Fail loudly here first, naming the contract to update.
+    import org.apache.spark.sql.functions._
+    for (sf <- Seq(sf0001, "/root/testdata/sf0.01")) {
+      val dims = Tables.embeddings(spark, sf)
+        .select(size(col("embedding")).as("d")).agg(min("d"), max("d")).head()
+      assert(dims.getInt(0) == 64 && dims.getInt(1) == 64,
+        s"$sf: embedding dims [${dims.getInt(0)}, ${dims.getInt(1)}] != 64 — " +
+          "testdata regenerated with a new dimension; update VectorOps' " +
+          "unrolled dim, q_similarity_pq's subspace grid, and the " +
+          "trained-IVF oracle's range(1, 65) together")
+    }
+  }
 }
