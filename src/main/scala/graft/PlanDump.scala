@@ -67,9 +67,11 @@ object PlanDump {
          |(floor(d*1e6+0.5)*16 + cent_id — exact min() on both engines,
          |cent_id tie-break in the low bits); search = the probe's 16x8
          |distance table collapsed to one broadcast map row, 8 in-row
-         |lookups per candidate, map-only into TakeOrderedAndProject
-         |(replacing 8 chained broadcast joins: 1.16 s -> 0.82 s at
-         |sf0.1). At 100 TB the codes table (8 bytes/
+         |lookups per candidate, map-only into TakeOrderedAndProject.
+         |Iterated shape (identical hashes each step): 8 chained
+         |broadcast joins 1.16 s -> one broadcast map row 0.82 s -> fused
+         |graft_pq_dists native encode 0.65 s at sf0.1. At 100 TB the
+         |codes table (8 bytes/
          |vector vs 256 for raw float32) is the stored index; re-encode
          |only on codebook retrain. Measured recall@10 = 0.20 vs exact L2
          |on RANDOM vectors with an untrained 16-row codebook (chance

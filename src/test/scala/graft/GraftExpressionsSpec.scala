@@ -52,6 +52,32 @@ class GraftExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("graft_pq_dists equals the unrolled per-subspace element_at chains, bit-exact") {
+    def subdistUnrolled(v: org.apache.spark.sql.Column,
+                        c: org.apache.spark.sql.Column, j: Int) =
+      (1 to 8).map { k =>
+        val d = element_at(v, 8 * j + k).cast("double") -
+                element_at(c, 8 * j + k).cast("double")
+        d * d
+      }.reduce(_ + _)
+    val e = Tables.embeddings(spark, sf0001).limit(100)
+    val rows = e.as("a").crossJoin(e.as("b")).limit(400)
+      .select(Seq(call_function("graft_pq_dists",
+                col("a.embedding"), col("b.embedding")).as("fused")) ++
+        (0 until 8).map(j =>
+          subdistUnrolled(col("a.embedding"), col("b.embedding"), j).as(s"u$j")): _*)
+      .collect()
+    rows.foreach { r =>
+      val fused = r.getSeq[Double](0)
+      assert(fused.length === 8)
+      (0 until 8).foreach { j =>
+        assert(java.lang.Double.doubleToLongBits(fused(j)) ===
+               java.lang.Double.doubleToLongBits(r.getDouble(j + 1)),
+          s"subspace $j: ${fused(j)} vs ${r.getDouble(j + 1)}")
+      }
+    }
+  }
+
   test("graft_shingles equals the two-transform chain; graft_minhash equals array_min∘transform") {
     import spark.implicits._
     val P = 1000000007L
