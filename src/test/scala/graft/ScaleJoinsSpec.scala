@@ -59,6 +59,68 @@ class ScaleJoinsSpec extends SparkSpec {
       .filter(col("event_type") === "click").count())
   }
 
+  test("AQE splits a skewed band-bucket join partition (the Dedup scale claim)") {
+    // Dedup.scala's scale argument says "skewed buckets are split by
+    // AQE" — this pins it as a machine check instead of a comment. Shape:
+    // the streaming near-dup admission join (bandKeys(probe) equi-joined
+    // against bandKeys(corpus)) where the corpus has one pathological
+    // band bucket (4,000 identical docs → 4 hot (band, bk) keys holding
+    // half the corpus's band rows). Thresholds are scaled to test data —
+    // at production sizes the DEFAULTS (256 MB threshold, 5x median) fire
+    // on the same plan shape.
+    import spark.implicits._
+    val hot = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val corpus = ((1 to 4000).map(i => (i.toLong, hot)) ++
+      (1 to 4000).map { i =>
+        (10000L + i, s"w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f")
+      }).toDF("doc_id", "text")
+    val probes = ((1 to 10).map(i => (90000L + i, hot)) ++
+      (1 to 40).map { i =>
+        (91000L + i, s"p${i}a p${i}b p${i}c p${i}d p${i}e p${i}f")
+      }).toDF("doc_id", "text")
+    // skew splits re-read the hot reduce partition at MAPPER granularity,
+    // so the map side needs several tasks (a 1-partition local relation
+    // would leave AQE nothing to split — a real scan always has many)
+    val cb = graft.queries.Dedup.bandKeys(
+      corpus.repartition(8), "doc_id", "text").as("c")
+    val pb = graft.queries.Dedup.bandKeys(
+      probes.repartition(8), "doc_id", "text").as("p")
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // probe side would broadcast
+      // 4 reduce partitions (the suite default) would land the 4 hot keys
+      // in most partitions and drag the MEDIAN up to the skew — with 64,
+      // hot keys isolate and the median reflects the healthy buckets
+      "spark.sql.shuffle.partitions" -> "64",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      // sized against COMPRESSED shuffle bytes (the sizes AQE sees): the
+      // hot partition's repetitive (band, bk, doc_id) rows compress hard
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16384",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8192")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // sum(c.doc_id) keeps the corpus doc id flowing through the join:
+      // column pruning would otherwise shuffle only the CONSTANT (band,
+      // bk) pair for the hot bucket, which compresses to ~nothing and
+      // hides the skew from AQE's (compressed) size stats
+      val j = pb.join(cb,
+          col("p.band") === col("c.band") && col("p.bk") === col("c.bk"))
+        .groupBy(col("p.doc_id"))
+        .agg(count(lit(1)).as("n"), sum(col("c.doc_id")).as("s"))
+      val rows = j.collect()
+      // semantics unaffected by the split: every hot probe matches all
+      // 4,000 hot corpus docs in each of its 4 bands
+      assert(rows.filter(_.getLong(0) <= 90010L).forall(_.getLong(1) === 16000L))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE to mark the skewed join (skew=true):\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed join runs without Exchange or Sort (co-located)") {
     // in-memory catalog resets per JVM but table locations persist on disk
     for (t <- Seq("b_orders", "b_lineitem")) {
