@@ -24,7 +24,7 @@ object PlanDump {
     "q_agg_salted", "q_embed_quant", "q_sql_tpch3", "q_upsert_last_wins",
     "q_corpus_filter", "q_dedup_lines", "q_approx_percentile",
     "q_chunk_docs", "q_unigram_logprob", "q_dedup_semantic",
-    "q_similarity_pq")
+    "q_similarity_pq", "q_similarity_ivfpq")
 
   private val keep = Seq("Exchange", "HashAggregate", "BroadcastHashJoin",
     "BroadcastNestedLoopJoin", "CartesianProduct", "SortMergeJoin",

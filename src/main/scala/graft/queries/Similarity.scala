@@ -283,6 +283,64 @@ object Similarity {
         .limit(10)
     }),
 
+    // IVF-PQ composed (the production billion-scale index): the coarse
+    // quantizer restricts search to the probe's posting list (~1/16 of
+    // the corpus), PQ-ADC ranks within it from codes alone. Exactly the
+    // two verified stages chained — assignment from q_similarity_ivf,
+    // encode/ADC from q_similarity_pq (the PQ codebook sees the same
+    // vectors, so codes are identical with or without the posting-list
+    // filter; pinned in RecallSpec). Production refinement not modeled
+    // here: real IVF-PQ encodes RESIDUALS (v − centroid) so sub-codebooks
+    // capture within-cluster variance; with this corpus's data-derived
+    // codebook the raw-vector PQ is the honest baseline.
+    "q_similarity_ivfpq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = emb.filter(col("vec_id") <= 15)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+      val assigned = emb.crossJoin(broadcast(cents))
+        .withColumn("cos_c", round(cosine(col("embedding"), col("cent_emb")), 6))
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("label"), col("embedding"), col("cent_id")),
+                    struct(col("cos_c"), -col("cent_id"))).as("m"))
+        .select(col("vec_id"), col("m.label").as("label"),
+                col("m.embedding").as("embedding"), col("m.cent_id").as("cluster"))
+      val probeC = assigned.filter(col("vec_id") === 0)
+        .select(col("cluster").as("pc"))
+      val cand = assigned.join(broadcast(probeC), col("cluster") === col("pc"))
+        .filter(col("vec_id") =!= 0)
+      def sub(ds: Column, j: Int) = element_at(ds, j + 1)
+      val keyed = cand.crossJoin(broadcast(cents))
+        .withColumn("ds",
+          call_function("graft_pq_dists", col("embedding"), col("cent_emb")))
+        .select(Seq(col("vec_id"), col("label"), col("cluster")) ++
+          (0 until 8).map(j =>
+            (floor(round(sub(col("ds"), j), 6) * 1e6 + 0.5).cast("long") * 16 +
+             col("cent_id")).as(s"k$j")): _*)
+      val coded = keyed.groupBy("vec_id", "label", "cluster")
+        .agg(min(col("k0")).as("k0"), (1 until 8).map(j =>
+          min(col(s"k$j")).as(s"k$j")): _*)
+        .select(Seq(col("vec_id"), col("label"), col("cluster")) ++
+          (0 until 8).map(j => (col(s"k$j") % 16).as(s"c$j")): _*)
+      val dt = cents.crossJoin(broadcast(
+          emb.filter(col("vec_id") === 0).select(col("embedding").as("p"))))
+        .withColumn("pds",
+          call_function("graft_pq_dists", col("p"), col("cent_emb")))
+        .select(Seq(col("cent_id")) ++ (0 until 8).map(j =>
+          round(sub(col("pds"), j), 6).as(s"pd$j")): _*)
+      val dtm = dt.agg(map_from_entries(collect_list(struct(col("cent_id"),
+        struct((0 until 8).map(j => col(s"pd$j")): _*)))).as("dtm"))
+      coded.crossJoin(broadcast(dtm))
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+                col("cluster").cast("long").as("cluster"),
+                (0 until 8).map(j => col(s"c$j") * lit(math.pow(16, j).toLong))
+                  .reduce(_ + _).as("code"),
+                round((0 until 8).map(j =>
+                  col("dtm")(col(s"c$j")).getField(s"pd$j")).reduce(_ + _), 4)
+                  .as("adc_dist"))
+        .orderBy(col("adc_dist").asc, col("vec_id").asc)
+        .limit(10)
+    }),
+
     // Int8 symmetric quantization of the embedding column — the storage
     // compression step of an embedding pipeline (4× smaller than float32,
     // dequant error bounded by scale/2, verified in max_err). One narrow
@@ -464,6 +522,51 @@ object Similarity {
                  round(${(0 until 8).map(j => s"t$j.pd$j").mkString(" + ")}, 4) AS adc_dist
           FROM co $dtJoins
           WHERE co.vec_id <> 0
+          ORDER BY adc_dist ASC, co.vec_id ASC LIMIT 10"""
+    },
+    "q_similarity_ivfpq" -> {
+      def cosS(a: String, b: String) =
+        s"""list_sum(list_transform(list_zip($a, $b),
+              x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+            / sqrt(list_sum(list_transform($a, u -> CAST(u AS DOUBLE) * CAST(u AS DOUBLE)))
+                 * list_sum(list_transform($b, u -> CAST(u AS DOUBLE) * CAST(u AS DOUBLE))))"""
+      def sdS(v: String, c: String, j: Int) =
+        (1 to 8).map { k =>
+          val i = 8 * j + k
+          s"(CAST($v[$i] AS DOUBLE) - CAST($c[$i] AS DOUBLE)) * (CAST($v[$i] AS DOUBLE) - CAST($c[$i] AS DOUBLE))"
+        }.mkString(" + ")
+      val keySel = (0 until 8).map(j =>
+        s"CAST(floor(round(${sdS("e.embedding", "c.cent_emb", j)}, 6) * 1000000.0 + 0.5) AS BIGINT) * 16 + c.cent_id AS k$j")
+        .mkString(", ")
+      val pdSel = (0 until 8).map(j =>
+        s"round(${sdS("p.p", "c.cent_emb", j)}, 6) AS pd$j").mkString(", ")
+      val dtJoins = (0 until 8).map(j =>
+        s"JOIN dt t$j ON co.c$j = t$j.cent_id").mkString(" ")
+      s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb
+                         FROM embeddings WHERE vec_id <= 15),
+            assigned AS (
+              SELECT vec_id, label, embedding, cent_id AS cluster FROM (
+                SELECT e.vec_id, e.label, e.embedding, c.cent_id,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY round(${cosS("e.embedding", "c.cent_emb")}, 6) DESC,
+                                  c.cent_id ASC) AS rn
+                FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+            cand AS (SELECT a.* FROM assigned a,
+                       (SELECT cluster AS pc FROM assigned WHERE vec_id = 0) p
+                     WHERE a.cluster = p.pc AND a.vec_id <> 0),
+            keyed AS (SELECT e.vec_id, e.label, e.cluster, $keySel
+                      FROM cand e CROSS JOIN cents c),
+            co AS (SELECT vec_id, label, cluster,
+                          ${(0 until 8).map(j => s"min(k$j) % 16 AS c$j").mkString(", ")}
+                   FROM keyed GROUP BY vec_id, label, cluster),
+            dt AS (SELECT c.cent_id, $pdSel
+                   FROM cents c CROSS JOIN
+                        (SELECT embedding AS p FROM embeddings WHERE vec_id = 0) p)
+          SELECT co.vec_id, CAST(co.label AS BIGINT) AS label,
+                 CAST(co.cluster AS BIGINT) AS cluster,
+                 ${(0 until 8).map(j => s"co.c$j * ${math.pow(16, j).toLong}").mkString(" + ")} AS code,
+                 round(${(0 until 8).map(j => s"t$j.pd$j").mkString(" + ")}, 4) AS adc_dist
+          FROM co $dtJoins
           ORDER BY adc_dist ASC, co.vec_id ASC LIMIT 10"""
     },
     "q_embed_quant" ->

@@ -18,6 +18,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_similarity_ivf_trained", // ≤16-row codebook broadcast per Lloyd round
     "q_dedup_semantic",  // ≤16-row codebook broadcast (SemDeDup assignment)
     "q_similarity_pq",   // ≤16-row codebook broadcast (PQ encode + ADC table)
+    "q_similarity_ivfpq", // ≤16-row codebook broadcast (IVF assign + PQ encode)
     "q_similarity_lsh",  // 1-row probe (bucket-filtered) broadcast
     "q_data_mixture",    // 1-row corpus total broadcast
     "q_sample_hash",     // 1-row corpus total broadcast

@@ -116,6 +116,30 @@ class RecallSpec extends SparkSpec {
         "is off; check the integer argmin keys")
   }
 
+  test("IVF-PQ composition invariants: posting-list containment, code stability") {
+    val ivfpq = SparkEntry.queries("q_similarity_ivfpq")(spark, sf001).collect()
+    assert(ivfpq.nonEmpty && ivfpq.length <= 10)
+    // every result must come from the probe's IVF posting list — the same
+    // cluster q_similarity_ivf searches (ivf returns top-10 by exact
+    // cosine; its cluster column identifies the posting list)
+    val probeCluster = SparkEntry.queries("q_similarity_ivf")(spark, sf001)
+      .collect().head.getLong(2)
+    ivfpq.foreach(r => assert(r.getLong(2) === probeCluster,
+      s"vec ${r.getLong(0)} ranked from cluster ${r.getLong(2)} != $probeCluster"))
+    // PQ codes are per-row properties of (vector, codebook): restricting
+    // encode to the posting list must not change them. Compare against
+    // q_similarity_pq's codes for the overlapping vec_ids.
+    val pqCodes = SparkEntry.queries("q_similarity_pq")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val overlap = ivfpq.filter(r => pqCodes.contains(r.getLong(0)))
+    overlap.foreach { r =>
+      assert(r.getLong(3) === pqCodes(r.getLong(0)),
+        s"code drift for vec ${r.getLong(0)}")
+    }
+    info(s"ivfpq scanned 1 posting list; ${overlap.length} of its top-10 " +
+         "overlap global PQ top-10 (codes bit-identical)")
+  }
+
   test("trained IVF: Lloyd objective non-decreasing per round; deterministic") {
     // Spherical k-means theory: assignment maximizes each vector's cosine
     // given the centroids, and (for ~unit vectors) the dimension-wise mean
