@@ -6,14 +6,19 @@ import org.apache.spark.sql.functions._
 
 /** NS similarity search over the `embeddings` table (`array<float>`, dim 64).
   *
-  * Two paths, as a production ANN stack would ship them:
+  * The full ANN ladder, as a production stack would ship it:
   *  - brute-force cosine top-k (the exact baseline): broadcast the probe
   *    vector, one map stage computes scores, `TakeOrderedAndProject` keeps
   *    k per partition then k global — no full sort, no shuffle of scores;
-  *  - LSH-bucketed variant (the scale path): an 8-bit hyperplane-sign
-  *    bucket prunes ~255/256 of candidates before scoring, trading recall
-  *    for a 100× scan cut — the same plan shape an IVF index produces
-  *    (probe the centroid's posting list only).
+  *  - LSH-bucketed variants (single- and multi-probe): an 8-bit
+  *    hyperplane-sign bucket prunes ~255/256 of candidates before scoring;
+  *  - IVF (raw and spherical-k-means-trained codebooks): nearest-centroid
+  *    posting lists, search restricted to the probe's cluster;
+  *  - PQ + ADC (q_similarity_pq): 8×4-bit codes, distance-table search
+  *    that never decodes — the storage layout for billion-scale corpora;
+  *  - IVF-PQ composed (q_similarity_ivfpq): posting-list restriction then
+  *    ADC ranking, the production index shape.
+  *  Measured recall floors for every approximate path live in RecallSpec.
   *
   * Dot products use array higher-order functions (`zip_with`/`aggregate`),
   * evaluated left-to-right in both Spark and DuckDB → bit-identical doubles
