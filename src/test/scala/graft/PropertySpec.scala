@@ -219,4 +219,43 @@ class PropertySpec extends AnyFunSuite {
       monotone && covered == total
     })
   }
+
+  test("native vector expressions equal independent folds for arbitrary 64-dim vectors") {
+    // The embeddings-table bit-exactness specs exercise only the test
+    // corpus's value range; this extends the same contract to arbitrary
+    // finite floats (negatives, near-zero, 1e6-scale) via an independent
+    // left-to-right fold. Bit-pattern compare so a canonical-NaN from a
+    // zero-norm input must match on both sides too.
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import graft.expressions.{CosineSimilarity, PqDists}
+    val vecGen: Gen[Array[Float]] =
+      Gen.containerOfN[Array, Float](64, Gen.chooseNum(-1e6f, 1e6f))
+    def bits(d: Double) = java.lang.Double.doubleToLongBits(d)
+    check("vector-exprs", Prop.forAll(vecGen, vecGen) { (a, b) =>
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < 64) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      val expCos = dot / math.sqrt(na * nb)
+      val cosF = CosineSimilarity.compute(
+        new GenericArrayData(a), new GenericArrayData(b))
+      val cosD = CosineSimilarity.computeD(
+        new GenericArrayData(a.map(_.toDouble)),
+        new GenericArrayData(b.map(_.toDouble)))
+      val pq = PqDists.compute(new GenericArrayData(a), new GenericArrayData(b))
+      val pqOk = (0 until 8).forall { j =>
+        var d = 0.0
+        var k = 8 * j
+        while (k < 8 * j + 8) {
+          val dlt = a(k).toDouble - b(k).toDouble; d += dlt * dlt; k += 1
+        }
+        bits(pq.getDouble(j)) == bits(d)
+      }
+      bits(cosF) == bits(expCos) && bits(cosD) == bits(expCos) && pqOk
+    })
+  }
 }
