@@ -50,28 +50,42 @@ object PlanDump {
          |oracle only stated literal TRUE). Measured r14: ~1.2x the cost of
          |a bare parquet scan of lineitem (r13 shape: 3.8x).""").stripMargin,
     "q_dedup_semantic" ->
-      ("""Design (r14): SemDeDup (Abbas et al. 2023) as three jobs — broadcast
-         |16-row codebook + max_by assignment, cluster-key self-equi-join for
-         |within-cluster pairs, vec_id-key marker join for the keep verdict.
-         |The cluster assignment IS the candidate filter: pair cost is n^2/k,
-         |and k is a declaration-time parameter grown with the corpus
-         |(SemDeDup ships k=50k on LAION-440M), so the shape stays ~linear at
-         |100 TB with the trained-codebook path (q_similarity_ivf_trained)
-         |supplying balanced centroids. The BroadcastNestedLoopJoin in this
-         |plan is the whitelisted <=16-row codebook broadcast, same as the
-         |IVF queries.""").stripMargin,
+      ("""Design (r14, single-scan r15): SemDeDup (Abbas et al. 2023) as
+         |three jobs — broadcast 16-row codebook + max_by assignment,
+         |cluster-key self-equi-join for within-cluster pairs, vec_id-key
+         |marker join for the keep verdict. The cluster assignment IS the
+         |candidate filter: pair cost is n^2/k, and k is a declaration-time
+         |parameter grown with the corpus (SemDeDup ships k=50k on
+         |LAION-440M), so the shape stays ~linear at 100 TB with the
+         |trained-codebook path (q_similarity_ivf_trained) supplying
+         |balanced centroids. r15: the assignment is MATERIALIZED once
+         |(cache + count, the trained-IVF pattern) — r14's plan re-ran the
+         |corpus scan + assignment aggregation in all three arms; now the
+         |plan shows one InMemoryRelation feeding the self-join and the
+         |marker join (production: checkpoint the assignment table, same
+         |shape). The BroadcastNestedLoopJoin in this plan is the
+         |whitelisted <=16-row codebook broadcast, same as the IVF
+         |queries.""").stripMargin,
     "q_similarity_pq" ->
-      ("""Design (r14): product quantization + ADC (Jegou et al. 2011), the
-         |billion-scale ANN memory layout. Encode = one broadcast-codebook
-         |pass + one min-aggregation over INTEGER argmin keys
-         |(floor(d*1e6+0.5)*16 + cent_id — exact min() on both engines,
-         |cent_id tie-break in the low bits); search = the probe's 16x8
-         |distance table collapsed to one broadcast map row, 8 in-row
-         |lookups per candidate, map-only into TakeOrderedAndProject.
-         |Iterated shape (identical hashes each step): 8 chained
-         |broadcast joins 1.16 s -> one broadcast map row 0.82 s -> fused
-         |graft_pq_dists native encode 0.65 s at sf0.1. At 100 TB the
-         |codes table (8 bytes/
+      ("""Design (r14, encode reworked r15): product quantization + ADC
+         |(Jegou et al. 2011), the billion-scale ANN memory layout.
+         |Encode = ONE map-only projection: the <=16-row codebook collapses
+         |to a single broadcast row (collect_list of (cent_id, cent_emb)
+         |structs) and graft_pq_encode emits the 8 sub-codes directly —
+         |the argmin over INTEGER keys (floor(d*1e6+0.5)*16 + cent_id,
+         |cent_id tie-break in the low bits) now runs inside the
+         |expression with Spark's exact Round semantics replicated, so
+         |hashes match the former crossJoin(x16)+min() aggregation
+         |bit-for-bit (GraftExpressionsSpec proves equality) and the
+         |corpus-sized encode shuffle is GONE — at 100 TB encode is a pure
+         |scan. Search = the probe's 16x8 distance table as one broadcast
+         |map row, 8 in-row lookups per candidate, map-only into
+         |TakeOrderedAndProject. Iterated shape (identical hashes each
+         |step): 8 chained broadcast joins 1.16 s -> one broadcast map row
+         |0.82 s -> fused graft_pq_dists 0.65 s -> map-only encode at
+         |parity locally (hot-JVM interleaved A/B: 516 vs 531 ms min at
+         |sf0.1; the win is the removed O(corpus) shuffle, which local
+         |5k-row runs can't surface). At 100 TB the codes table (8 bytes/
          |vector vs 256 for raw float32) is the stored index; re-encode
          |only on codebook retrain. Measured recall@10 = 0.20 vs exact L2
          |on RANDOM vectors with an untrained 16-row codebook (chance

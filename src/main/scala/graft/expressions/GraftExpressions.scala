@@ -111,6 +111,20 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_cosine"
 
+  // SQL-registered, so analysis must reject what eval can't handle: a
+  // mixed float/double pair (or non-numeric elements) would otherwise
+  // pass resolution and read misaligned ArrayData silently.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) |
+           (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires two array<float> or two array<double> " +
+            s"arguments, got ${l.simpleString(3)} and ${r.simpleString(3)}")
+    }
+
   private def isDoubleArr: Boolean = left.dataType match {
     case ArrayType(DoubleType, _) => true
     case _ => false
@@ -237,12 +251,22 @@ case class MinHash(child: Expression, a: Long, b: Long) extends UnaryExpression 
 }
 
 object PqDists {
+  /** graft_pq_dists is SQL-registered for arbitrary use, so the 64-dim
+    * contract is enforced here, not assumed (ADVICE r14): a short array
+    * would otherwise read past numElements() into undefined memory. */
+  private def checkDim(a: ArrayData, b: ArrayData): Unit =
+    if (a.numElements() < 64 || b.numElements() < 64)
+      throw new IllegalArgumentException(
+        s"graft_pq_dists requires 64-element vectors (8 subspaces x 8 dims), " +
+          s"got ${a.numElements()} and ${b.numElements()}")
+
   /** Per-subspace squared-L2 distances for product quantization: 8
     * subspaces of 8 dims over two 64-dim float arrays. Each subspace
     * accumulates left-to-right, exactly like the unrolled 8-term
     * element_at chain it replaces (and the DuckDB oracle's explicit
     * `+` chain), so doubles stay bit-identical. */
   def compute(a: ArrayData, b: ArrayData): ArrayData = {
+    checkDim(a, b)
     val out = new Array[Double](8)
     var j = 0
     while (j < 8) {
@@ -251,6 +275,27 @@ object PqDists {
       val end = k + 8
       while (k < end) {
         val dlt = a.getFloat(k).toDouble - b.getFloat(k).toDouble
+        d += dlt * dlt
+        k += 1
+      }
+      out(j) = d
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Double-array variant (residual vectors are array<double>: float
+    * casts minus float casts); identical accumulation order. */
+  def computeD(a: ArrayData, b: ArrayData): ArrayData = {
+    checkDim(a, b)
+    val out = new Array[Double](8)
+    var j = 0
+    while (j < 8) {
+      var d = 0.0
+      var k = 8 * j
+      val end = k + 8
+      while (k < end) {
+        val dlt = a.getDouble(k) - b.getDouble(k)
         d += dlt * dlt
         k += 1
       }
@@ -269,20 +314,154 @@ object PqDists {
   * re-implemented rounding). */
 case class PqDists(left: Expression, right: Expression)
     extends BinaryExpression {
-  // input contract: two ArrayType(FloatType) children, 64 elements
-  // (TablesSchemaDriftSpec tripwires the dimension)
+  // input contract: two ArrayType(FloatType) or two ArrayType(DoubleType)
+  // children of ≥64 elements (the dim is ALSO checked at runtime inside
+  // compute — analysis can't see array lengths)
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "graft_pq_dists"
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) |
+           (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires two array<float> or two array<double> " +
+            s"arguments, got ${l.simpleString(3)} and ${r.simpleString(3)}")
+    }
+
+  private def isDoubleArr: Boolean = left.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  private def fn: String = if (isDoubleArr) "computeD" else "compute"
+
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    PqDists.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (isDoubleArr)
+      PqDists.computeD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else
+      PqDists.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.expressions.PqDists.compute($a, $b)")
+      s"graft.expressions.PqDists.$fn($a, $b)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): PqDists =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqEncode {
+  /** Spark's Round(d, 6) for finite doubles, verbatim semantics:
+    * BigDecimal(d) (shortest-decimal form) setScale HALF_UP. The encode
+    * keys below must stay bit-identical to the floor/round chain the
+    * two-stage form computed with Spark's own functions (and to the
+    * DuckDB oracle), so the rounding is REPLICATED, not approximated. */
+  private def round6(d: Double): Double =
+    java.math.BigDecimal.valueOf(d).setScale(6, java.math.RoundingMode.HALF_UP)
+      .doubleValue()
+
+  /** The 8 PQ sub-codes of `vec` against a codebook of (cent_id,
+    * cent_emb) structs, in one pass: per subspace j, the code is the
+    * cent_id minimizing the integer key
+    * floor(round(d_j, 6)·1e6 + 0.5)·16 + cent_id — exactly the
+    * min(k_j) the former crossJoin+groupBy stage aggregated, with the
+    * tie-break in the low bits. Keys are unique per centroid, so the
+    * min is order-independent and the codebook array order is free. */
+  def compute(vec: ArrayData, cents: ArrayData, isDouble: Boolean): ArrayData = {
+    val nc = cents.numElements()
+    if (nc == 0)
+      throw new IllegalArgumentException("graft_pq_encode: empty codebook")
+    if (vec.numElements() < 64)
+      throw new IllegalArgumentException(
+        s"graft_pq_encode requires 64-element vectors, got ${vec.numElements()}")
+    val best = Array.fill(8)(Long.MaxValue)
+    var i = 0
+    while (i < nc) {
+      val row = cents.getStruct(i, 2)
+      val cid = row.getLong(0)
+      val cemb = row.getArray(1)
+      if (cemb.numElements() < 64)
+        throw new IllegalArgumentException(
+          s"graft_pq_encode: centroid $cid has ${cemb.numElements()} dims, need 64")
+      var j = 0
+      while (j < 8) {
+        var d = 0.0
+        var k = 8 * j
+        val end = k + 8
+        if (isDouble) {
+          while (k < end) {
+            val dlt = vec.getDouble(k) - cemb.getDouble(k)
+            d += dlt * dlt; k += 1
+          }
+        } else {
+          while (k < end) {
+            val dlt = vec.getFloat(k).toDouble - cemb.getFloat(k).toDouble
+            d += dlt * dlt; k += 1
+          }
+        }
+        val key = math.floor(round6(d) * 1e6 + 0.5).toLong * 16L + cid
+        if (key < best(j)) best(j) = key
+        j += 1
+      }
+      i += 1
+    }
+    val codes = new Array[Long](8)
+    var j = 0
+    while (j < 8) { codes(j) = best(j) % 16L; j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+}
+
+/** `graft_pq_encode(vec, cents)`: map-only PQ encode — the 8 4-bit
+  * sub-codes of a 64-dim vector against a broadcast codebook (an array
+  * of `struct<cent_id: bigint, cent_emb: array<float|double>>` rows,
+  * built with `collect_list` into ONE broadcast row). Replaces the
+  * crossJoin(×16) → 8×min() aggregation encode stage of
+  * q_similarity_pq/q_similarity_ivfpq with a single projection: no
+  * fan-out, no encode shuffle — at 100 TB the encode becomes a pure
+  * scan. Value-identical to that stage (same integer argmin keys,
+  * same Round semantics), so the DuckDB oracle is unchanged. */
+case class PqEncode(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_pq_encode"
+
+  private def vecElem(dt: DataType): Option[DataType] = dt match {
+    case ArrayType(FloatType, _) => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    (vecElem(left.dataType), right.dataType) match {
+      case (Some(ve), ArrayType(StructType(Array(f0, f1)), _))
+          if f0.dataType == LongType && vecElem(f1.dataType).contains(ve) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<float|double>, " +
+            "array<struct<cent_id: bigint, cent_emb: same-element-array>>), " +
+            s"got ${left.dataType.simpleString(4)} and ${right.dataType.simpleString(4)}")
+    }
+  }
+
+  private def isDoubleArr: Boolean = left.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    PqEncode.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], isDoubleArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.expressions.PqEncode.compute($a, $b, $isDoubleArr)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqEncode =
     copy(left = newLeft, right = newRight)
 }
 
@@ -330,6 +509,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => children match {
         case Seq(a, b) => PqDists(a, b)
         case _ => throw new IllegalArgumentException("graft_pq_dists(a, b)")
+      }))
+    e.injectFunction((
+      FunctionIdentifier("graft_pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_encode"),
+      (children: Seq[Expression]) => children match {
+        case Seq(a, b) => PqEncode(a, b)
+        case _ => throw new IllegalArgumentException(
+          "graft_pq_encode(vec, cents)")
       }))
     // PipelineDB bloom_agg parity on Spark's own bloom filter machinery:
     // BloomFilterAggregate/BloomFilterMightContain are the expressions

@@ -45,6 +45,97 @@ object Similarity {
     Tables.embeddings(s, d).filter(col("vec_id") === 0)
       .select(col("embedding").as("probe_emb"))
 
+  /** Map-only PQ encode (r15, replacing the crossJoin(×16) → 8×min()
+    * two-stage form): the ≤16-row codebook collapses to ONE broadcast
+    * row (`array_sort(collect_list(struct(cent_id, cent_emb)))` — the
+    * same single-row-broadcast idiom as the ADC distance-table map) and
+    * `graft_pq_encode` emits the 8 sub-codes in a single projection.
+    * No fan-out, no encode shuffle: at 100 TB the encode is a pure scan
+    * over the corpus. Value-identical keys (same integer argmin with
+    * the cent_id tie-break in the low bits, same Round semantics inside
+    * the expression), so output hashes and the DuckDB oracle — which
+    * keeps the explicit two-stage SQL — are unchanged.
+    *
+    * Shared by q_similarity_pq, q_similarity_ivfpq(_res) and
+    * RecallSpec's code-stability check (which re-encodes arbitrary
+    * vec_id subsets through THIS path, never a private copy). */
+  private[graft] def pqCodes(df: DataFrame, vec: Column, cents: DataFrame,
+                             keep: Seq[Column]): DataFrame = {
+    val cb = cents.agg(array_sort(collect_list(struct(
+      col("cent_id").cast("long").as("cent_id"), col("cent_emb")))).as("cb"))
+    df.crossJoin(broadcast(cb))
+      .withColumn("codes", call_function("graft_pq_encode", vec, col("cb")))
+      .select(keep ++ (0 until 8).map(j =>
+        element_at(col("codes"), j + 1).as(s"c$j")): _*)
+  }
+
+  /** The trained-IVF pipeline shared by q_similarity_ivf_trained and
+    * q_similarity_ivf_nprobe (r15 extraction — identical logic to the
+    * r14 in-query form, hash-verified): two spherical k-means Lloyd
+    * rounds as pure DataFrame ops. assign = argmax cosine (the max_by
+    * partial-aggregation idiom), update = dimension-wise mean of the
+    * assigned vectors — cosine is scale-invariant, so the unnormalized
+    * mean IS the spherical k-means optimum, and the mean assigned cosine
+    * is non-decreasing per round (asserted in RecallSpec).
+    *
+    * Cross-engine determinism: components quantized to 6 decimals
+    * (pure-IEEE floor, identical in both engines), means as exact
+    * decimal(18,6) sums over quantized values divided by the count
+    * (order-independent on both engines — the Q.dsum trick), assignment
+    * ranks round(cos, 6) with centroid-id tie-break. Native graft_cosine
+    * (double-array path): one expression node instead of a 128-node tree
+    * per Lloyd round — measured 3.58 s → 1.27 s at sf0.1.
+    *
+    * Scale shape per round: broadcast the ≤16-row codebook, one map
+    * stage, one (cluster, dim) aggregation whose group count is
+    * 16×64 = 1,024 REGARDLESS of corpus size. Each round's codebook is
+    * materialized (cache + count): without it the final plan nests every
+    * previous round and re-executes the embeddings scan once per nesting
+    * level — 6 passes instead of 3. Locally neutral (~10 small
+    * sequential jobs × per-job overhead either way); at 100 TB the extra
+    * full-corpus passes are the dominant cost — production would
+    * checkpoint the assignment between rounds. Harnesses clearCache()
+    * after each query.
+    *
+    * Returns (assignment over the full corpus, trained ≤16-row codebook).
+    */
+  private def trainedAssignment(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.types.DecimalType
+    val e = Tables.embeddings(s, d).select(
+      col("vec_id"), col("label"), col("embedding"),
+      transform(col("embedding"),
+        v => floor(v.cast("double") * 1e6 + 0.5) / 1e6).as("qemb"))
+    def assign(cents: DataFrame): DataFrame =
+      e.crossJoin(broadcast(cents))
+        .withColumn("cos_c", round(
+          graft.operators.VectorOps.cosine(col("qemb"), col("cent_emb")), 6))
+        .groupBy(col("vec_id"))
+        .agg(max_by(
+          struct(col("label"), col("embedding"), col("qemb"), col("cent_id")),
+          struct(col("cos_c"), -col("cent_id"))).as("m"))
+        .select(col("vec_id"), col("m.label").as("label"),
+                col("m.embedding").as("embedding"), col("m.qemb").as("qemb"),
+                col("m.cent_id").as("cluster"))
+    def update(assigned: DataFrame): DataFrame =
+      assigned
+        .select(col("cluster"), posexplode(col("qemb")).as(Seq("pos", "v")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg((sum(col("v").cast(DecimalType(18, 6))).cast("double") /
+              count(lit(1))).as("cv"))
+        .groupBy(col("cluster"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+                       x => x.getField("cv")).as("cent_emb"))
+        .select(col("cluster").as("cent_id"), col("cent_emb"))
+    val c0 = e.filter(col("vec_id") <= 15)
+      .select(col("vec_id").as("cent_id"), col("qemb").as("cent_emb"))
+    def materialize(cents: DataFrame): DataFrame = {
+      val c = cents.cache(); c.count(); c
+    }
+    val trained = materialize(update(assign(
+      materialize(update(assign(c0))))))
+    (assign(trained), trained)
+  }
+
   val queries: Map[String, Qf] = Map(
     // Brute-force exact top-k against probe vec_id=0.
     "q_similarity_topk" -> ((s, d) =>
@@ -159,58 +250,43 @@ object Similarity {
     // cluster balance; production recovers recall by probing several
     // nearest clusters (nprobe>1 — the q_similarity_lsh_multi pattern).
     "q_similarity_ivf_trained" -> ((s, d) => {
-      import org.apache.spark.sql.types.DecimalType
-      val e = Tables.embeddings(s, d).select(
-        col("vec_id"), col("label"), col("embedding"),
-        transform(col("embedding"),
-          v => floor(v.cast("double") * 1e6 + 0.5) / 1e6).as("qemb"))
-      def assign(cents: DataFrame): DataFrame =
-        e.crossJoin(broadcast(cents))
-          // native graft_cosine (double-array path, bit-identical to the
-          // unrolled chain): one expression node instead of a 128-node
-          // tree per Lloyd round. The wall time of this query is plan
-          // analysis + codegen compile of ~10 small sequential jobs, so
-          // shrinking the tree is the lever: measured 3.58 s → 1.27 s at
-          // sf0.1 (min of 4), identical output hashes at all SFs.
-          .withColumn("cos_c", round(
-            graft.operators.VectorOps.cosine(col("qemb"), col("cent_emb")), 6))
-          .groupBy(col("vec_id"))
-          .agg(max_by(
-            struct(col("label"), col("embedding"), col("qemb"), col("cent_id")),
-            struct(col("cos_c"), -col("cent_id"))).as("m"))
-          .select(col("vec_id"), col("m.label").as("label"),
-                  col("m.embedding").as("embedding"), col("m.qemb").as("qemb"),
-                  col("m.cent_id").as("cluster"))
-      def update(assigned: DataFrame): DataFrame =
-        assigned
-          .select(col("cluster"), posexplode(col("qemb")).as(Seq("pos", "v")))
-          .groupBy(col("cluster"), col("pos"))
-          .agg((sum(col("v").cast(DecimalType(18, 6))).cast("double") /
-                count(lit(1))).as("cv"))
-          .groupBy(col("cluster"))
-          .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
-                         x => x.getField("cv")).as("cent_emb"))
-          .select(col("cluster").as("cent_id"), col("cent_emb"))
-      val c0 = e.filter(col("vec_id") <= 15)
-        .select(col("vec_id").as("cent_id"), col("qemb").as("cent_emb"))
-      // Materialize each round's ≤16-row codebook: without it the final
-      // plan nests every previous round (assign(update(assign(update(
-      // assign(c0)))))) and re-executes the embeddings scan once per
-      // nesting level — 6 passes instead of 3. Locally the timing is
-      // NEUTRAL (measured ~3.8 s either way at sf0.1: the wall time is
-      // ~10 small sequential jobs × per-job overhead, inherent to
-      // iterative training); at 100 TB the extra full-corpus passes are
-      // the dominant cost, which is exactly the checkpoint-between-
-      // rounds note above. Harnesses clearCache() after each query.
-      def materialize(cents: DataFrame): DataFrame = {
-        val c = cents.cache(); c.count(); c
-      }
-      val trained = materialize(update(assign(
-        materialize(update(assign(c0))))))
-      val a = assign(trained)
+      val (a, _) = trainedAssignment(s, d)
       val probeC = a.filter(col("vec_id") === 0)
         .select(col("embedding").as("probe_emb"), col("cluster").as("pc"))
       a.join(broadcast(probeC), col("cluster") === col("pc"))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+                col("cluster").cast("long").as("cluster"),
+                round(cosine(col("embedding"), col("probe_emb")), 4).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)
+        .limit(10)
+    }),
+
+    // nprobe=3 over the SAME trained index (r15, the refinement the r14
+    // code named): single-probe trained IVF measured recall@10 = 0.70 on
+    // random vectors — true neighbors straddle cluster boundaries, and a
+    // real index recovers them by searching the probe's K nearest
+    // clusters, not one. The probe step ranks the 16 trained centroids
+    // by the SAME quantized cosine the assignment uses (round 6,
+    // cent_id tie-break) and keeps the top 3 — a 16-row sort, free —
+    // then the posting-list equi-join fans the probe row out to 3
+    // cluster keys (the q_similarity_lsh_multi explode pattern, here a
+    // 3-row broadcast). Scan cost: 3/16 of the corpus instead of 1/16;
+    // same plan shape, same 100 TB story. Measured recall@10 in
+    // RecallSpec; cluster column reports which probed cluster each hit
+    // came from.
+    "q_similarity_ivf_nprobe" -> ((s, d) => {
+      val (a, trained) = trainedAssignment(s, d)
+      val probeRow = a.filter(col("vec_id") === 0)
+        .select(col("embedding").as("probe_emb"), col("qemb").as("probe_q"))
+      val probed = trained.crossJoin(broadcast(probeRow))
+        .select(col("cent_id").as("pc"), col("probe_emb"),
+                round(graft.operators.VectorOps.cosine(
+                  col("probe_q"), col("cent_emb")), 6).as("cc"))
+        .orderBy(col("cc").desc, col("pc").asc)
+        .limit(3)
+        .select(col("pc"), col("probe_emb"))
+      a.join(broadcast(probed), col("cluster") === col("pc"))
         .filter(col("vec_id") =!= 0)
         .select(col("vec_id"), col("label").cast("long").as("label"),
                 col("cluster").cast("long").as("cluster"),
@@ -241,23 +317,12 @@ object Similarity {
       val emb = Tables.embeddings(s, d)
       val cents = emb.filter(col("vec_id") <= 15)
         .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
-      // all 8 per-subspace squared-L2 distances in one fused native pass
-      // (graft_pq_dists; per-subspace accumulation order matches the
-      // unrolled chain and the DuckDB oracle's explicit + chain); the
-      // rounding/argmin-key arithmetic stays in Spark's own functions so
-      // rounding parity is never re-implemented
+      // encode: one map-only projection via the shared graft_pq_encode
+      // path (see pqCodes above) — the former crossJoin(×16)+argmin
+      // aggregation shape survives only in the DuckDB oracle SQL
       def subdist(ds: Column, j: Int): Column = element_at(ds, j + 1)
-      val keyed = emb.crossJoin(broadcast(cents))
-        .withColumn("ds",
-          call_function("graft_pq_dists", col("embedding"), col("cent_emb")))
-        .select(Seq(col("vec_id"), col("label")) ++ (0 until 8).map(j =>
-          (floor(round(subdist(col("ds"), j), 6)
-             * 1e6 + 0.5).cast("long") * 16 + col("cent_id")).as(s"k$j")): _*)
-      val coded = keyed.groupBy("vec_id", "label")
-        .agg(min(col("k0")).as("k0"), (1 until 8).map(j =>
-          min(col(s"k$j")).as(s"k$j")): _*)
-        .select(Seq(col("vec_id"), col("label")) ++ (0 until 8).map(j =>
-          (col(s"k$j") % 16).as(s"c$j")): _*)
+      val coded = pqCodes(emb, col("embedding"), cents,
+        Seq(col("vec_id"), col("label")))
       val dt = cents.crossJoin(broadcast(
           emb.filter(col("vec_id") === 0).select(col("embedding").as("p"))))
         .withColumn("pds",
@@ -314,22 +379,78 @@ object Similarity {
       val cand = assigned.join(broadcast(probeC), col("cluster") === col("pc"))
         .filter(col("vec_id") =!= 0)
       def sub(ds: Column, j: Int) = element_at(ds, j + 1)
-      val keyed = cand.crossJoin(broadcast(cents))
-        .withColumn("ds",
-          call_function("graft_pq_dists", col("embedding"), col("cent_emb")))
-        .select(Seq(col("vec_id"), col("label"), col("cluster")) ++
-          (0 until 8).map(j =>
-            (floor(round(sub(col("ds"), j), 6) * 1e6 + 0.5).cast("long") * 16 +
-             col("cent_id")).as(s"k$j")): _*)
-      val coded = keyed.groupBy("vec_id", "label", "cluster")
-        .agg(min(col("k0")).as("k0"), (1 until 8).map(j =>
-          min(col(s"k$j")).as(s"k$j")): _*)
-        .select(Seq(col("vec_id"), col("label"), col("cluster")) ++
-          (0 until 8).map(j => (col(s"k$j") % 16).as(s"c$j")): _*)
+      // map-only encode on the posting-list-restricted candidates — same
+      // shared path as q_similarity_pq, so codes are identical by
+      // construction (RecallSpec re-checks via re-encode, not overlap)
+      val coded = pqCodes(cand, col("embedding"), cents,
+        Seq(col("vec_id"), col("label"), col("cluster")))
       val dt = cents.crossJoin(broadcast(
           emb.filter(col("vec_id") === 0).select(col("embedding").as("p"))))
         .withColumn("pds",
           call_function("graft_pq_dists", col("p"), col("cent_emb")))
+        .select(Seq(col("cent_id")) ++ (0 until 8).map(j =>
+          round(sub(col("pds"), j), 6).as(s"pd$j")): _*)
+      val dtm = dt.agg(map_from_entries(collect_list(struct(col("cent_id"),
+        struct((0 until 8).map(j => col(s"pd$j")): _*)))).as("dtm"))
+      coded.crossJoin(broadcast(dtm))
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+                col("cluster").cast("long").as("cluster"),
+                (0 until 8).map(j => col(s"c$j") * lit(math.pow(16, j).toLong))
+                  .reduce(_ + _).as("code"),
+                round((0 until 8).map(j =>
+                  col("dtm")(col(s"c$j")).getField(s"pd$j")).reduce(_ + _), 4)
+                  .as("adc_dist"))
+        .orderBy(col("adc_dist").asc, col("vec_id").asc)
+        .limit(10)
+    }),
+
+    // Residual IVF-PQ (r15 — the production refinement the r14 code named
+    // as not modeled): encode r_v = v − centroid(cluster(v)) instead of
+    // raw vectors, so the sub-codebooks quantize within-cluster variance
+    // (Jégou et al. 2011 §III). Within one posting list all candidates
+    // share the probe's centroid, so q − v = r_q − r_v EXACTLY — residual
+    // ADC estimates the same distances on a re-centered (smaller-
+    // magnitude) grid. Residual sub-codebook: the residuals of vec_id
+    // 16…31 w.r.t. their own assigned clusters (the first 16 ARE the
+    // coarse centroids — their residuals are ~zero, a degenerate
+    // codebook — so the next 16 vectors supply it; a production index
+    // k-means-trains it on sampled residuals, same machinery as
+    // q_similarity_ivf_trained per subspace). Plan shape is identical to
+    // q_similarity_ivfpq: assignment → posting-list restriction →
+    // map-only graft_pq_encode (double path) → one broadcast ADC map
+    // row. Residuals are array<double> (float-cast subtraction, IEEE-
+    // identical in DuckDB's list_transform mirror).
+    "q_similarity_ivfpq_res" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = emb.filter(col("vec_id") <= 15)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+      // assignment keeps the winning centroid VECTOR too — the residual
+      // needs it (otherwise identical to q_similarity_ivfpq's)
+      val assigned = emb.crossJoin(broadcast(cents))
+        .withColumn("cos_c", round(cosine(col("embedding"), col("cent_emb")), 6))
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("label"), col("embedding"), col("cent_id"),
+                           col("cent_emb")),
+                    struct(col("cos_c"), -col("cent_id"))).as("m"))
+        .select(col("vec_id"), col("m.label").as("label"),
+                col("m.embedding").as("embedding"),
+                col("m.cent_id").as("cluster"),
+                zip_with(col("m.embedding"), col("m.cent_emb"),
+                  (a, b) => a.cast("double") - b.cast("double")).as("res"))
+      val resCb = assigned.filter(col("vec_id").between(16, 31))
+        .select((col("vec_id") - 16).cast("long").as("cent_id"),
+                col("res").as("cent_emb"))
+      val probeC = assigned.filter(col("vec_id") === 0)
+        .select(col("cluster").as("pc"), col("res").as("probe_res"))
+      val cand = assigned.join(broadcast(probeC.select(col("pc"))),
+          col("cluster") === col("pc"))
+        .filter(col("vec_id") =!= 0)
+      def sub(ds: Column, j: Int) = element_at(ds, j + 1)
+      val coded = pqCodes(cand, col("res"), resCb,
+        Seq(col("vec_id"), col("label"), col("cluster")))
+      val dt = resCb.crossJoin(broadcast(probeC.select(col("probe_res"))))
+        .withColumn("pds",
+          call_function("graft_pq_dists", col("probe_res"), col("cent_emb")))
         .select(Seq(col("cent_id")) ++ (0 until 8).map(j =>
           round(sub(col("pds"), j), 6).as(s"pd$j")): _*)
       val dtm = dt.agg(map_from_entries(collect_list(struct(col("cent_id"),
@@ -404,6 +525,49 @@ object Similarity {
     (0 until 8).map(i => s"CASE WHEN $col[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END")
       .mkString(" + ")
 
+  /** Generic DuckDB cosine over two list expressions (double casts are
+    * no-ops on already-double lists, so this serves float and trained
+    * double codebooks alike). */
+  private def cosSG(a: String, b: String) =
+    s"""list_sum(list_transform(list_zip($a, $b),
+          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        / sqrt(list_sum(list_transform($a, u -> CAST(u AS DOUBLE) * CAST(u AS DOUBLE)))
+             * list_sum(list_transform($b, u -> CAST(u AS DOUBLE) * CAST(u AS DOUBLE))))"""
+
+  /** Shared WITH-prelude for the trained-IVF oracles: two Lloyd rounds —
+    * the exact SQL mirror of [[trainedAssignment]] (same quantization,
+    * same decimal-exact mean, same tie-breaks). Leaves CTEs `a3` (final
+    * assignment, with qemb) and `c2` (trained codebook) in scope. */
+  private val trainedPreludeSql: String = {
+    def assignS(ecte: String, ccte: String) =
+      s"""SELECT vec_id, label, embedding, qemb, cent_id AS cluster FROM (
+            SELECT e.vec_id, e.label, e.embedding, e.qemb, c.cent_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY round(${cosSG("e.qemb", "c.cent_emb")}, 6) DESC,
+                              c.cent_id ASC) AS rn
+            FROM $ecte e CROSS JOIN $ccte c) WHERE rn = 1"""
+    def updateS(acte: String) =
+      s"""SELECT cluster AS cent_id, list(cv ORDER BY ord) AS cent_emb FROM (
+            SELECT cluster, r.i AS ord,
+                   CAST(sum(CAST(qemb[r.i] AS DECIMAL(18,6))) AS DOUBLE)
+                     / count(*) AS cv
+            FROM $acte, (SELECT unnest(range(1, 65)) AS i) r
+            GROUP BY cluster, r.i)
+          GROUP BY cluster"""
+    s"""WITH e AS (SELECT vec_id, label, embedding,
+                  list_transform(embedding, v ->
+                    floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
+                    AS qemb
+                FROM embeddings),
+          c0 AS (SELECT vec_id AS cent_id, qemb AS cent_emb
+                 FROM e WHERE vec_id <= 15),
+          a1 AS (${assignS("e", "c0")}),
+          c1 AS (${updateS("a1")}),
+          a2 AS (${assignS("e", "c1")}),
+          c2 AS (${updateS("a2")}),
+          a3 AS (${assignS("e", "c2")})"""
+  }
+
   val oracle: Map[String, String] = Map(
     "q_similarity_topk" ->
       s"""SELECT vec_id, CAST(label AS BIGINT) AS label, round($cosSql, 4) AS cos_sim
@@ -453,50 +617,32 @@ object Similarity {
           WHERE cluster = probe_cluster AND vec_id <> 0
           ORDER BY cos_sim DESC, vec_id ASC LIMIT 10"""
     },
-    "q_similarity_ivf_trained" -> {
-      def cosS(a: String, b: String) =
-        s"""list_sum(list_transform(list_zip($a, $b),
-              x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-            / sqrt(list_sum(list_transform($a, u -> CAST(u AS DOUBLE) * CAST(u AS DOUBLE)))
-                 * list_sum(list_transform($b, u -> CAST(u AS DOUBLE) * CAST(u AS DOUBLE))))"""
-      // assignment vs centroid CTE `c`, update from assignment CTE `a` —
-      // the exact mirrors of the Spark assign/update stages (same
-      // quantization, same decimal-exact mean, same tie-breaks)
-      def assignS(ecte: String, ccte: String) =
-        s"""SELECT vec_id, label, embedding, qemb, cent_id AS cluster FROM (
-              SELECT e.vec_id, e.label, e.embedding, e.qemb, c.cent_id,
-                     row_number() OVER (PARTITION BY e.vec_id
-                       ORDER BY round(${cosS("e.qemb", "c.cent_emb")}, 6) DESC,
-                                c.cent_id ASC) AS rn
-              FROM $ecte e CROSS JOIN $ccte c) WHERE rn = 1"""
-      def updateS(acte: String) =
-        s"""SELECT cluster AS cent_id, list(cv ORDER BY ord) AS cent_emb FROM (
-              SELECT cluster, r.i AS ord,
-                     CAST(sum(CAST(qemb[r.i] AS DECIMAL(18,6))) AS DOUBLE)
-                       / count(*) AS cv
-              FROM $acte, (SELECT unnest(range(1, 65)) AS i) r
-              GROUP BY cluster, r.i)
-            GROUP BY cluster"""
-      s"""WITH e AS (SELECT vec_id, label, embedding,
-                    list_transform(embedding, v ->
-                      floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
-                      AS qemb
-                  FROM embeddings),
-            c0 AS (SELECT vec_id AS cent_id, qemb AS cent_emb
-                   FROM e WHERE vec_id <= 15),
-            a1 AS (${assignS("e", "c0")}),
-            c1 AS (${updateS("a1")}),
-            a2 AS (${assignS("e", "c1")}),
-            c2 AS (${updateS("a2")}),
-            a3 AS (${assignS("e", "c2")})
+    "q_similarity_ivf_trained" ->
+      s"""$trainedPreludeSql
           SELECT vec_id, CAST(label AS BIGINT) AS label,
                  CAST(cluster AS BIGINT) AS cluster,
-                 round(${cosS("a3.embedding", "p.probe_emb")}, 4) AS cos_sim
+                 round(${cosSG("a3.embedding", "p.probe_emb")}, 4) AS cos_sim
           FROM a3, (SELECT embedding AS probe_emb, cluster AS pc
                     FROM a3 WHERE vec_id = 0) p
           WHERE cluster = p.pc AND vec_id <> 0
-          ORDER BY cos_sim DESC, vec_id ASC LIMIT 10"""
-    },
+          ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""",
+    "q_similarity_ivf_nprobe" ->
+      // same trained index; the probes CTE ranks the 16 trained centroids
+      // by the assignment's own quantized cosine and keeps the top 3
+      s"""$trainedPreludeSql,
+            pr AS (SELECT embedding AS probe_emb, qemb AS probe_q
+                   FROM a3 WHERE vec_id = 0),
+            probes AS (SELECT c.cent_id AS pc, p.probe_emb
+                       FROM c2 c CROSS JOIN pr p
+                       ORDER BY round(${cosSG("p.probe_q", "c.cent_emb")}, 6) DESC,
+                                c.cent_id ASC
+                       LIMIT 3)
+          SELECT vec_id, CAST(label AS BIGINT) AS label,
+                 CAST(cluster AS BIGINT) AS cluster,
+                 round(${cosSG("a3.embedding", "probes.probe_emb")}, 4) AS cos_sim
+          FROM a3 JOIN probes ON a3.cluster = probes.pc
+          WHERE vec_id <> 0
+          ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""",
     "q_similarity_pq" -> {
       // squared L2 over subspace j, unrolled left-to-right like the Spark
       // side (SQL + is left-associative — identical IEEE evaluation)
@@ -567,6 +713,53 @@ object Similarity {
             dt AS (SELECT c.cent_id, $pdSel
                    FROM cents c CROSS JOIN
                         (SELECT embedding AS p FROM embeddings WHERE vec_id = 0) p)
+          SELECT co.vec_id, CAST(co.label AS BIGINT) AS label,
+                 CAST(co.cluster AS BIGINT) AS cluster,
+                 ${(0 until 8).map(j => s"co.c$j * ${math.pow(16, j).toLong}").mkString(" + ")} AS code,
+                 round(${(0 until 8).map(j => s"t$j.pd$j").mkString(" + ")}, 4) AS adc_dist
+          FROM co $dtJoins
+          ORDER BY adc_dist ASC, co.vec_id ASC LIMIT 10"""
+    },
+    "q_similarity_ivfpq_res" -> {
+      // residual lists are already DOUBLE; the casts are identity no-ops
+      // kept for one shared shape with the raw-vector variant
+      def sdS(v: String, c: String, j: Int) =
+        (1 to 8).map { k =>
+          val i = 8 * j + k
+          s"(CAST($v[$i] AS DOUBLE) - CAST($c[$i] AS DOUBLE)) * (CAST($v[$i] AS DOUBLE) - CAST($c[$i] AS DOUBLE))"
+        }.mkString(" + ")
+      val keySel = (0 until 8).map(j =>
+        s"CAST(floor(round(${sdS("e.res", "c.cent_emb", j)}, 6) * 1000000.0 + 0.5) AS BIGINT) * 16 + c.cent_id AS k$j")
+        .mkString(", ")
+      val pdSel = (0 until 8).map(j =>
+        s"round(${sdS("pr.probe_res", "c.cent_emb", j)}, 6) AS pd$j").mkString(", ")
+      val dtJoins = (0 until 8).map(j =>
+        s"JOIN dt t$j ON co.c$j = t$j.cent_id").mkString(" ")
+      s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb
+                         FROM embeddings WHERE vec_id <= 15),
+            assigned AS (
+              SELECT vec_id, label, embedding, cent_id AS cluster,
+                     list_transform(list_zip(embedding, cent_emb),
+                       x -> CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) AS res
+              FROM (
+                SELECT e.vec_id, e.label, e.embedding, c.cent_id, c.cent_emb,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY round(${cosSG("e.embedding", "c.cent_emb")}, 6) DESC,
+                                  c.cent_id ASC) AS rn
+                FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+            rcb AS (SELECT vec_id - 16 AS cent_id, res AS cent_emb
+                    FROM assigned WHERE vec_id BETWEEN 16 AND 31),
+            pr AS (SELECT cluster AS pc, res AS probe_res
+                   FROM assigned WHERE vec_id = 0),
+            cand AS (SELECT a.* FROM assigned a, pr
+                     WHERE a.cluster = pr.pc AND a.vec_id <> 0),
+            keyed AS (SELECT e.vec_id, e.label, e.cluster, $keySel
+                      FROM cand e CROSS JOIN rcb c),
+            co AS (SELECT vec_id, label, cluster,
+                          ${(0 until 8).map(j => s"min(k$j) % 16 AS c$j").mkString(", ")}
+                   FROM keyed GROUP BY vec_id, label, cluster),
+            dt AS (SELECT c.cent_id, $pdSel
+                   FROM rcb c CROSS JOIN pr)
           SELECT co.vec_id, CAST(co.label AS BIGINT) AS label,
                  CAST(co.cluster AS BIGINT) AS cluster,
                  ${(0 until 8).map(j => s"co.c$j * ${math.pow(16, j).toLong}").mkString(" + ")} AS code,

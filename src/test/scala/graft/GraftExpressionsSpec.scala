@@ -230,6 +230,73 @@ class GraftExpressionsSpec extends SparkSpec {
     } finally spark.catalog.dropTempView("union_in")
   }
 
+  test("graft_cosine / graft_pq_dists reject mixed or non-numeric array pairs at analysis time") {
+    import org.apache.spark.sql.AnalysisException
+    // mixed float/double pair: previously passed analysis and read
+    // misaligned ArrayData silently (ADVICE r14)
+    intercept[AnalysisException] {
+      spark.sql("""SELECT graft_cosine(array(CAST(1.0 AS FLOAT)),
+                     array(CAST(1.0 AS DOUBLE)))""").collect()
+    }
+    intercept[AnalysisException] {
+      spark.sql("SELECT graft_cosine(array('a'), array('b'))").collect()
+    }
+    intercept[AnalysisException] {
+      spark.sql("""SELECT graft_pq_dists(array(CAST(1.0 AS FLOAT)),
+                     array(CAST(1.0 AS DOUBLE)))""").collect()
+    }
+    // both-float and both-double still resolve
+    assert(spark.sql("""SELECT graft_cosine(array(CAST(1.0 AS FLOAT)),
+      array(CAST(1.0 AS FLOAT)))""").head().getDouble(0) === 1.0)
+    assert(spark.sql("""SELECT graft_cosine(array(CAST(1.0 AS DOUBLE)),
+      array(CAST(1.0 AS DOUBLE)))""").head().getDouble(0) === 1.0)
+  }
+
+  test("graft_pq_dists enforces the 64-dim contract at runtime") {
+    val e = intercept[Exception] {
+      spark.sql("""SELECT graft_pq_dists(array(CAST(1.0 AS FLOAT)),
+                     array(CAST(1.0 AS FLOAT)))""").collect()
+    }
+    def rootMsg(t: Throwable): String = {
+      var c: Throwable = t
+      while (c.getCause != null && (c.getCause ne c)) c = c.getCause
+      String.valueOf(c.getMessage)
+    }
+    assert(rootMsg(e).contains("64"),
+      s"expected the 64-dim contract named in the error, got: ${rootMsg(e)}")
+  }
+
+  test("graft_pq_encode equals the crossJoin+argmin two-stage encode, bit-exact") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val cents = emb.filter(col("vec_id") <= 15)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    // the two-stage form the expression replaced (q_similarity_pq pre-r15):
+    // per-(vector, centroid) integer argmin keys, min per subspace, % 16
+    def subdist(ds: org.apache.spark.sql.Column, j: Int) = element_at(ds, j + 1)
+    val keyed = emb.crossJoin(broadcast(cents))
+      .withColumn("ds", call_function("graft_pq_dists", col("embedding"), col("cent_emb")))
+      .select(Seq(col("vec_id")) ++ (0 until 8).map(j =>
+        (floor(round(subdist(col("ds"), j), 6) * 1e6 + 0.5).cast("long") * 16 +
+         col("cent_id")).as(s"k$j")): _*)
+    val twoStage = keyed.groupBy("vec_id")
+      .agg(min(col("k0")).as("k0"), (1 until 8).map(j => min(col(s"k$j")).as(s"k$j")): _*)
+      .select(Seq(col("vec_id")) ++ (0 until 8).map(j => (col(s"k$j") % 16).as(s"c$j")): _*)
+      .orderBy("vec_id").collect()
+    val mapOnly = graft.queries.Similarity
+      .pqCodes(emb, col("embedding"), cents, Seq(col("vec_id")))
+      .orderBy("vec_id").collect()
+    assert(mapOnly.length === twoStage.length)
+    mapOnly.zip(twoStage).foreach { case (a, b) => assert(a === b) }
+    // empty codebook is a loud error, not silent garbage
+    val err = intercept[Exception] {
+      graft.queries.Similarity.pqCodes(
+        emb, col("embedding"), cents.filter(col("cent_id") < 0),
+        Seq(col("vec_id"))).collect()
+    }
+    assert(err.toString.nonEmpty)
+  }
+
   test("sketch probes reject wrong types at analysis time") {
     import org.apache.spark.sql.AnalysisException
     // non-binary sketch child

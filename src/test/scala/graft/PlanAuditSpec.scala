@@ -16,6 +16,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_similarity_topk", // 1-row probe vector broadcast
     "q_similarity_ivf",  // ≤16-row centroid codebook broadcast
     "q_similarity_ivf_trained", // ≤16-row codebook broadcast per Lloyd round
+    "q_similarity_ivf_nprobe",  // same trained ≤16-row codebook + 3-row probe set
+    "q_similarity_ivfpq_res",   // ≤16-row raw + ≤16-row residual codebook broadcasts
     "q_dedup_semantic",  // ≤16-row codebook broadcast (SemDeDup assignment)
     "q_similarity_pq",   // ≤16-row codebook broadcast (PQ encode + ADC table)
     "q_similarity_ivfpq", // ≤16-row codebook broadcast (IVF assign + PQ encode)

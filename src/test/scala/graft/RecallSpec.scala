@@ -127,17 +127,25 @@ class RecallSpec extends SparkSpec {
     ivfpq.foreach(r => assert(r.getLong(2) === probeCluster,
       s"vec ${r.getLong(0)} ranked from cluster ${r.getLong(2)} != $probeCluster"))
     // PQ codes are per-row properties of (vector, codebook): restricting
-    // encode to the posting list must not change them. Compare against
-    // q_similarity_pq's codes for the overlapping vec_ids.
-    val pqCodes = SparkEntry.queries("q_similarity_pq")(spark, sf001)
-      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
-    val overlap = ivfpq.filter(r => pqCodes.contains(r.getLong(0)))
-    overlap.foreach { r =>
-      assert(r.getLong(3) === pqCodes(r.getLong(0)),
-        s"code drift for vec ${r.getLong(0)}")
+    // encode to the posting list must not change them. Re-encode the FULL
+    // corpus through the shared pqCodes path and compare every ivfpq
+    // result row — never vacuous (the former top-10-overlap comparison
+    // silently passed when the two top-10 lists were disjoint, ADVICE r14).
+    val emb = Tables.embeddings(spark, sf001)
+    val cents = emb.filter(col("vec_id") <= 15)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    val fullCodes = graft.queries.Similarity
+      .pqCodes(emb, col("embedding"), cents, Seq(col("vec_id")))
+      .select(col("vec_id"), (0 until 8).map(j =>
+        col(s"c$j") * lit(math.pow(16, j).toLong)).reduce(_ + _).as("code"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ivfpq.foreach { r =>
+      assert(r.getLong(3) === fullCodes(r.getLong(0)),
+        s"code drift for vec ${r.getLong(0)}: posting-list-restricted " +
+          s"encode gave ${r.getLong(3)}, full-corpus encode ${fullCodes(r.getLong(0))}")
     }
-    info(s"ivfpq scanned 1 posting list; ${overlap.length} of its top-10 " +
-         "overlap global PQ top-10 (codes bit-identical)")
+    info(s"ivfpq scanned 1 posting list; all ${ivfpq.length} result codes " +
+         "match a full-corpus re-encode (bit-identical)")
   }
 
   test("trained IVF: Lloyd objective non-decreasing per round; deterministic") {
@@ -196,6 +204,65 @@ class RecallSpec extends SparkSpec {
     info(f"recall@10 ivf_trained=${(trained & exact).size / 10.0}%.2f " +
          f"(scanned ~${trained.size} of 499; untrained ivf for comparison " +
          f"is in the ANN recall test above)")
+  }
+
+  test("trained IVF nprobe=3: candidate superset of single-probe, recall recovered") {
+    val exact = ids("q_similarity_topk").toSet
+    val single = ids("q_similarity_ivf_trained").toSet
+    val multi = ids("q_similarity_ivf_nprobe").toSet
+    val rS = (single & exact).size / 10.0
+    val rM = (multi & exact).size / 10.0
+    info(f"recall@10 trained nprobe=1: $rS%.2f -> nprobe=3: $rM%.2f " +
+         f"(scanned ~${multi.size}... of 499; untrained single-probe is 0.90)")
+    // The probe's own cluster is always rank-1 of the probed-cluster
+    // ranking (same quantized cosine, same tie-break), so the nprobe=3
+    // candidate set strictly contains the single-probe set — recall can
+    // only go up, the same guarantee lsh_multi pins.
+    assert(rM >= rS,
+      f"nprobe=3 recall $rM%.2f fell below single-probe $rS%.2f")
+    // Measured 0.90 at nprobe=3 (up from 0.70 single-probe, level with
+    // the untrained codebook's 0.90) — the trained index recovers the
+    // boundary-straddling neighbors by probing 3/16 of the corpus. 0.8
+    // floor leaves margin while catching probe-ranking regressions.
+    assert(rM >= 0.8,
+      f"nprobe=3 recall@10 = $rM%.2f — probing the 3 nearest trained " +
+        "clusters should recover the untrained single-probe level (0.90)")
+  }
+
+  test("residual IVF-PQ: recall >= raw IVF-PQ, posting-list containment, codes well-formed") {
+    val res = SparkEntry.queries("q_similarity_ivfpq_res")(spark, sf001).collect()
+    assert(res.nonEmpty && res.length <= 10)
+    res.foreach { r =>
+      val c = r.getLong(3); assert(c >= 0 && c < (1L << 32), s"code $c")
+    }
+    // all results come from the probe's posting list, like raw ivfpq
+    val probeCluster = SparkEntry.queries("q_similarity_ivf")(spark, sf001)
+      .collect().head.getLong(2)
+    res.foreach(r => assert(r.getLong(2) === probeCluster,
+      s"vec ${r.getLong(0)} ranked from cluster ${r.getLong(2)} != $probeCluster"))
+    // Within one posting list q - v = r_q - r_v EXACTLY (shared centroid),
+    // so residual ADC estimates the same distances on a re-centered grid;
+    // the honest ground truth is the same exact-L2 top-10 the PQ test uses.
+    val e = Tables.embeddings(spark, sf001)
+    val p = e.filter(col("vec_id") === 0).select(col("embedding").as("p"))
+    val exactL2 = e.crossJoin(broadcast(p)).filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        aggregate(zip_with(col("embedding"), col("p"), (a, b) =>
+            (a.cast("double") - b.cast("double")) *
+            (a.cast("double") - b.cast("double"))),
+          lit(0.0), (acc, x) => acc + x).as("l2"))
+      .orderBy(col("l2").asc, col("vec_id").asc).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val rRaw = (SparkEntry.queries("q_similarity_ivfpq")(spark, sf001)
+      .collect().map(_.getLong(0)).toSet & exactL2).size / 10.0
+    val rRes = (res.map(_.getLong(0)).toSet & exactL2).size / 10.0
+    info(f"recall@10 vs exact L2: ivfpq raw=$rRaw%.2f residual=$rRes%.2f " +
+         "(random vectors: residual re-centering can't add structure, " +
+         "so parity is the expected outcome; on clustered corpora the " +
+         "smaller-magnitude grid is where the win comes from)")
+    // the r14 verdict's acceptance bar: residual floor >= raw-PQ's
+    assert(rRes >= rRaw,
+      f"residual ADC recall $rRes%.2f fell below raw-vector ADC $rRaw%.2f")
   }
 
   test("minhash band stage recovers >= 75% of exact-Jaccard >= 0.75 pairs") {
