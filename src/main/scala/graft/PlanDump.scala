@@ -24,12 +24,19 @@ object PlanDump {
     "q_agg_salted", "q_embed_quant", "q_sql_tpch3", "q_upsert_last_wins",
     "q_corpus_filter", "q_dedup_lines", "q_approx_percentile",
     "q_chunk_docs", "q_unigram_logprob", "q_dedup_semantic",
-    "q_similarity_pq", "q_similarity_ivfpq")
+    "q_similarity_pq", "q_similarity_ivfpq", "q_similarity_ivf_nprobe",
+    "q_similarity_ivfpq_res")
 
   private val keep = Seq("Exchange", "HashAggregate", "BroadcastHashJoin",
     "BroadcastNestedLoopJoin", "CartesianProduct", "SortMergeJoin",
     "ShuffledHashJoin", "SortAggregate", "TakeOrderedAndProject",
-    "WindowGroupLimit", "Generate", "PushedFilters", "ReadSchema")
+    "WindowGroupLimit", "Generate", "PushedFilters", "ReadSchema",
+    // materialization witnesses: an InMemoryTableScan over ONE
+    // InMemoryRelation is how the plan proves a shared subtree (trained
+    // codebooks, q_dedup_semantic's assignment) is computed once and
+    // reused — the repeated aggregate lines under it are the cached
+    // plan's DESCRIPTION, not re-execution
+    "InMemoryTableScan", "InMemoryRelation")
 
   // Adjudicated design decisions that the plan alone doesn't witness —
   // emitted under the matching section so they survive regeneration.
