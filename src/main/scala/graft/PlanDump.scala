@@ -65,14 +65,18 @@ object PlanDump {
          |parameter grown with the corpus (SemDeDup ships k=50k on
          |LAION-440M), so the shape stays ~linear at 100 TB with the
          |trained-codebook path (q_similarity_ivf_trained) supplying
-         |balanced centroids. r15: the assignment is MATERIALIZED once
-         |(cache + count, the trained-IVF pattern) — r14's plan re-ran the
-         |corpus scan + assignment aggregation in all three arms; now the
-         |plan shows one InMemoryRelation feeding the self-join and the
-         |marker join (production: checkpoint the assignment table, same
-         |shape). The BroadcastNestedLoopJoin in this plan is the
-         |whitelisted <=16-row codebook broadcast, same as the IVF
-         |queries.""").stripMargin,
+         |balanced centroids. r15: drop-marking moved INSIDE the pair-join
+         |aggregation (left-outer self-join -> per-vec max over matches),
+         |removing r14's third assignment arm (the marker join); the
+         |assignment subtree now appears only in the self-join's two arms.
+         |An eager cache+count materialization was tried first and the
+         |bench band-guard flagged it at 3.4x the prior band (1,068 ms vs
+         |253 ms for this shape at sf0.1 — cache job overhead dominates at
+         |local scale); graft.dedup.semantic.materialize=true enables the
+         |single-corpus-pass pinned-assignment plan for scales where
+         |corpus passes dominate. The BroadcastNestedLoopJoin in this
+         |plan is the whitelisted <=16-row codebook broadcast, same as the
+         |IVF queries.""").stripMargin,
     "q_similarity_pq" ->
       ("""Design (r14, encode reworked r15): product quantization + ADC
          |(Jegou et al. 2011), the billion-scale ANN memory layout.

@@ -258,4 +258,43 @@ class PropertySpec extends AnyFunSuite {
       bits(cosF) == bits(expCos) && bits(cosD) == bits(expCos) && pqOk
     })
   }
+
+  test("graft_pq_encode argmin keys equal Spark's own Round semantics for arbitrary inputs") {
+    // The map-only encode replicates round(d, 6) INSIDE the expression
+    // (PqEncode.round6) instead of composing Spark's Round — the one
+    // place cross-engine hash parity rests on a reimplementation. Pin it
+    // against the real thing: codes from PqEncode must equal an argmin
+    // computed with Spark's literal Round expression, for arbitrary
+    // finite vectors and codebooks (the table-level spec only exercises
+    // the corpus's value range).
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Round}
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.catalyst.InternalRow
+    import graft.expressions.PqEncode
+    val vecGen: Gen[Array[Float]] =
+      Gen.containerOfN[Array, Float](64, Gen.chooseNum(-1e3f, 1e3f))
+    val cbGen: Gen[List[Array[Float]]] =
+      Gen.listOfN(16, vecGen).map(_.toList)
+    def sparkRound6(d: Double): Double =
+      Round(Literal(d), Literal(6)).eval(InternalRow.empty).asInstanceOf[Double]
+    check("pq-encode-round", Prop.forAll(vecGen, cbGen) { (v, cb) =>
+      val centsRows = cb.zipWithIndex.map { case (c, i) =>
+        InternalRow(i.toLong, new GenericArrayData(c))
+      }
+      val got = PqEncode.compute(
+        new GenericArrayData(v),
+        new GenericArrayData(centsRows.toArray[Any]), isDouble = false)
+      (0 until 8).forall { j =>
+        val want = cb.zipWithIndex.map { case (c, cid) =>
+          var d = 0.0
+          var k = 8 * j
+          while (k < 8 * j + 8) {
+            val dlt = v(k).toDouble - c(k).toDouble; d += dlt * dlt; k += 1
+          }
+          (math.floor(sparkRound6(d) * 1e6 + 0.5).toLong * 16L + cid, cid)
+        }.minBy(_._1)._2
+        got.getLong(j) == want.toLong
+      }
+    })
+  }
 }
