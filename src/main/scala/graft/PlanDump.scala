@@ -25,7 +25,8 @@ object PlanDump {
     "q_corpus_filter", "q_dedup_lines", "q_approx_percentile",
     "q_chunk_docs", "q_unigram_logprob", "q_dedup_semantic",
     "q_similarity_pq", "q_similarity_ivfpq", "q_similarity_ivf_nprobe",
-    "q_similarity_ivfpq_res")
+    "q_similarity_ivfpq_res", "q_similarity_ivfpq_nprobe",
+    "q_similarity_batch")
 
   private val keep = Seq("Exchange", "HashAggregate", "BroadcastHashJoin",
     "BroadcastNestedLoopJoin", "CartesianProduct", "SortMergeJoin",

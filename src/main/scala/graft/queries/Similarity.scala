@@ -404,6 +404,84 @@ object Similarity {
         .limit(10)
     }),
 
+    // Batched-probe ANN (r15): production retrieval is a JOIN — a SET of
+    // probes against the corpus, top-k per probe — not one vector at a
+    // time. The probe set (5 rows) broadcasts; scoring is one map stage;
+    // per-probe top-3 compiles to a window rank that Spark's
+    // WindowGroupLimit prunes MAP-SIDE (each partition keeps ≤3 rows per
+    // probe before the exchange, plan-audited in PlanAuditSpec) — no
+    // global sort, shuffle carries ~3×|probes| rows. At 100 TB with a
+    // large probe set the same shape becomes posting-list equi-joins
+    // (q_similarity_ivfpq) with this window as the final per-probe cut.
+    "q_similarity_batch" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, d)
+      val probes = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
+      emb.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+                round(cosine(col("embedding"), col("probe_emb")), 4).as("cos_sim"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("probe_id"))
+            .orderBy(col("cos_sim").desc, col("vec_id").asc)))
+        .filter(col("rank") <= 3)
+        .select(col("probe_id"), col("vec_id"), col("cos_sim"),
+                col("rank").cast("long").as("rank"))
+        .orderBy("probe_id", "rank")
+    }),
+
+    // IVF-PQ at nprobe=3 (r15): the COMPLETE production query shape —
+    // coarse quantizer restricts search to the probe's 3 nearest posting
+    // lists (the nprobe recall lever), PQ-ADC ranks within them from
+    // codes alone (the memory-layout lever). Composition of the three
+    // verified stages: assignment from q_similarity_ivf, cluster probing
+    // from q_similarity_ivf_nprobe (here over the raw 16-vector codebook,
+    // a 16-row sort), encode/ADC from q_similarity_pq. ~3/16 of the
+    // corpus scanned, 8 map lookups per candidate, no shuffle after the
+    // posting-list join.
+    "q_similarity_ivfpq_nprobe" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = emb.filter(col("vec_id") <= 15)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+      val assigned = emb.crossJoin(broadcast(cents))
+        .withColumn("cos_c", round(cosine(col("embedding"), col("cent_emb")), 6))
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("label"), col("embedding"), col("cent_id")),
+                    struct(col("cos_c"), -col("cent_id"))).as("m"))
+        .select(col("vec_id"), col("m.label").as("label"),
+                col("m.embedding").as("embedding"), col("m.cent_id").as("cluster"))
+      val probeRow = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("probe_emb"))
+      val probed = cents.crossJoin(broadcast(probeRow))
+        .select(col("cent_id").as("pc"),
+                round(cosine(col("probe_emb"), col("cent_emb")), 6).as("cc"))
+        .orderBy(col("cc").desc, col("pc").asc)
+        .limit(3)
+        .select(col("pc"))
+      val cand = assigned.join(broadcast(probed), col("cluster") === col("pc"))
+        .filter(col("vec_id") =!= 0)
+      def sub(ds: Column, j: Int) = element_at(ds, j + 1)
+      val coded = pqCodes(cand, col("embedding"), cents,
+        Seq(col("vec_id"), col("label"), col("cluster")))
+      val dt = cents.crossJoin(broadcast(probeRow))
+        .withColumn("pds",
+          call_function("graft_pq_dists", col("probe_emb"), col("cent_emb")))
+        .select(Seq(col("cent_id")) ++ (0 until 8).map(j =>
+          round(sub(col("pds"), j), 6).as(s"pd$j")): _*)
+      val dtm = dt.agg(map_from_entries(collect_list(struct(col("cent_id"),
+        struct((0 until 8).map(j => col(s"pd$j")): _*)))).as("dtm"))
+      coded.crossJoin(broadcast(dtm))
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+                col("cluster").cast("long").as("cluster"),
+                (0 until 8).map(j => col(s"c$j") * lit(math.pow(16, j).toLong))
+                  .reduce(_ + _).as("code"),
+                round((0 until 8).map(j =>
+                  col("dtm")(col(s"c$j")).getField(s"pd$j")).reduce(_ + _), 4)
+                  .as("adc_dist"))
+        .orderBy(col("adc_dist").asc, col("vec_id").asc)
+        .limit(10)
+    }),
+
     // Residual IVF-PQ (r15 — the production refinement the r14 code named
     // as not modeled): encode r_v = v − centroid(cluster(v)) instead of
     // raw vectors, so the sub-codebooks quantize within-cluster variance
@@ -705,6 +783,63 @@ object Similarity {
             cand AS (SELECT a.* FROM assigned a,
                        (SELECT cluster AS pc FROM assigned WHERE vec_id = 0) p
                      WHERE a.cluster = p.pc AND a.vec_id <> 0),
+            keyed AS (SELECT e.vec_id, e.label, e.cluster, $keySel
+                      FROM cand e CROSS JOIN cents c),
+            co AS (SELECT vec_id, label, cluster,
+                          ${(0 until 8).map(j => s"min(k$j) % 16 AS c$j").mkString(", ")}
+                   FROM keyed GROUP BY vec_id, label, cluster),
+            dt AS (SELECT c.cent_id, $pdSel
+                   FROM cents c CROSS JOIN
+                        (SELECT embedding AS p FROM embeddings WHERE vec_id = 0) p)
+          SELECT co.vec_id, CAST(co.label AS BIGINT) AS label,
+                 CAST(co.cluster AS BIGINT) AS cluster,
+                 ${(0 until 8).map(j => s"co.c$j * ${math.pow(16, j).toLong}").mkString(" + ")} AS code,
+                 round(${(0 until 8).map(j => s"t$j.pd$j").mkString(" + ")}, 4) AS adc_dist
+          FROM co $dtJoins
+          ORDER BY adc_dist ASC, co.vec_id ASC LIMIT 10"""
+    },
+    "q_similarity_batch" ->
+      s"""SELECT probe_id, vec_id, cos_sim, CAST(rank AS BIGINT) AS rank FROM (
+            SELECT p.probe_id, e.vec_id,
+                   round(${cosSG("e.embedding", "p.probe_emb")}, 4) AS cos_sim,
+                   row_number() OVER (PARTITION BY p.probe_id
+                     ORDER BY round(${cosSG("e.embedding", "p.probe_emb")}, 4) DESC,
+                              e.vec_id ASC) AS rank
+            FROM embeddings e,
+                 (SELECT vec_id AS probe_id, embedding AS probe_emb
+                  FROM embeddings WHERE vec_id < 5) p
+            WHERE e.vec_id <> p.probe_id)
+          WHERE rank <= 3 ORDER BY probe_id, rank""",
+    "q_similarity_ivfpq_nprobe" -> {
+      def sdS(v: String, c: String, j: Int) =
+        (1 to 8).map { k =>
+          val i = 8 * j + k
+          s"(CAST($v[$i] AS DOUBLE) - CAST($c[$i] AS DOUBLE)) * (CAST($v[$i] AS DOUBLE) - CAST($c[$i] AS DOUBLE))"
+        }.mkString(" + ")
+      val keySel = (0 until 8).map(j =>
+        s"CAST(floor(round(${sdS("e.embedding", "c.cent_emb", j)}, 6) * 1000000.0 + 0.5) AS BIGINT) * 16 + c.cent_id AS k$j")
+        .mkString(", ")
+      val pdSel = (0 until 8).map(j =>
+        s"round(${sdS("p.p", "c.cent_emb", j)}, 6) AS pd$j").mkString(", ")
+      val dtJoins = (0 until 8).map(j =>
+        s"JOIN dt t$j ON co.c$j = t$j.cent_id").mkString(" ")
+      s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb
+                         FROM embeddings WHERE vec_id <= 15),
+            pr AS (SELECT embedding AS probe_emb FROM embeddings WHERE vec_id = 0),
+            assigned AS (
+              SELECT vec_id, label, embedding, cent_id AS cluster FROM (
+                SELECT e.vec_id, e.label, e.embedding, c.cent_id,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY round(${cosSG("e.embedding", "c.cent_emb")}, 6) DESC,
+                                  c.cent_id ASC) AS rn
+                FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+            probed AS (SELECT c.cent_id AS pc
+                       FROM cents c CROSS JOIN pr
+                       ORDER BY round(${cosSG("pr.probe_emb", "c.cent_emb")}, 6) DESC,
+                                c.cent_id ASC
+                       LIMIT 3),
+            cand AS (SELECT a.* FROM assigned a JOIN probed ON a.cluster = probed.pc
+                     WHERE a.vec_id <> 0),
             keyed AS (SELECT e.vec_id, e.label, e.cluster, $keySel
                       FROM cand e CROSS JOIN cents c),
             co AS (SELECT vec_id, label, cluster,

@@ -18,6 +18,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_similarity_ivf_trained", // ≤16-row codebook broadcast per Lloyd round
     "q_similarity_ivf_nprobe",  // same trained ≤16-row codebook + 3-row probe set
     "q_similarity_ivfpq_res",   // ≤16-row raw + ≤16-row residual codebook broadcasts
+    "q_similarity_ivfpq_nprobe", // ≤16-row codebook + 3-row probed-cluster broadcasts
+    "q_similarity_batch",       // 5-row probe-set broadcast, non-equi (≠ self) join
     "q_dedup_semantic",  // ≤16-row codebook broadcast (SemDeDup assignment)
     "q_similarity_pq",   // ≤16-row codebook broadcast (PQ encode + ADC table)
     "q_similarity_ivfpq", // ≤16-row codebook broadcast (IVF assign + PQ encode)
@@ -43,6 +45,15 @@ class PlanAuditSpec extends SparkSpec {
           assert(!plan.contains("BroadcastNestedLoopJoin"),
             s"$name plans an unexpected nested-loop join")
       }
+  }
+
+  test("q_similarity_batch: per-probe top-k prunes map-side (WindowGroupLimit), no cartesian") {
+    val plan = SparkEntry.queries("q_similarity_batch")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      "per-probe rank<=3 must compile to WindowGroupLimit so each " +
+        "partition keeps <=3 rows per probe before the exchange")
+    assert(!plan.contains("CartesianProduct"))
   }
 
   test("q_dedup_minhash plans exactly two shuffles (band join + pair dedup)") {

@@ -265,6 +265,40 @@ class RecallSpec extends SparkSpec {
       f"residual ADC recall $rRes%.2f fell below raw-vector ADC $rRaw%.2f")
   }
 
+  test("batched-probe top-k is exact per probe; IVF-PQ nprobe widens monotonically") {
+    // q_similarity_batch is brute-force per probe — probe 0's rows must
+    // reproduce the head of q_similarity_topk (same scoring, same
+    // tie-break), not approximate it.
+    val batch = SparkEntry.queries("q_similarity_batch")(spark, sf001).collect()
+    assert(batch.length === 15, "5 probes x top-3")
+    val p0 = batch.filter(_.getLong(0) == 0L).sortBy(_.getLong(3))
+      .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    val topk = SparkEntry.queries("q_similarity_topk")(spark, sf001)
+      .collect().take(3).map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(p0 === topk,
+      "probe 0's batched top-3 must equal the single-probe exact top-3")
+    // every probe got exactly 3 ranked rows, ranks 1..3
+    (0L until 5L).foreach { p =>
+      assert(batch.filter(_.getLong(0) == p).map(_.getLong(3)).sorted.toSeq
+        === Seq(1L, 2L, 3L), s"probe $p rank set")
+    }
+    // nprobe=3 IVF-PQ: the probed set contains the single-probe cluster,
+    // so the candidate set is a superset and the best ADC distance can
+    // only improve (ADC estimates are per-row properties — unchanged by
+    // widening the candidate pool).
+    val single = SparkEntry.queries("q_similarity_ivfpq")(spark, sf001).collect()
+    val multi = SparkEntry.queries("q_similarity_ivfpq_nprobe")(spark, sf001).collect()
+    assert(multi.head.getDouble(4) <= single.head.getDouble(4),
+      f"nprobe top-1 ADC ${multi.head.getDouble(4)}%.4f worse than " +
+        f"single-probe ${single.head.getDouble(4)}%.4f")
+    val probedClusters = multi.map(_.getLong(2)).toSet
+    assert(probedClusters.contains(single.head.getLong(2)) ||
+           multi.length < 10,
+      "the single-probe posting list is always among the 3 probed")
+    info(s"ivfpq nprobe=3 results drawn from clusters $probedClusters " +
+         s"(single-probe cluster ${single.head.getLong(2)})")
+  }
+
   test("minhash band stage recovers >= 75% of exact-Jaccard >= 0.75 pairs") {
     // Ground truth: exact shingle-set Jaccard over ALL pairs (all-pairs is
     // test-only — the operators under test exist precisely to avoid this
