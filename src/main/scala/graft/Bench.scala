@@ -150,7 +150,10 @@ object Bench {
       // band → settle, retry (twice at most); still out → flag suspect in
       // the artifact rather than silently archiving a contaminated number.
       if (guards && !errors.contains(name) && times.nonEmpty) {
-        prior.get(name).foreach { p =>
+        // a 0-ms prior (artifact corruption, truncated entry) would make
+        // outOfBand unconditionally true — unusable priors disable the
+        // guard for that query, exactly as BenchGuardSpec models
+        prior.get(name).filter(_ > 0).foreach { p =>
           var extra = 0
           while (extra < 2 && !errors.contains(name) &&
                  BenchGuards.outOfBand(times.min, p)) {

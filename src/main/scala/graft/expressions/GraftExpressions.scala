@@ -379,8 +379,21 @@ object PqEncode {
     val best = Array.fill(8)(Long.MaxValue)
     var i = 0
     while (i < nc) {
+      if (cents.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"graft_pq_encode: null codebook entry at index $i")
       val row = cents.getStruct(i, 2)
+      if (row.isNullAt(0) || row.isNullAt(1))
+        throw new IllegalArgumentException(
+          s"graft_pq_encode: null cent_id or cent_emb at index $i")
       val cid = row.getLong(0)
+      // the argmin key packs cent_id into the low 4 bits
+      // (key = dist·16 + cid); a cid outside [0, 16) would bleed into
+      // the distance bits and silently corrupt the argmin (review r15)
+      if (cid < 0 || cid > 15)
+        throw new IllegalArgumentException(
+          s"graft_pq_encode: cent_id $cid outside [0, 16) — the 4-bit " +
+            "sub-code packing supports at most 16 sub-centroids")
       val cemb = row.getArray(1)
       if (cemb.numElements() < 64)
         throw new IllegalArgumentException(

@@ -69,6 +69,64 @@ object Similarity {
         element_at(col("codes"), j + 1).as(s"c$j")): _*)
   }
 
+  /** Nearest-centroid IVF assignment shared by every coarse-quantizer
+    * query (q_similarity_ivf / _ivfpq / _ivfpq_nprobe / _ivfpq_res) —
+    * ONE definition of the determinism contract: rank round(cos, 6)
+    * descending with centroid-id tie-break, as a PARTIAL max_by
+    * aggregation (the rank-1→aggregation idiom shared with
+    * q_upsert_last_wins/q_dedup — max over (cos_c, −cent_id) ≡ the
+    * window's cos DESC, cent_id ASC, tracked in one pass with map-side
+    * combine where a window would sort the ×16 fan-out on both sides of
+    * the exchange). `keepCentEmb` additionally carries the winning
+    * centroid VECTOR through (residual encoding needs v − centroid). */
+  private def ivfAssignment(emb: DataFrame, cents: DataFrame,
+                            keepCentEmb: Boolean = false): DataFrame = {
+    val carried = Seq(col("label"), col("embedding"), col("cent_id")) ++
+      (if (keepCentEmb) Seq(col("cent_emb")) else Nil)
+    val base = emb.crossJoin(broadcast(cents))
+      .withColumn("cos_c", round(cosine(col("embedding"), col("cent_emb")), 6))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(carried: _*),
+                  struct(col("cos_c"), -col("cent_id"))).as("m"))
+    val out = Seq(col("vec_id"), col("m.label").as("label"),
+                  col("m.embedding").as("embedding"),
+                  col("m.cent_id").as("cluster")) ++
+      (if (keepCentEmb) Seq(col("m.cent_emb").as("cent_vec")) else Nil)
+    base.select(out: _*)
+  }
+
+  /** ADC ranking tail shared by the PQ family: the probe's 16×8 distance
+    * table collapses to ONE broadcast map row (cent_id → (pd0…pd7)),
+    * every coded candidate pays 8 in-row lookups — map-only, no shuffle —
+    * into TakeOrderedAndProject. `cb` is the (cent_id, cent_emb)
+    * sub-codebook (raw vectors or residuals — graft_pq_dists dispatches
+    * on element type), `probeVec` a single-row single-column DataFrame
+    * holding the probe (raw or residual). */
+  private def adcTopK(coded: DataFrame, cb: DataFrame, probeVec: DataFrame,
+                      keep: Seq[String]): DataFrame = {
+    def sub(ds: Column, j: Int) = element_at(ds, j + 1)
+    val p = probeVec.columns.head
+    val dt = cb.crossJoin(broadcast(probeVec))
+      .withColumn("pds",
+        call_function("graft_pq_dists", col(p), col("cent_emb")))
+      .select(Seq(col("cent_id")) ++ (0 until 8).map(j =>
+        round(sub(col("pds"), j), 6).as(s"pd$j")): _*)
+    val dtm = dt.agg(map_from_entries(collect_list(struct(col("cent_id"),
+      struct((0 until 8).map(j => col(s"pd$j")): _*)))).as("dtm"))
+    coded.crossJoin(broadcast(dtm))
+      .select(keep.map {
+          case c @ ("label" | "cluster") => col(c).cast("long").as(c)
+          case c => col(c)
+        } ++ Seq(
+        (0 until 8).map(j => col(s"c$j") * lit(math.pow(16, j).toLong))
+          .reduce(_ + _).as("code"),
+        round((0 until 8).map(j =>
+          col("dtm")(col(s"c$j")).getField(s"pd$j")).reduce(_ + _), 4)
+          .as("adc_dist")): _*)
+      .orderBy(col("adc_dist").asc, col("vec_id").asc)
+      .limit(10)
+  }
+
   /** The trained-IVF pipeline shared by q_similarity_ivf_trained and
     * q_similarity_ivf_nprobe (r15 extraction — identical logic to the
     * r14 in-query form, hash-verified): two spherical k-means Lloyd
@@ -199,23 +257,7 @@ object Similarity {
       val emb = Tables.embeddings(s, d)
       val cents = emb.filter(col("vec_id") <= 15)
         .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
-      // Nearest-centroid assignment as a PARTIAL max_by aggregation — the
-      // same rank-1→aggregation idiom as q_upsert_last_wins/q_dedup. The
-      // row_number form it replaces was already shuffle-equivalent (Spark's
-      // WindowGroupLimit prunes to one candidate per vector map-side), but
-      // the aggregation tracks the max in one pass where the window sorts
-      // the fan-out within every partition on both sides of the exchange;
-      // measured at parity at sf0.1, and it keeps every rank-1 reduction
-      // in the codebase on the one aggregation shape.
-      // max over (cos_c, -cent_id) ≡ the window's cos DESC, cent_id ASC.
-      val assigned = emb.crossJoin(broadcast(cents))
-        .withColumn("cos_c", round(cosine(col("embedding"), col("cent_emb")), 6))
-        .groupBy(col("vec_id"))
-        .agg(max_by(struct(col("label"), col("embedding"), col("cent_id")),
-                    struct(col("cos_c"), -col("cent_id"))).as("m"))
-        .select(col("vec_id"), col("m.label").as("label"),
-                col("m.embedding").as("embedding"),
-                col("m.cent_id").as("cluster"))
+      val assigned = ivfAssignment(emb, cents)
       val probeC = assigned.filter(col("vec_id") === 0)
         .select(col("embedding").as("probe_emb"), col("cluster").as("probe_cluster"))
       assigned.join(broadcast(probeC), col("cluster") === col("probe_cluster"))
@@ -319,38 +361,17 @@ object Similarity {
         .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
       // encode: one map-only projection via the shared graft_pq_encode
       // path (see pqCodes above) — the former crossJoin(×16)+argmin
-      // aggregation shape survives only in the DuckDB oracle SQL
-      def subdist(ds: Column, j: Int): Column = element_at(ds, j + 1)
-      val coded = pqCodes(emb, col("embedding"), cents,
-        Seq(col("vec_id"), col("label")))
-      val dt = cents.crossJoin(broadcast(
-          emb.filter(col("vec_id") === 0).select(col("embedding").as("p"))))
-        .withColumn("pds",
-          call_function("graft_pq_dists", col("p"), col("cent_emb")))
-        .select(Seq(col("cent_id")) ++ (0 until 8).map(j =>
-          round(subdist(col("pds"), j), 6).as(s"pd$j")): _*)
-      // the 16x8 table collapses to ONE broadcast row holding a
-      // cent_id -> (pd0…pd7) map — ADC is then 8 in-row map lookups per
-      // candidate (how an ADC table lives in memory in a native index),
-      // instead of 8 chained broadcast joins each paying a build job
-      // (join-chain 1.16 s -> map row 0.82 s -> + fused graft_pq_dists
-      // 0.65 s at sf0.1; identical output hashes at every step)
-      val dtm = dt.agg(map_from_entries(collect_list(struct(col("cent_id"),
-        struct((0 until 8).map(j => col(s"pd$j")): _*)))).as("dtm"))
-      val adcJoined = coded.crossJoin(broadcast(dtm))
-        .select(Seq(col("vec_id"), col("label")) ++
-          (0 until 8).map(j => col(s"c$j")) :+
-          (0 until 8).map(j =>
-            col("dtm")(col(s"c$j")).getField(s"pd$j")).reduce(_ + _).as("adc_raw"): _*)
-      adcJoined.filter(col("vec_id") =!= 0)
-        .select(col("vec_id"), col("label").cast("long").as("label"),
-                (0 until 8).map(j => col(s"c$j") * lit(math.pow(16, j).toLong))
-                  .reduce(_ + _).as("code"),
-                // ranked on the 4-dp value (vec_id breaks its ties) so both
-                // engines pick the identical top-10 set AND row order
-                round(col("adc_raw"), 4).as("adc_dist"))
-        .orderBy(col("adc_dist").asc, col("vec_id").asc)
-        .limit(10)
+      // aggregation shape survives only in the DuckDB oracle SQL; the
+      // shared adcTopK tail collapses the probe's 16×8 table to one
+      // broadcast map row (join-chain 1.16 s → map row 0.82 s → fused
+      // graft_pq_dists 0.65 s at sf0.1; identical hashes every step).
+      // adc_dist rounds to 4 dp with vec_id tie-break so both engines
+      // pick the identical top-10 set AND row order.
+      val coded = pqCodes(emb.filter(col("vec_id") =!= 0),
+        col("embedding"), cents, Seq(col("vec_id"), col("label")))
+      adcTopK(coded, cents,
+        emb.filter(col("vec_id") === 0).select(col("embedding").as("p")),
+        Seq("vec_id", "label"))
     }),
 
     // IVF-PQ composed (the production billion-scale index): the coarse
@@ -367,41 +388,19 @@ object Similarity {
       val emb = Tables.embeddings(s, d)
       val cents = emb.filter(col("vec_id") <= 15)
         .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
-      val assigned = emb.crossJoin(broadcast(cents))
-        .withColumn("cos_c", round(cosine(col("embedding"), col("cent_emb")), 6))
-        .groupBy(col("vec_id"))
-        .agg(max_by(struct(col("label"), col("embedding"), col("cent_id")),
-                    struct(col("cos_c"), -col("cent_id"))).as("m"))
-        .select(col("vec_id"), col("m.label").as("label"),
-                col("m.embedding").as("embedding"), col("m.cent_id").as("cluster"))
+      val assigned = ivfAssignment(emb, cents)
       val probeC = assigned.filter(col("vec_id") === 0)
         .select(col("cluster").as("pc"))
       val cand = assigned.join(broadcast(probeC), col("cluster") === col("pc"))
         .filter(col("vec_id") =!= 0)
-      def sub(ds: Column, j: Int) = element_at(ds, j + 1)
       // map-only encode on the posting-list-restricted candidates — same
       // shared path as q_similarity_pq, so codes are identical by
       // construction (RecallSpec re-checks via re-encode, not overlap)
       val coded = pqCodes(cand, col("embedding"), cents,
         Seq(col("vec_id"), col("label"), col("cluster")))
-      val dt = cents.crossJoin(broadcast(
-          emb.filter(col("vec_id") === 0).select(col("embedding").as("p"))))
-        .withColumn("pds",
-          call_function("graft_pq_dists", col("p"), col("cent_emb")))
-        .select(Seq(col("cent_id")) ++ (0 until 8).map(j =>
-          round(sub(col("pds"), j), 6).as(s"pd$j")): _*)
-      val dtm = dt.agg(map_from_entries(collect_list(struct(col("cent_id"),
-        struct((0 until 8).map(j => col(s"pd$j")): _*)))).as("dtm"))
-      coded.crossJoin(broadcast(dtm))
-        .select(col("vec_id"), col("label").cast("long").as("label"),
-                col("cluster").cast("long").as("cluster"),
-                (0 until 8).map(j => col(s"c$j") * lit(math.pow(16, j).toLong))
-                  .reduce(_ + _).as("code"),
-                round((0 until 8).map(j =>
-                  col("dtm")(col(s"c$j")).getField(s"pd$j")).reduce(_ + _), 4)
-                  .as("adc_dist"))
-        .orderBy(col("adc_dist").asc, col("vec_id").asc)
-        .limit(10)
+      adcTopK(coded, cents,
+        emb.filter(col("vec_id") === 0).select(col("embedding").as("p")),
+        Seq("vec_id", "label", "cluster"))
     }),
 
     // Batched-probe ANN (r15): production retrieval is a JOIN — a SET of
@@ -443,13 +442,7 @@ object Similarity {
       val emb = Tables.embeddings(s, d)
       val cents = emb.filter(col("vec_id") <= 15)
         .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
-      val assigned = emb.crossJoin(broadcast(cents))
-        .withColumn("cos_c", round(cosine(col("embedding"), col("cent_emb")), 6))
-        .groupBy(col("vec_id"))
-        .agg(max_by(struct(col("label"), col("embedding"), col("cent_id")),
-                    struct(col("cos_c"), -col("cent_id"))).as("m"))
-        .select(col("vec_id"), col("m.label").as("label"),
-                col("m.embedding").as("embedding"), col("m.cent_id").as("cluster"))
+      val assigned = ivfAssignment(emb, cents)
       val probeRow = emb.filter(col("vec_id") === 0)
         .select(col("embedding").as("probe_emb"))
       val probed = cents.crossJoin(broadcast(probeRow))
@@ -460,26 +453,9 @@ object Similarity {
         .select(col("pc"))
       val cand = assigned.join(broadcast(probed), col("cluster") === col("pc"))
         .filter(col("vec_id") =!= 0)
-      def sub(ds: Column, j: Int) = element_at(ds, j + 1)
       val coded = pqCodes(cand, col("embedding"), cents,
         Seq(col("vec_id"), col("label"), col("cluster")))
-      val dt = cents.crossJoin(broadcast(probeRow))
-        .withColumn("pds",
-          call_function("graft_pq_dists", col("probe_emb"), col("cent_emb")))
-        .select(Seq(col("cent_id")) ++ (0 until 8).map(j =>
-          round(sub(col("pds"), j), 6).as(s"pd$j")): _*)
-      val dtm = dt.agg(map_from_entries(collect_list(struct(col("cent_id"),
-        struct((0 until 8).map(j => col(s"pd$j")): _*)))).as("dtm"))
-      coded.crossJoin(broadcast(dtm))
-        .select(col("vec_id"), col("label").cast("long").as("label"),
-                col("cluster").cast("long").as("cluster"),
-                (0 until 8).map(j => col(s"c$j") * lit(math.pow(16, j).toLong))
-                  .reduce(_ + _).as("code"),
-                round((0 until 8).map(j =>
-                  col("dtm")(col(s"c$j")).getField(s"pd$j")).reduce(_ + _), 4)
-                  .as("adc_dist"))
-        .orderBy(col("adc_dist").asc, col("vec_id").asc)
-        .limit(10)
+      adcTopK(coded, cents, probeRow, Seq("vec_id", "label", "cluster"))
     }),
 
     // Residual IVF-PQ (r15 — the production refinement the r14 code named
@@ -504,16 +480,9 @@ object Similarity {
         .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
       // assignment keeps the winning centroid VECTOR too — the residual
       // needs it (otherwise identical to q_similarity_ivfpq's)
-      val assigned = emb.crossJoin(broadcast(cents))
-        .withColumn("cos_c", round(cosine(col("embedding"), col("cent_emb")), 6))
-        .groupBy(col("vec_id"))
-        .agg(max_by(struct(col("label"), col("embedding"), col("cent_id"),
-                           col("cent_emb")),
-                    struct(col("cos_c"), -col("cent_id"))).as("m"))
-        .select(col("vec_id"), col("m.label").as("label"),
-                col("m.embedding").as("embedding"),
-                col("m.cent_id").as("cluster"),
-                zip_with(col("m.embedding"), col("m.cent_emb"),
+      val assigned = ivfAssignment(emb, cents, keepCentEmb = true)
+        .select(col("vec_id"), col("label"), col("embedding"), col("cluster"),
+                zip_with(col("embedding"), col("cent_vec"),
                   (a, b) => a.cast("double") - b.cast("double")).as("res"))
       val resCb = assigned.filter(col("vec_id").between(16, 31))
         .select((col("vec_id") - 16).cast("long").as("cent_id"),
@@ -523,26 +492,10 @@ object Similarity {
       val cand = assigned.join(broadcast(probeC.select(col("pc"))),
           col("cluster") === col("pc"))
         .filter(col("vec_id") =!= 0)
-      def sub(ds: Column, j: Int) = element_at(ds, j + 1)
       val coded = pqCodes(cand, col("res"), resCb,
         Seq(col("vec_id"), col("label"), col("cluster")))
-      val dt = resCb.crossJoin(broadcast(probeC.select(col("probe_res"))))
-        .withColumn("pds",
-          call_function("graft_pq_dists", col("probe_res"), col("cent_emb")))
-        .select(Seq(col("cent_id")) ++ (0 until 8).map(j =>
-          round(sub(col("pds"), j), 6).as(s"pd$j")): _*)
-      val dtm = dt.agg(map_from_entries(collect_list(struct(col("cent_id"),
-        struct((0 until 8).map(j => col(s"pd$j")): _*)))).as("dtm"))
-      coded.crossJoin(broadcast(dtm))
-        .select(col("vec_id"), col("label").cast("long").as("label"),
-                col("cluster").cast("long").as("cluster"),
-                (0 until 8).map(j => col(s"c$j") * lit(math.pow(16, j).toLong))
-                  .reduce(_ + _).as("code"),
-                round((0 until 8).map(j =>
-                  col("dtm")(col(s"c$j")).getField(s"pd$j")).reduce(_ + _), 4)
-                  .as("adc_dist"))
-        .orderBy(col("adc_dist").asc, col("vec_id").asc)
-        .limit(10)
+      adcTopK(coded, resCb, probeC.select(col("probe_res")),
+        Seq("vec_id", "label", "cluster"))
     }),
 
     // Int8 symmetric quantization of the embedding column — the storage
