@@ -297,6 +297,28 @@ class GraftExpressionsSpec extends SparkSpec {
     assert(err.toString.nonEmpty)
   }
 
+  test("registrar self-heals the FULL function surface after registry drops") {
+    // r15 review fix: the safety-net registrar covered only
+    // graft_md5h/graft_cosine, so PQ and sketch queries failed to resolve
+    // in sessions without the extensions config. Simulate that session
+    // state by dropping every graft function from the registry, then run
+    // declared queries end to end — graft.Tables must re-register the
+    // whole surface on its next read.
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    val reg = spark.sessionState.functionRegistry
+    Seq("graft_md5h", "graft_cosine", "graft_shingles", "graft_minhash",
+        "graft_pq_dists", "graft_pq_encode", "graft_bloom_agg",
+        "graft_bloom_contains", "graft_cms_query", "graft_bloom_union_agg",
+        "graft_cms_union_agg")
+      .foreach(n => reg.dropFunction(FunctionIdentifier(n)))
+    assert(SparkEntry.queries("q_similarity_pq")(spark, "/root/testdata/sf0.001")
+      .count() === 10, "PQ query must resolve via the registrar alone")
+    assert(SparkEntry.queries("q_dedup_minhash")(spark, "/root/testdata/sf0.001")
+      .count() > 0, "minhash query must resolve via the registrar alone")
+    assert(SparkEntry.queries("q_sketch_bloom")(spark, "/root/testdata/sf0.001")
+      .count() > 0, "bloom sketch query must resolve via the registrar alone")
+  }
+
   test("sketch probes reject wrong types at analysis time") {
     import org.apache.spark.sql.AnalysisException
     // non-binary sketch child
