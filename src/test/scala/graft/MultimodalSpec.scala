@@ -29,6 +29,79 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.sameElements(again), "stub decode is deterministic")
   }
 
+  // --- real codec-free decoders (r15) ---
+
+  /** P6 PPM: 2×2 image, maxval 255, known channel values (with a header
+    * comment to exercise the netpbm grammar). */
+  private def ppmBytes: Array[Byte] = {
+    val header = "P6\n# synthetic test image\n2 2\n255\n".getBytes("US-ASCII")
+    // pixels (R,G,B): (255,0,0) (0,255,0) (0,0,255) (255,255,255)
+    val raster = Array(255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255)
+      .map(_.toByte)
+    header ++ raster
+  }
+
+  /** Minimal RIFF/WAVE: PCM-16 mono 8 kHz, 4 samples with known values. */
+  private def wavBytes(samples: Seq[Short], rate: Int = 8000,
+                       channels: Int = 1): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(rate)
+      .putInt(rate * channels * 2).putShort((channels * 2).toShort).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  test("decodeMedia: real PPM decode — dimensions and exact channel means") {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "image", ppmBytes, Row("s", 0L))), 1), Multimodal.MEDIA_SCHEMA)
+    val r = Multimodal.decodeMedia(df).head()
+    assert(r.getString(2) === "ppm")
+    assert(r.getInt(4) === 2 && r.getInt(5) === 2 && r.getInt(6) === 3)
+    assert(r.getLong(8) === 4L, "4 pixels")
+    val Seq(mr, mg, mb) = r.getSeq[Double](9).toSeq
+    // each channel: (255 + 0 + 0 + 255) / (4 * 255) = 0.5 exactly
+    assert(mr === 0.5 && mg === 0.5 && mb === 0.5,
+      s"channel means ($mr, $mg, $mb) != exact 0.5")
+  }
+
+  test("decodeMedia: real WAV decode — rate, frames, RMS and peak") {
+    // samples ±16384 = ±0.5 normalized → RMS 0.5, peak 0.5, 4 frames
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(2L, "audio", wavBytes(Seq[Short](16384, -16384, 16384, -16384)),
+            Row("s", 0L))), 1), Multimodal.MEDIA_SCHEMA)
+    val r = Multimodal.decodeMedia(df).head()
+    assert(r.getString(2) === "wav")
+    assert(r.getInt(6) === 1 && r.getInt(7) === 8000)
+    assert(r.getLong(8) === 4L, "4 sample frames")
+    val Seq(rms, peak) = r.getSeq[Double](9).toSeq
+    assert(math.abs(rms - 0.5) < 1e-12 && math.abs(peak - 0.5) < 1e-12,
+      s"(rms=$rms, peak=$peak) != 0.5")
+  }
+
+  test("decodeMedia: malformed and compressed payloads fall back to opaque, never throw") {
+    val rows = Seq(
+      Row(3L, "image", "P6\n2 2\n255\nshort".getBytes("US-ASCII"), Row("s", 0L)),
+      Row(4L, "audio", "RIFFxxxxWAVEbroken".getBytes("US-ASCII"), Row("s", 0L)),
+      Row(5L, "video", Array[Byte](-1, -40, -1, -32), Row("s", 0L)), // JPEG magic
+      Row(6L, "image", null, Row("s", 0L)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), Multimodal.MEDIA_SCHEMA)
+    val out = Multimodal.decodeMedia(df).orderBy("media_id").collect()
+    assert(out.length === 4)
+    assert(out.forall(_.getString(2) === "opaque"),
+      "undecodable payloads are marked opaque, not mis-decoded")
+    // stub features still populated (deterministic pseudo-embedding)
+    assert(out.forall(_.getSeq[Double](9).length === 8))
+  }
+
   test("resizeStub truncates payload and caps declared_bytes") {
     val out = Multimodal.resizeStub(mediaDf, maxBytes = 5)
     val r = out.select(octet_length(col("payload")), col("meta.declared_bytes"))
