@@ -106,7 +106,7 @@ object Multimodal {
     * bytes, 1 byte per sample (maxval ≤ 255). Returns (w, h, mean R/G/B
     * normalized by maxval); None on any malformation — decode is
     * poison-tolerant like the ingest parser, never throwing on bytes. */
-  private[operators] def decodePpm(b: Array[Byte]): Option[(Int, Int, Array[Double])] = {
+  private[graft] def decodePpm(b: Array[Byte]): Option[(Int, Int, Array[Double])] = {
     if (b.length < 2 || b(0) != 'P' || b(1) != '6') return None
     var i = 2
     def skipWs(): Unit = {
@@ -146,7 +146,7 @@ object Multimodal {
     * samples normalized to [−1, 1]. Returns (sampleRate, channels,
     * sampleFrames, (rms, peak)); None for non-PCM/other-width/malformed
     * payloads. */
-  private[operators] def decodeWav(b: Array[Byte]): Option[(Int, Int, Long, Array[Double])] = {
+  private[graft] def decodeWav(b: Array[Byte]): Option[(Int, Int, Long, Array[Double])] = {
     def le16(o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
     def le32(o: Int) = (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
       ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)

@@ -259,6 +259,50 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("PPM/WAV decoders match independent folds for arbitrary payloads; truncations never decode") {
+    import graft.operators.Multimodal
+    val ppmGen = for {
+      w <- Gen.choose(1, 8); h <- Gen.choose(1, 8)
+      px <- Gen.containerOfN[Array, Byte](w * h * 3,
+        Gen.choose(Byte.MinValue, Byte.MaxValue))
+    } yield (w, h, px)
+    check("ppm-decode", Prop.forAll(ppmGen) { case (w, h, px) =>
+      val bytes = s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ px
+      val decoded = Multimodal.decodePpm(bytes)
+      val want = (0 until 3).map(c =>
+        (0 until w * h).map(p => (px(p * 3 + c) & 0xff).toDouble).sum / (w * h * 255.0))
+      // a truncated raster must refuse to decode, not mis-read
+      val truncated = Multimodal.decodePpm(bytes.dropRight(1))
+      decoded.exists { case (dw, dh, means) =>
+        dw == w && dh == h && means.toSeq == want
+      } && truncated.isEmpty
+    })
+    val wavGen = for {
+      n <- Gen.choose(1, 64)
+      rate <- Gen.oneOf(8000, 16000, 44100)
+      samples <- Gen.listOfN(n, Gen.choose(Short.MinValue, Short.MaxValue))
+    } yield (rate, samples)
+    check("wav-decode", Prop.forAll(wavGen) { case (rate, samples) =>
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(rate)
+        .putInt(rate * 2).putShort(2).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(bb.putShort)
+      val norm = samples.map(_ / 32768.0)
+      val wantRms = math.sqrt(norm.map(v => v * v).sum / samples.length)
+      val wantPeak = norm.map(math.abs).max
+      Multimodal.decodeWav(bb.array()).exists { case (r, ch, frames, feats) =>
+        r == rate && ch == 1 && frames == samples.length &&
+          math.abs(feats(0) - wantRms) < 1e-12 && feats(1) == wantPeak
+      }
+    })
+  }
+
   test("graft_pq_encode argmin keys equal Spark's own Round semantics for arbitrary inputs") {
     // The map-only encode replicates round(d, 6) INSIDE the expression
     // (PqEncode.round6) instead of composing Spark's Round — the one
