@@ -78,11 +78,16 @@ object Similarity {
     * window's cos DESC, cent_id ASC, tracked in one pass with map-side
     * combine where a window would sort the ×16 fan-out on both sides of
     * the exchange). `keepCentEmb` additionally carries the winning
-    * centroid VECTOR through (residual encoding needs v − centroid). */
-  private def ivfAssignment(emb: DataFrame, cents: DataFrame,
-                            keepCentEmb: Boolean = false): DataFrame = {
+    * centroid VECTOR through (residual encoding needs v − centroid);
+    * `keepCos` the winning cosine itself (SemDeDup ranks keep/drop by
+    * distance-to-centroid — q_dedup_semantic is the cross-module
+    * caller). */
+  private[graft] def ivfAssignment(emb: DataFrame, cents: DataFrame,
+                                   keepCentEmb: Boolean = false,
+                                   keepCos: Boolean = false): DataFrame = {
     val carried = Seq(col("label"), col("embedding"), col("cent_id")) ++
-      (if (keepCentEmb) Seq(col("cent_emb")) else Nil)
+      (if (keepCentEmb) Seq(col("cent_emb")) else Nil) ++
+      (if (keepCos) Seq(col("cos_c")) else Nil)
     val base = emb.crossJoin(broadcast(cents))
       .withColumn("cos_c", round(cosine(col("embedding"), col("cent_emb")), 6))
       .groupBy(col("vec_id"))
@@ -91,7 +96,8 @@ object Similarity {
     val out = Seq(col("vec_id"), col("m.label").as("label"),
                   col("m.embedding").as("embedding"),
                   col("m.cent_id").as("cluster")) ++
-      (if (keepCentEmb) Seq(col("m.cent_emb").as("cent_vec")) else Nil)
+      (if (keepCentEmb) Seq(col("m.cent_emb").as("cent_vec")) else Nil) ++
+      (if (keepCos) Seq(col("m.cos_c").as("cos_cent")) else Nil)
     base.select(out: _*)
   }
 
