@@ -34,22 +34,38 @@ object BenchGuards {
       .map(m => m.group(1) -> m.group(2).toLong).toMap
   }
 
-  /** Prior reference: SPARK_GRAFT_BENCH_PRIOR (explicit path) or the
-    * highest-numbered BENCH_r*.json in the working directory; empty map
-    * (guard disabled) when neither exists or parses. */
+  /** Prior reference: SPARK_GRAFT_BENCH_PRIOR (explicit path) or the per-
+    * query MIN over the two highest-numbered BENCH_r*.json artifacts in
+    * the working directory (review r15: a single-artifact reference is
+    * itself vulnerable to the incident class the guard exists for — if
+    * the newest archive recorded a contamination-inflated time, banding
+    * against it alone would never flag a repeat; the min over two rounds
+    * keeps one clean recording in play). Empty map (guard disabled) when
+    * nothing exists or parses. */
   def loadPrior(): Map[String, Long] = {
-    val path = sys.env.get("SPARK_GRAFT_BENCH_PRIOR").orElse {
-      val fs = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.matches("BENCH_r\\d+\\.json"))
-      if (fs.isEmpty) None
-      else Some(fs.maxBy(_.getName.replaceAll("\\D", "").toInt).getPath)
+    def parse(p: String): Map[String, Long] =
+      try parsePriorQueriesMs(
+        new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))))
+      catch { case _: Throwable => Map.empty }
+    sys.env.get("SPARK_GRAFT_BENCH_PRIOR") match {
+      case Some(p) => parse(p)
+      case None =>
+        val fs = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+          .sortBy(f => -f.getName.replaceAll("\\D", "").toInt)
+          .take(2)
+        mergeMin(fs.map(f => parse(f.getPath)).toSeq)
     }
-    path.flatMap { p =>
-      try Some(parsePriorQueriesMs(
-        new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)))))
-      catch { case _: Throwable => None }
-    }.getOrElse(Map.empty)
   }
+
+  /** Per-query minimum across several prior maps (missing keys pass
+    * through). */
+  def mergeMin(ms: Seq[Map[String, Long]]): Map[String, Long] =
+    ms.foldLeft(Map.empty[String, Long]) { (acc, m) =>
+      m.foldLeft(acc) { case (a, (k, v)) =>
+        a.updated(k, a.get(k).fold(v)(math.min(_, v)))
+      }
+    }
 }
 
 object Bench {

@@ -478,59 +478,48 @@ case class PqEncode(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** `spark.sql.extensions=graft.expressions.GraftExtensions` injects the
-  * function registry entries; usable from SQL and via
-  * `functions.call_function` (including inside higher-order-function
-  * lambdas). */
-class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((
-      FunctionIdentifier("graft_md5h"),
-      new ExpressionInfo(classOf[Md5Prefix64].getName, "graft_md5h"),
-      (children: Seq[Expression]) => children match {
-        case Seq(c, n) => Md5Prefix64(c,
-          n.eval().asInstanceOf[Number].intValue())
-        case _ => throw new IllegalArgumentException(
-          "graft_md5h(str, nHexDigits)")
-      }))
-    e.injectFunction((
-      FunctionIdentifier("graft_shingles"),
-      new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingles"),
-      (children: Seq[Expression]) => children match {
-        case Seq(c) => ShingleHashes(c)
-        case _ => throw new IllegalArgumentException("graft_shingles(text)")
-      }))
-    e.injectFunction((
-      FunctionIdentifier("graft_minhash"),
-      new ExpressionInfo(classOf[MinHash].getName, "graft_minhash"),
-      (children: Seq[Expression]) => children match {
-        case Seq(c, a, b) => MinHash(c,
-          a.eval().asInstanceOf[Number].longValue(),
-          b.eval().asInstanceOf[Number].longValue())
-        case _ => throw new IllegalArgumentException("graft_minhash(arr, a, b)")
-      }))
-    e.injectFunction((
-      FunctionIdentifier("graft_cosine"),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
-      (children: Seq[Expression]) => children match {
-        case Seq(a, b) => CosineSimilarity(a, b)
-        case _ => throw new IllegalArgumentException("graft_cosine(a, b)")
-      }))
-    e.injectFunction((
-      FunctionIdentifier("graft_pq_dists"),
-      new ExpressionInfo(classOf[PqDists].getName, "graft_pq_dists"),
-      (children: Seq[Expression]) => children match {
-        case Seq(a, b) => PqDists(a, b)
-        case _ => throw new IllegalArgumentException("graft_pq_dists(a, b)")
-      }))
-    e.injectFunction((
-      FunctionIdentifier("graft_pq_encode"),
-      new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_encode"),
-      (children: Seq[Expression]) => children match {
-        case Seq(a, b) => PqEncode(a, b)
-        case _ => throw new IllegalArgumentException(
-          "graft_pq_encode(vec, cents)")
-      }))
+/** THE one (name → builder) table for every graft function — consumed by
+  * BOTH registration paths ([[GraftExtensions]] for
+  * `spark.sql.extensions` sessions and `org.apache.spark.sql
+  * .GraftRegistrar` for the session-independent safety net), so a
+  * function added here is automatically available on both (review r15:
+  * the two hand-kept copies had already diverged once, silently dropping
+  * the PQ and sketch functions from the registrar). */
+object GraftFunctions {
+  // the sizing args must be BIGINT; SQL integer literals arrive as
+  // INT, so coerce foldable ints instead of demanding an L suffix
+  private def asLong(e: Expression): Expression = e.dataType match {
+    case LongType => e
+    case _ => org.apache.spark.sql.catalyst.expressions.Cast(e, LongType)
+  }
+
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_md5h" -> {
+      case Seq(c, n) => Md5Prefix64(c, n.eval().asInstanceOf[Number].intValue())
+      case _ => throw new IllegalArgumentException("graft_md5h(str, nHexDigits)")
+    },
+    "graft_shingles" -> {
+      case Seq(c) => ShingleHashes(c)
+      case _ => throw new IllegalArgumentException("graft_shingles(text)")
+    },
+    "graft_minhash" -> {
+      case Seq(c, a, b) => MinHash(c,
+        a.eval().asInstanceOf[Number].longValue(),
+        b.eval().asInstanceOf[Number].longValue())
+      case _ => throw new IllegalArgumentException("graft_minhash(arr, a, b)")
+    },
+    "graft_cosine" -> {
+      case Seq(a, b) => CosineSimilarity(a, b)
+      case _ => throw new IllegalArgumentException("graft_cosine(a, b)")
+    },
+    "graft_pq_dists" -> {
+      case Seq(a, b) => PqDists(a, b)
+      case _ => throw new IllegalArgumentException("graft_pq_dists(a, b)")
+    },
+    "graft_pq_encode" -> {
+      case Seq(a, b) => PqEncode(a, b)
+      case _ => throw new IllegalArgumentException("graft_pq_encode(vec, cents)")
+    },
     // PipelineDB bloom_agg parity on Spark's own bloom filter machinery:
     // BloomFilterAggregate/BloomFilterMightContain are the expressions
     // Spark's runtime join filters use, but this build registers neither
@@ -538,71 +527,59 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // xxhash64 on both the build and probe side, exactly as Spark's own
     // injected runtime filters do. (The analyzer wraps a bare
     // AggregateFunction in an AggregateExpression during resolution.)
-    e.injectFunction((
-      FunctionIdentifier("graft_bloom_agg"),
-      new ExpressionInfo(
-        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
-        "graft_bloom_agg"),
-      (children: Seq[Expression]) => {
-        // the sizing args must be BIGINT; SQL integer literals arrive as
-        // INT, so coerce foldable ints instead of demanding an L suffix
-        def asLong(e: Expression): Expression = e.dataType match {
-          case LongType => e
-          case _ => org.apache.spark.sql.catalyst.expressions.Cast(e, LongType)
-        }
-        children match {
-          case Seq(c) =>
-            new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c)
-          case Seq(c, n) =>
-            new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
-              c, asLong(n))
-          case Seq(c, n, b) =>
-            new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
-              c, asLong(n), asLong(b))
-          case _ => throw new IllegalArgumentException(
-            "graft_bloom_agg(xxhash64(col)[, estimatedItems[, numBits]])")
-        }
-      }))
+    "graft_bloom_agg" -> {
+      case Seq(c) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c)
+      case Seq(c, n) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          c, asLong(n))
+      case Seq(c, n, b) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          c, asLong(n), asLong(b))
+      case _ => throw new IllegalArgumentException(
+        "graft_bloom_agg(xxhash64(col)[, estimatedItems[, numBits]])")
+    },
     // Probe side is our own BloomQuery (not Spark's might_contain, which
     // rejects non-constant sketches — it exists only for injected runtime
     // join filters): any binary column works, so per-group sketches in a
     // continuous view are probeable, PipelineDB's actual bloom_contains UX.
-    e.injectFunction((
-      FunctionIdentifier("graft_bloom_contains"),
-      new ExpressionInfo(classOf[BloomQuery].getName, "graft_bloom_contains"),
-      (children: Seq[Expression]) => children match {
-        case Seq(bloom, value) => BloomQuery(bloom, value)
-        case _ => throw new IllegalArgumentException(
-          "graft_bloom_contains(bloom, xxhash64(col))")
-      }))
+    "graft_bloom_contains" -> {
+      case Seq(bloom, value) => BloomQuery(bloom, value)
+      case _ => throw new IllegalArgumentException(
+        "graft_bloom_contains(bloom, xxhash64(col))")
+    },
     // PipelineDB freq_agg reader (the sketch side is the builtin
     // count_min_sketch aggregate)
-    e.injectFunction((
-      FunctionIdentifier("graft_cms_query"),
-      new ExpressionInfo(classOf[CmsQuery].getName, "graft_cms_query"),
-      (children: Seq[Expression]) => children match {
-        case Seq(sketch, item) => CmsQuery(sketch, item)
-        case _ => throw new IllegalArgumentException(
-          "graft_cms_query(sketch, item)")
-      }))
+    "graft_cms_query" -> {
+      case Seq(sketch, item) => CmsQuery(sketch, item)
+      case _ => throw new IllegalArgumentException("graft_cms_query(sketch, item)")
+    },
     // PipelineDB bloom_union_agg / combine(freq_agg): union-aggregates
     // over SERIALIZED sketches — what lets per-window sketch partials
     // roll up without re-reading raw rows (see SketchExpressions.scala).
-    e.injectFunction((
-      FunctionIdentifier("graft_bloom_union_agg"),
-      new ExpressionInfo(classOf[BloomUnionAgg].getName, "graft_bloom_union_agg"),
-      (children: Seq[Expression]) => children match {
-        case Seq(c) => BloomUnionAgg(c)
-        case _ => throw new IllegalArgumentException(
-          "graft_bloom_union_agg(bloom_binary)")
-      }))
-    e.injectFunction((
-      FunctionIdentifier("graft_cms_union_agg"),
-      new ExpressionInfo(classOf[CmsUnionAgg].getName, "graft_cms_union_agg"),
-      (children: Seq[Expression]) => children match {
-        case Seq(c) => CmsUnionAgg(c)
-        case _ => throw new IllegalArgumentException(
-          "graft_cms_union_agg(cms_binary)")
-      }))
-  }
+    "graft_bloom_union_agg" -> {
+      case Seq(c) => BloomUnionAgg(c)
+      case _ => throw new IllegalArgumentException(
+        "graft_bloom_union_agg(bloom_binary)")
+    },
+    "graft_cms_union_agg" -> {
+      case Seq(c) => CmsUnionAgg(c)
+      case _ => throw new IllegalArgumentException(
+        "graft_cms_union_agg(cms_binary)")
+    })
+}
+
+/** `spark.sql.extensions=graft.expressions.GraftExtensions` injects the
+  * function registry entries; usable from SQL and via
+  * `functions.call_function` (including inside higher-order-function
+  * lambdas). Builders come from [[GraftFunctions.builders]] — shared
+  * with the session-independent registrar. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, builder) =>
+      e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        builder))
+    }
 }

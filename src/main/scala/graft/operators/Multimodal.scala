@@ -122,7 +122,10 @@ object Multimodal {
       skipWs()
       val s = i
       while (i < b.length && b(i) >= '0' && b(i) <= '9') i += 1
-      if (i == s) None else Some(new String(b, s, i - s).toInt)
+      // >9 digits can't be a sane dimension and would overflow toInt —
+      // refuse instead of throwing (review r15: never-throw contract)
+      if (i == s || i - s > 9) None
+      else Some(new String(b, s, i - s).toInt)
     }
     for {
       w <- int(); h <- int(); maxval <- int()
@@ -156,6 +159,11 @@ object Multimodal {
     var fmt: Option[(Int, Int)] = None // (sampleRate, channels)
     while (o + 8 <= b.length) {
       val id = tag(o); val size = le32(o + 4).toInt
+      // a negative or payload-exceeding chunk size is malformation: a
+      // negative size would stall the walk (o += 8 + size + … adds ≤ 0 —
+      // an executor-hanging infinite loop, review r15) and an oversized
+      // one would overflow `o`; refuse the payload instead
+      if (size < 0 || size > b.length) return None
       if (id == "fmt " && o + 8 + 16 <= b.length) {
         val audioFormat = le16(o + 8)
         val channels = le16(o + 10)
@@ -199,19 +207,21 @@ object Multimodal {
               .getOrElse(Array.emptyByteArray)
             val (checksum, stubEmb) = stubDecode(payload)
             val base = (r.getLong(0), r.getString(1), payload.length.toLong)
-            decodePpm(payload) match {
-              case Some((w, h, means)) =>
+            // the decoders refuse malformation with None by design; the
+            // catch is the last line of the never-throw contract — ANY
+            // decoder defect degrades the row to opaque, never the task
+            val typed = try {
+              decodePpm(payload).map { case (w, h, means) =>
                 Row(base._1, base._2, "ppm", base._3, w, h, 3, null,
                     w.toLong * h, means.toSeq, checksum)
-              case None => decodeWav(payload) match {
-                case Some((rate, ch, frames, feats)) =>
-                  Row(base._1, base._2, "wav", base._3, null, null, ch, rate,
-                      frames, feats.toSeq, checksum)
-                case None =>
-                  Row(base._1, base._2, "opaque", base._3, null, null, null,
-                      null, base._3, stubEmb.map(_.toDouble).toSeq, checksum)
-              }
-            }
+              }.orElse(decodeWav(payload).map { case (rate, ch, frames, feats) =>
+                Row(base._1, base._2, "wav", base._3, null, null, ch, rate,
+                    frames, feats.toSeq, checksum)
+              })
+            } catch { case _: Exception => None }
+            typed.getOrElse(
+              Row(base._1, base._2, "opaque", base._3, null, null, null,
+                  null, base._3, stubEmb.map(_.toDouble).toSeq, checksum))
           }
         }
       }(enc)

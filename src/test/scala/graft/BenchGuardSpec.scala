@@ -49,6 +49,17 @@ class BenchGuardSpec extends AnyFunSuite {
       "the r10 q_dedup_ngram shape (7.2 s vs 1.8 s band) must be flagged")
   }
 
+  test("mergeMin: per-query min across prior artifacts keeps the clean recording in play") {
+    // the default reference is min over the TWO newest archives: if the
+    // newest one recorded a contamination-inflated time, the older clean
+    // number still bands the next run
+    val newest = Map("q_a" -> 1340L, "q_b" -> 500L, "q_new" -> 90L)
+    val older = Map("q_a" -> 95L, "q_b" -> 520L)
+    val merged = BenchGuards.mergeMin(Seq(newest, older))
+    assert(merged === Map("q_a" -> 95L, "q_b" -> 500L, "q_new" -> 90L))
+    assert(BenchGuards.mergeMin(Nil) === Map.empty)
+  }
+
   test("simulated bench window: only the sustained-inflation query is flagged") {
     // replicate Bench's decision flow over synthetic sample windows
     val prior = Map("q_a" -> 100L, "q_b" -> 1800L, "q_new" -> 0L)

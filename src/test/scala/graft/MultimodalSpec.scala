@@ -87,15 +87,31 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("decodeMedia: malformed and compressed payloads fall back to opaque, never throw") {
+    // adversarial WAV chunk sizes (review r15): a negative size once
+    // stalled the chunk walk forever (o += 8 + size added <= 0) and a
+    // near-Int.MaxValue size overflowed the offset into a throwing
+    // String slice — both must now refuse-and-fall-back in bounded time
+    def wavChunk(size: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(48)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(40)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("LIST".getBytes("US-ASCII")).putInt(size)
+      bb.array()
+    }
     val rows = Seq(
       Row(3L, "image", "P6\n2 2\n255\nshort".getBytes("US-ASCII"), Row("s", 0L)),
       Row(4L, "audio", "RIFFxxxxWAVEbroken".getBytes("US-ASCII"), Row("s", 0L)),
       Row(5L, "video", Array[Byte](-1, -40, -1, -32), Row("s", 0L)), // JPEG magic
-      Row(6L, "image", null, Row("s", 0L)))
+      Row(6L, "image", null, Row("s", 0L)),
+      Row(7L, "audio", wavChunk(-8), Row("s", 0L)),          // stall shape
+      Row(8L, "audio", wavChunk(0x7ffffff8), Row("s", 0L)),  // overflow shape
+      Row(9L, "image", "P6 99999999999 1 255 x".getBytes("US-ASCII"),
+          Row("s", 0L)))                                     // toInt overflow
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 2), Multimodal.MEDIA_SCHEMA)
     val out = Multimodal.decodeMedia(df).orderBy("media_id").collect()
-    assert(out.length === 4)
+    assert(out.length === 7)
     assert(out.forall(_.getString(2) === "opaque"),
       "undecodable payloads are marked opaque, not mis-decoded")
     // stub features still populated (deterministic pseudo-embedding)
