@@ -353,13 +353,18 @@ case class PqDists(left: Expression, right: Expression)
 }
 
 object PqEncode {
-  /** Spark's Round(d, 6) for finite doubles, verbatim semantics:
-    * BigDecimal(d) (shortest-decimal form) setScale HALF_UP. The encode
-    * keys below must stay bit-identical to the floor/round chain the
-    * two-stage form computed with Spark's own functions (and to the
-    * DuckDB oracle), so the rounding is REPLICATED, not approximated. */
+  /** Spark's Round(d, 6), verbatim semantics: BigDecimal(d)
+    * (shortest-decimal form) setScale HALF_UP — and, exactly like
+    * Spark's RoundBase, NaN/Infinity pass through unchanged
+    * (BigDecimal.valueOf would throw NumberFormatException on them,
+    * which the replaced Round-based two-stage encode never did —
+    * review r16). The encode keys below must stay bit-identical to the
+    * floor/round chain the two-stage form computed with Spark's own
+    * functions (and to the DuckDB oracle), so the rounding is
+    * REPLICATED, not approximated. */
   private def round6(d: Double): Double =
-    java.math.BigDecimal.valueOf(d).setScale(6, java.math.RoundingMode.HALF_UP)
+    if (d.isNaN || d.isInfinite) d
+    else java.math.BigDecimal.valueOf(d).setScale(6, java.math.RoundingMode.HALF_UP)
       .doubleValue()
 
   /** The 8 PQ sub-codes of `vec` against a codebook of (cent_id,
@@ -414,7 +419,22 @@ object PqEncode {
             d += dlt * dlt; k += 1
           }
         }
-        val key = math.floor(round6(d) * 1e6 + 0.5).toLong * 16L + cid
+        val scaled = math.floor(round6(d) * 1e6 + 0.5)
+        // NaN distance (a NaN embedding coordinate): Spark's
+        // cast(NaN as long) is 0, so the replaced two-stage form keyed
+        // this centroid at bare `cid` and still produced codes —
+        // replicate rather than crash (review r16). Distances so large
+        // that scaled·16 would overflow Long (≳5.8e11, i.e. garbage
+        // input) flip keys negative and silently corrupt the argmin —
+        // reject those loudly like the other contract checks.
+        val key =
+          if (scaled.isNaN) cid
+          else if (scaled >= (Long.MaxValue / 16L).toDouble)
+            throw new IllegalArgumentException(
+              s"graft_pq_encode: subspace distance $d overflows the " +
+                "argmin key (max representable ~5.8e11) — input vectors " +
+                "are not sane embeddings")
+          else scaled.toLong * 16L + cid
         if (key < best(j)) best(j) = key
         j += 1
       }
@@ -493,33 +513,36 @@ object GraftFunctions {
     case _ => org.apache.spark.sql.catalyst.expressions.Cast(e, LongType)
   }
 
-  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "graft_md5h" -> {
+  /** (name, implementing-expression class name, builder). The class name
+    * feeds ExpressionInfo so DESCRIBE FUNCTION / catalog metadata points
+    * at the real expression, not the extensions shim (review r16). */
+  val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("graft_md5h", classOf[Md5Prefix64].getName, {
       case Seq(c, n) => Md5Prefix64(c, n.eval().asInstanceOf[Number].intValue())
       case _ => throw new IllegalArgumentException("graft_md5h(str, nHexDigits)")
-    },
-    "graft_shingles" -> {
+    }),
+    ("graft_shingles", classOf[ShingleHashes].getName, {
       case Seq(c) => ShingleHashes(c)
       case _ => throw new IllegalArgumentException("graft_shingles(text)")
-    },
-    "graft_minhash" -> {
+    }),
+    ("graft_minhash", classOf[MinHash].getName, {
       case Seq(c, a, b) => MinHash(c,
         a.eval().asInstanceOf[Number].longValue(),
         b.eval().asInstanceOf[Number].longValue())
       case _ => throw new IllegalArgumentException("graft_minhash(arr, a, b)")
-    },
-    "graft_cosine" -> {
+    }),
+    ("graft_cosine", classOf[CosineSimilarity].getName, {
       case Seq(a, b) => CosineSimilarity(a, b)
       case _ => throw new IllegalArgumentException("graft_cosine(a, b)")
-    },
-    "graft_pq_dists" -> {
+    }),
+    ("graft_pq_dists", classOf[PqDists].getName, {
       case Seq(a, b) => PqDists(a, b)
       case _ => throw new IllegalArgumentException("graft_pq_dists(a, b)")
-    },
-    "graft_pq_encode" -> {
+    }),
+    ("graft_pq_encode", classOf[PqEncode].getName, {
       case Seq(a, b) => PqEncode(a, b)
       case _ => throw new IllegalArgumentException("graft_pq_encode(vec, cents)")
-    },
+    }),
     // PipelineDB bloom_agg parity on Spark's own bloom filter machinery:
     // BloomFilterAggregate/BloomFilterMightContain are the expressions
     // Spark's runtime join filters use, but this build registers neither
@@ -527,7 +550,8 @@ object GraftFunctions {
     // xxhash64 on both the build and probe side, exactly as Spark's own
     // injected runtime filters do. (The analyzer wraps a bare
     // AggregateFunction in an AggregateExpression during resolution.)
-    "graft_bloom_agg" -> {
+    ("graft_bloom_agg",
+      classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName, {
       case Seq(c) =>
         new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c)
       case Seq(c, n) =>
@@ -538,35 +562,35 @@ object GraftFunctions {
           c, asLong(n), asLong(b))
       case _ => throw new IllegalArgumentException(
         "graft_bloom_agg(xxhash64(col)[, estimatedItems[, numBits]])")
-    },
+    }),
     // Probe side is our own BloomQuery (not Spark's might_contain, which
     // rejects non-constant sketches — it exists only for injected runtime
     // join filters): any binary column works, so per-group sketches in a
     // continuous view are probeable, PipelineDB's actual bloom_contains UX.
-    "graft_bloom_contains" -> {
+    ("graft_bloom_contains", classOf[BloomQuery].getName, {
       case Seq(bloom, value) => BloomQuery(bloom, value)
       case _ => throw new IllegalArgumentException(
         "graft_bloom_contains(bloom, xxhash64(col))")
-    },
+    }),
     // PipelineDB freq_agg reader (the sketch side is the builtin
     // count_min_sketch aggregate)
-    "graft_cms_query" -> {
+    ("graft_cms_query", classOf[CmsQuery].getName, {
       case Seq(sketch, item) => CmsQuery(sketch, item)
       case _ => throw new IllegalArgumentException("graft_cms_query(sketch, item)")
-    },
+    }),
     // PipelineDB bloom_union_agg / combine(freq_agg): union-aggregates
     // over SERIALIZED sketches — what lets per-window sketch partials
     // roll up without re-reading raw rows (see SketchExpressions.scala).
-    "graft_bloom_union_agg" -> {
+    ("graft_bloom_union_agg", classOf[BloomUnionAgg].getName, {
       case Seq(c) => BloomUnionAgg(c)
       case _ => throw new IllegalArgumentException(
         "graft_bloom_union_agg(bloom_binary)")
-    },
-    "graft_cms_union_agg" -> {
+    }),
+    ("graft_cms_union_agg", classOf[CmsUnionAgg].getName, {
       case Seq(c) => CmsUnionAgg(c)
       case _ => throw new IllegalArgumentException(
         "graft_cms_union_agg(cms_binary)")
-    })
+    }))
 }
 
 /** `spark.sql.extensions=graft.expressions.GraftExtensions` injects the
@@ -576,10 +600,10 @@ object GraftFunctions {
   * with the session-independent registrar. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit =
-    GraftFunctions.builders.foreach { case (name, builder) =>
+    GraftFunctions.builders.foreach { case (name, exprClass, builder) =>
       e.injectFunction((
         FunctionIdentifier(name),
-        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        new ExpressionInfo(exprClass, name),
         builder))
     }
 }

@@ -164,7 +164,10 @@ object Multimodal {
       // an executor-hanging infinite loop, review r15) and an oversized
       // one would overflow `o`; refuse the payload instead
       if (size < 0 || size > b.length) return None
-      if (id == "fmt " && o + 8 + 16 <= b.length) {
+      // the fmt chunk must DECLARE at least the 16 PCM bytes it is read
+      // for: a malformed size < 16 would otherwise parse the NEXT chunk's
+      // bytes as channels/rate/bits and accept garbage (review r16)
+      if (id == "fmt " && size >= 16 && o + 8 + 16 <= b.length) {
         val audioFormat = le16(o + 8)
         val channels = le16(o + 10)
         val rate = le32(o + 12).toInt

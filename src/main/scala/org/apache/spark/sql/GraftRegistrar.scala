@@ -29,9 +29,16 @@ object GraftRegistrar {
   // names are ever published.
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    GraftFunctions.builders.foreach { case (name, builder) =>
-      if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
-        reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    GraftFunctions.builders.foreach { case (name, exprClass, builder) =>
+      val id = org.apache.spark.sql.catalyst.FunctionIdentifier(name)
+      // registerFunction (not createOrReplaceTempFunction) so the
+      // ExpressionInfo carries the implementing expression class — the
+      // convenience wrapper would stamp the builder lambda's class into
+      // DESCRIBE FUNCTION output (review r16)
+      if (!reg.functionExists(id))
+        reg.registerFunction(id,
+          new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(exprClass, name),
+          builder)
     }
   }
 }

@@ -319,6 +319,22 @@ class GraftExpressionsSpec extends SparkSpec {
       .count() > 0, "bloom sketch query must resolve via the registrar alone")
   }
 
+  test("DESCRIBE FUNCTION points at the implementing expression class (r16 advice)") {
+    // the shared builder table once registered every function's
+    // ExpressionInfo with classOf[GraftExtensions], degrading catalog
+    // metadata — each entry must carry its real expression class
+    def describedClass(fn: String): String =
+      spark.sql(s"DESCRIBE FUNCTION $fn").collect()
+        .map(_.getString(0)).find(_.startsWith("Class:"))
+        .map(_.stripPrefix("Class:").trim).getOrElse("")
+    assert(describedClass("graft_md5h") ===
+      classOf[graft.expressions.Md5Prefix64].getName)
+    assert(describedClass("graft_pq_encode") ===
+      classOf[graft.expressions.PqEncode].getName)
+    assert(describedClass("graft_cosine") ===
+      classOf[graft.expressions.CosineSimilarity].getName)
+  }
+
   test("sketch probes reject wrong types at analysis time") {
     import org.apache.spark.sql.AnalysisException
     // non-binary sketch child

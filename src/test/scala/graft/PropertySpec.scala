@@ -341,4 +341,65 @@ class PropertySpec extends AnyFunSuite {
       }
     })
   }
+
+  test("graft_pq_encode edge regimes: NaN encodes, overflow-scale distances refuse (r16 advice)") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.catalyst.InternalRow
+    import graft.expressions.PqEncode
+    def cents(cb: Seq[Array[Float]]): GenericArrayData =
+      new GenericArrayData(cb.zipWithIndex.map { case (c, i) =>
+        InternalRow(i.toLong, new GenericArrayData(c)): Any
+      }.toArray)
+    val zero = Array.fill(64)(0f)
+    val one = Array.fill(64)(1f)
+    // NaN coordinate: the replaced Round-based two-stage encode passed
+    // NaN through (Spark's cast(NaN as long) = 0), producing codes — the
+    // native encode must too, never throw (BigDecimal.valueOf(NaN) would).
+    val nanVec = zero.clone(); nanVec(0) = Float.NaN
+    val gotNan = PqEncode.compute(
+      new GenericArrayData(nanVec), cents(Seq(zero, one)), isDouble = false)
+    assert(gotNan.numElements() == 8, "NaN vector must still encode")
+    // NaN key collapses to bare cid, so centroid 0 wins subspace 0
+    assert(gotNan.getLong(0) == 0L)
+    // finite subspace distances ≥ ~5.8e11 would overflow the packed
+    // Long key (key = dist·1e6·16 + cid) and flip the argmin sign —
+    // the contract check must refuse loudly instead
+    val huge = Array.fill(64)(3e8f) // d = 8·(3e8)² ≈ 7.2e17 per subspace
+    val err = intercept[IllegalArgumentException] {
+      PqEncode.compute(
+        new GenericArrayData(huge), cents(Seq(zero)), isDouble = false)
+    }
+    assert(err.getMessage.contains("overflow"))
+    // +Infinity coordinate rides the same refusal path
+    val infVec = zero.clone(); infVec(3) = Float.PositiveInfinity
+    intercept[IllegalArgumentException] {
+      PqEncode.compute(
+        new GenericArrayData(infVec), cents(Seq(zero)), isDouble = false)
+    }
+  }
+
+  test("WAV fmt chunk declaring size < 16 refuses to decode (r16 advice)") {
+    import graft.operators.Multimodal
+    // a well-formed 1-sample PCM file, then the same bytes with the fmt
+    // chunk SIZE field corrupted to 8: the walk would previously read the
+    // following bytes as channels/rate/bits and could accept garbage
+    val dataLen = 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000)
+      .putInt(16000).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      .putShort(1234)
+    val good = bb.array()
+    assert(Multimodal.decodeWav(good).isDefined)
+    val bad = good.clone()
+    bad(16) = 8 // fmt size LE32 low byte: 16 → 8
+    // size=8 walks to offset 12+8+8=28 mid-fmt; whatever the walk finds
+    // there, the fmt fields must NOT have been accepted from a chunk
+    // that declared fewer than 16 bytes
+    assert(Multimodal.decodeWav(bad).isEmpty)
+  }
 }
