@@ -21,17 +21,73 @@ object BenchGuards {
   def outOfBand(minSec: Double, priorMs: Long): Boolean =
     minSec * 1000.0 > 3.0 * priorMs && minSec > 0.25
 
+  /** Compact grouped encoding of the per-query ms map for the artifact
+    * tail. The driver archives only the LAST ~2000 chars of Bench stdout;
+    * at 102 queries the flat `"q_name":ms` JSON map is ~2.2 KB by itself,
+    * so BENCH_r15 lost 27 per-query entries to head-truncation (r15
+    * verdict #1). Query names share long family prefixes (`q_dedup_*`,
+    * `q_similarity_*`, …), so grouping by the first `_`-token after `q_`
+    * cuts the payload ~30%: a family with one query prints flat
+    * (`cond_agg:202`), a family with several prints once
+    * (`dedup{exact:12,minhash:34,…}`, `.` = the bare family name, e.g.
+    * `dedup{.:55}` → q_dedup). Families and subs sort alphabetically so
+    * round-over-round diffs line up. */
+  def encodeGrouped(ms: Iterable[(String, Long)]): String = {
+    val fams = ms.toSeq.map { case (k, v) =>
+      val rest = k.stripPrefix("q_")
+      val fam = rest.takeWhile(_ != '_')
+      val sub = if (rest.length > fam.length) rest.substring(fam.length + 1) else "."
+      (fam, sub, v)
+    }.groupBy(_._1)
+    fams.toSeq.sortBy(_._1).map { case (fam, entries) =>
+      if (entries.size == 1) {
+        val (_, sub, v) = entries.head
+        val nm = if (sub == ".") fam else s"${fam}_$sub"
+        s"$nm:$v"
+      } else {
+        entries.sortBy(_._2)
+          .map { case (_, s, v) => s"$s:$v" }
+          .mkString(s"$fam{", ",", "}")
+      }
+    }.mkString(",")
+  }
+
+  /** Inverse of [[encodeGrouped]]; tolerant of a truncation-mangled
+    * leading fragment (skips anything that isn't a well-formed pair). */
+  def decodeGrouped(payload: String): Map[String, Long] = {
+    val out = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val grpRe = """([a-z0-9_]+)\{([^}]*)\}""".r
+    val pairRe = """^([a-z0-9_.]+):([0-9]+)$""".r
+    grpRe.findAllMatchIn(payload).foreach { m =>
+      val fam = m.group(1)
+      m.group(2).split(",").foreach {
+        case pairRe(s, v) =>
+          out(if (s == ".") s"q_$fam" else s"q_${fam}_$s") = v.toLong
+        case _ => () // truncated fragment
+      }
+    }
+    val flat = grpRe.replaceAllIn(payload, ",")
+    """(?:^|,)([a-z0-9_]+):([0-9]+)(?=,|$)""".r.findAllMatchIn(flat).foreach { m =>
+      out(s"q_${m.group(1)}") = m.group(2).toLong
+    }
+    out.toMap
+  }
+
   /** Integer-ms per-query times from a prior BENCH_r{N}.json artifact.
     * The artifact embeds the run's stdout tail as an escaped JSON string,
-    * so quotes arrive as `\"`; unescape first, then take `"name":int`
-    * pairs — the full-precision seconds line (`:2.207…`) and the
-    * iter-spread arrays (`:[…]`) don't match the int+terminator shape,
-    * so only queries_ms survives. */
+    * so quotes arrive as `\"`; unescape first, then read BOTH shapes:
+    * the grouped `"grp":"…"` payload (r16+) and flat `"name":int` pairs
+    * (r15-era artifacts) — the full-precision seconds line (`:2.207…`)
+    * and the iter-spread arrays (`:[…]`) don't match the int+terminator
+    * shape, so only queries_ms survives. */
   def parsePriorQueriesMs(artifactText: String): Map[String, Long] = {
     val unescaped = artifactText.replace("\\\"", "\"")
     val re = """"(q_[a-z0-9_]+)":([0-9]+)[,}]""".r
-    re.findAllMatchIn(unescaped)
+    val flat = re.findAllMatchIn(unescaped)
       .map(m => m.group(1) -> m.group(2).toLong).toMap
+    val grp = """"grp":"([^"]*)"""".r.findAllMatchIn(unescaped)
+      .flatMap(m => decodeGrouped(m.group(1))).toMap
+    flat ++ grp
   }
 
   /** Prior reference: SPARK_GRAFT_BENCH_PRIOR (explicit path) or the per-
@@ -209,22 +265,25 @@ object Bench {
       "\"" + k + "\":[" + v.map(t => math.round(t * 1000)).mkString(",") + "]"
     }.mkString("{", ",", "}")
     println(s"""{"metric":"iter_spread_ms","queries":$sprd}""")
-    // Compact integer-ms duplicate of the per-query map, printed near the
-    // END of stdout: the driver archives only the last ~2000 characters,
-    // which truncates the head of the full-precision line once ~70 queries
-    // report. At 1 ms precision all entries fit inside the capture window,
-    // so round-over-round per-query diffs stay auditable from artifacts.
-    val qms = timings.map { case (k, v) => "\"" + k + "\":" + math.round(v * 1000) }
-      .mkString("{", ",", "}")
-    println(s"""{"metric":"queries_ms","unit":"ms","queries":$qms}""")
-    // Ingest throughput + phase split AFTER queries_ms: the r10 artifact
-    // lost this line to tail-capture truncation when it printed earlier.
-    // q_stream_ingest's wall-clock is trigger-wait dominated under
-    // contention, so records/s and the seed/run/stop decomposition are
-    // the comparable numbers.
+    // Ingest throughput + phase split BEFORE queries_ms (r16: the zone
+    // budget moved) — rec_per_s is duplicated in the total_summary
+    // trailer, so if the ~2000-char tail window cuts anything, this line
+    // is the sacrificial head. q_stream_ingest's wall-clock is
+    // trigger-wait dominated under contention, so records/s and the
+    // seed/run/stop decomposition are the comparable numbers.
     graft.queries.StreamingIngest.lastStats.foreach { st =>
       println(f"""{"metric":"ingest_throughput","records":${st.records},"rec_per_s":${st.recPerS}%.1f,"seed_s":${st.seedS}%.3f,"setup_s":${st.setupS}%.3f,"drain_s":${st.drainS}%.3f,"stop_s":${st.stopS}%.3f}""")
     }
+    // Per-query integer-ms map near the END of stdout, in the grouped
+    // encoding (BenchGuards.encodeGrouped): the driver archives only the
+    // last ~2000 characters, and at 102 queries the flat JSON map alone
+    // is ~2.2 KB — BENCH_r15 head-truncated 27 entries (r15 verdict #1).
+    // Grouping by query family keeps EVERY entry inside the capture
+    // window with headroom. `n` sits at the END of the line so a
+    // truncated head is detectable (entries recovered < n).
+    val qms = BenchGuards.encodeGrouped(
+      timings.map { case (k, v) => k -> math.round(v * 1000) })
+    println(s"""{"metric":"queries_ms","unit":"ms","grp":"$qms","n":${timings.size}}""")
     // Aggregate stability stats INSIDE the tail-safe trailer: the median
     // and p90 of (second_best/best - 1) over all queries summarize run
     // cleanliness in a few bytes even when iter_spread_ms is truncated.
@@ -242,13 +301,19 @@ object Bench {
       .map(st => f"""${st.recPerS}%.1f""").getOrElse("null")
     // Band-check verdicts (BenchGuards) inside the tail-safe zone: a
     // suspect entry means "this number is >3x its prior-round archive
-    // after settle+retries — re-measure before trusting it". An empty
-    // map on a prior-less run (first round, renamed query) is normal.
-    val susp = suspects.map { case (k, (ms, pms)) =>
-      "\"" + k + "\":{\"ms\":" + ms + ",\"prior_ms\":" + pms + "}"
-    }.mkString("{", ",", "}")
-    println(s"""{"metric":"band_suspects","n_prior":${prior.size},"queries":$susp}""")
-    println(f"""{"metric":"total_summary","total_s":$total,"n_queries":${timings.size},"n_errors":${errors.size},"n_suspect":${suspects.size},"spread_med":$med%.3f,"spread_p90":$p90%.3f,"rec_per_s":$rps,"sf":"$sfDir"}""")
+    // after settle+retries — re-measure before trusting it". Printed
+    // only when non-empty (r16: every byte of the tail window now pays
+    // rent; n_suspect + n_prior live in the trailer either way).
+    if (suspects.nonEmpty) {
+      val susp = suspects.map { case (k, (ms, pms)) =>
+        "\"" + k + "\":{\"ms\":" + ms + ",\"prior_ms\":" + pms + "}"
+      }.mkString("{", ",", "}")
+      println(s"""{"metric":"band_suspects","queries":$susp}""")
+    }
+    // sf as the basename and total at ms precision: the full path and
+    // float tail spent ~30 window bytes saying nothing
+    val sfName = new java.io.File(sfDir).getName
+    println(f"""{"metric":"total_summary","total_s":$total%.3f,"n_queries":${timings.size},"n_errors":${errors.size},"n_suspect":${suspects.size},"n_prior":${prior.size},"spread_med":$med%.3f,"spread_p90":$p90%.3f,"rec_per_s":$rps,"sf":"$sfName"}""")
     spark.stop()
   }
 }

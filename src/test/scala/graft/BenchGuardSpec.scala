@@ -32,6 +32,72 @@ class BenchGuardSpec extends AnyFunSuite {
     // 80-from-array, is the witness
   }
 
+  test("grouped encoding round-trips, including bare-family and single-entry names") {
+    val ms = Map(
+      "q_dedup" -> 55L, "q_dedup_exact" -> 12L, "q_dedup_minhash" -> 34L,
+      "q_cond_agg" -> 202L, "q_topk" -> 80L,
+      "q_similarity_ivfpq_nprobe" -> 313L, "q_similarity_ivfpq" -> 280L)
+    val enc = BenchGuards.encodeGrouped(ms)
+    assert(BenchGuards.decodeGrouped(enc) === ms)
+    // multi-entry families brace once; singles stay flat
+    assert(enc.contains("dedup{.:55,exact:12,minhash:34}"))
+    assert(enc.contains("cond_agg:202"))
+    assert(enc.contains("topk:80"))
+  }
+
+  test("full declared inventory + trailers fit the driver's 2000-char tail window") {
+    // BENCH_r15 head-truncated 27 of 102 per-query entries because the
+    // flat map outgrew the driver's ~2000-char stdout tail capture (r15
+    // verdict #1). This test replays Bench's EXACT tail-zone lines over
+    // the REAL declared query inventory, takes the last 2000 chars the
+    // way the driver does, and requires every entry to survive — so any
+    // future query addition that would overflow the window fails HERE,
+    // not in the next round's artifact.
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    assert(names.size >= 100, "inventory sanity")
+    // worst-ish-case digits: mostly 3-4 digit ms values
+    val ms = names.zipWithIndex.map { case (n, i) => n -> (100L + (i * 37) % 1900) }
+    val grpLine =
+      s"""{"metric":"queries_ms","unit":"ms","grp":"${BenchGuards.encodeGrouped(ms)}","n":${ms.size}}"""
+    val summary =
+      """{"metric":"total_summary","total_s":29.745,"n_queries":102,"n_errors":0,"n_suspect":0,"n_prior":102,"spread_med":0.077,"spread_p90":0.243,"rec_per_s":18290.7,"sf":"sf0.1"}"""
+    val sbtNoise = "[success] Total time: 182 s (03:02), completed Aug 14, 2026, 12:51:47 PM"
+    // sbt prefixes every stdout line with "[info] "
+    val stdout = Seq(
+      "[info] " + """{"metric":"ingest_throughput","records":20000,"rec_per_s":18290.7,"seed_s":0.007,"setup_s":0.001,"drain_s":1.093,"stop_s":0.220}""",
+      "[info] " + grpLine,
+      "[info] " + summary,
+      sbtNoise).mkString("\n")
+    val tail = stdout.takeRight(2000)
+    // the artifact embeds the tail as an escaped JSON string
+    val artifact = s"""{"n": 16, "rc": 0, "tail": "${tail.replace("\"", "\\\"")}"}"""
+    val recovered = BenchGuards.parsePriorQueriesMs(artifact)
+    assert(recovered === ms.toMap,
+      s"window must preserve all ${ms.size} entries; got ${recovered.size}")
+    // headroom so the NEXT few queries don't silently overflow: the
+    // never-truncated zone (grp line onward) must sit well under 2000
+    val zone = Seq("[info] " + grpLine, "[info] " + summary, sbtNoise)
+      .mkString("\n").length
+    assert(zone <= 1900, s"tail-zone bytes $zone exceed the 1900 headroom line")
+  }
+
+  test("parsePriorQueriesMs merges grouped (r16+) and flat (r15-era) artifact shapes") {
+    val artifact =
+      """{"n": 16, "tail": "{\"metric\":\"queries_ms\",\"unit\":\"ms\",\"queries\":{\"q_topk\":80}}\n{\"metric\":\"queries_ms\",\"unit\":\"ms\",\"grp\":\"dedup{exact:12},cond_agg:202\",\"n\":2}"}"""
+    assert(BenchGuards.parsePriorQueriesMs(artifact) ===
+      Map("q_topk" -> 80L, "q_dedup_exact" -> 12L, "q_cond_agg" -> 202L))
+  }
+
+  test("decodeGrouped skips a truncation-mangled leading fragment") {
+    // a head-cut window can open mid-group: orphan subs before the first
+    // complete structure must not crash or mis-assign
+    val cut = "t_group:123,distinct:45},argmax:77,dedup{exact:12}"
+    val got = BenchGuards.decodeGrouped(cut)
+    assert(got.get("q_argmax").contains(77L))
+    assert(got.get("q_dedup_exact").contains(12L))
+    assert(!got.contains("q_distinct"), "orphan brace fragment must not parse")
+  }
+
   test("outOfBand: sustained contamination flagged, clean runs and noise not") {
     import BenchGuards.outOfBand
     // the r14 incident: prior 95 ms, every sample in the window ~1.3 s
