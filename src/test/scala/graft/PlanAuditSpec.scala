@@ -19,6 +19,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_similarity_ivf_nprobe",  // same trained ≤16-row codebook + 3-row probe set
     "q_similarity_ivfpq_res",   // ≤16-row raw + ≤16-row residual codebook broadcasts
     "q_similarity_ivfpq_nprobe", // ≤16-row codebook + 3-row probed-cluster broadcasts
+    "q_similarity_ivf_indexed",  // prebuilt ≤16-row coarse table × 1-row probe
+    "q_similarity_ivfpq_indexed", // prebuilt ≤16-row codebook × 1-row probe (ADC table)
     "q_similarity_batch",       // 5-row probe-set broadcast, non-equi (≠ self) join
     "q_dedup_semantic",  // ≤16-row codebook broadcast (SemDeDup assignment)
     "q_similarity_pq",   // ≤16-row codebook broadcast (PQ encode + ADC table)
@@ -45,6 +47,22 @@ class PlanAuditSpec extends SparkSpec {
           assert(!plan.contains("BroadcastNestedLoopJoin"),
             s"$name plans an unexpected nested-loop join")
       }
+  }
+
+  test("indexed ANN queries prune posting lists at the directory level (DPP)") {
+    // The prebuilt index partitions posting lists by cluster; the probe's
+    // nprobe=3 join must reach the scan as a dynamic-partition-pruning
+    // filter so only 3 of 16 list directories are read — THE property
+    // that makes the layout an inverted file at 100 TB rather than a
+    // full scan with a filter.
+    Seq("q_similarity_ivf_indexed", "q_similarity_ivfpq_indexed").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf0001)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruningexpression"),
+        s"$name must carry a DPP filter on the cluster partition column")
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"$name must top-k via TakeOrderedAndProject, not a global sort")
+    }
   }
 
   test("q_similarity_batch: per-probe top-k prunes map-side (WindowGroupLimit), no cartesian") {
