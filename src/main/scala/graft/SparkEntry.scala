@@ -22,7 +22,8 @@ object SparkEntry {
     Relational.queries ++ Joins.queries ++ Aggregates.queries ++
       TimeWindows.queries ++ TextAnalysis.queries ++ Dedup.queries ++
       Similarity.queries ++ Relational2.queries ++ Relational3.queries ++
-      Pipeline.queries ++ StreamingIngest.queries ++ Analytics.queries
+      Pipeline.queries ++ StreamingIngest.queries ++ Analytics.queries ++
+      Media.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -30,5 +31,6 @@ object SparkEntry {
     Relational.oracle ++ Joins.oracle ++ Aggregates.oracle ++
       TimeWindows.oracle ++ TextAnalysis.oracle ++ Dedup.oracle ++
       Similarity.oracle ++ Relational2.oracle ++ Relational3.oracle ++
-      Pipeline.oracle ++ StreamingIngest.oracle ++ Analytics.oracle
+      Pipeline.oracle ++ StreamingIngest.oracle ++ Analytics.oracle ++
+      Media.oracle
 }

@@ -69,7 +69,11 @@ object Multimodal {
         // decoded together, streamed out lazily.
         it.grouped(batchSize).flatMap { batch =>
           batch.iterator.map { r =>
-            val payload = Option(r.getAs[Array[Byte]]("payload")).getOrElse(Array.emptyByteArray)
+            // positional: upstream object-pipeline stages (e.g. a fused
+            // syntheticMedia map) hand over schema-less GenericRows, where
+            // name lookup throws; the select above pins the order
+            val payload = Option(r.get(2)).map(_.asInstanceOf[Array[Byte]])
+              .getOrElse(Array.emptyByteArray)
             val (checksum, emb) = stubDecode(payload)
             Row(r.getLong(0), r.getString(1), payload.length.toLong, checksum, emb.toSeq)
           }
@@ -206,7 +210,8 @@ object Multimodal {
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
           batch.iterator.map { r =>
-            val payload = Option(r.getAs[Array[Byte]]("payload"))
+            // positional for the same fused-object-pipeline reason as above
+            val payload = Option(r.get(2)).map(_.asInstanceOf[Array[Byte]])
               .getOrElse(Array.emptyByteArray)
             val (checksum, stubEmb) = stubDecode(payload)
             val base = (r.getLong(0), r.getString(1), payload.length.toLong)
@@ -228,6 +233,72 @@ object Multimodal {
           }
         }
       }(enc)
+  }
+
+  /** Deterministic synthetic media payloads keyed on an id column — the
+    * corpus for the oracle-checked decode query (`q_media_decode`): real
+    * PPM P6 bytes (id % 3 == 0), real RIFF/WAVE PCM-16 bytes (id % 3 == 1),
+    * and a truncated-raster PPM (id % 3 == 2) that the never-throw decoders
+    * must refuse as `opaque`. Every byte is pure arithmetic on the id, so a
+    * SQL oracle recomputes each decoded feature in closed form without
+    * parsing binary. Generation is a partition-local map (no shuffle, no
+    * driver materialization — linear at 100 TB); a production pipeline
+    * reads real payloads from a parquet binary column instead, and decode
+    * downstream is identical. */
+  def syntheticMedia(ids: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(StructType(MEDIA_SCHEMA.take(3)))
+    ids.select(col(ids.columns.head).cast("long").as("media_id"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          (id % 3) match {
+            case 0 => Row(id, "image", ppmPayload(id, truncate = false))
+            case 1 => Row(id, "audio", wavPayload(id))
+            case _ => Row(id, "image", ppmPayload(id, truncate = true))
+          }
+        }
+      }(enc)
+  }
+
+  /** P6 payload: w = 2 + id%7, h = 1 + id%5, maxval 255; raster byte at
+    * pixel p channel c is (id·31 + p·7 + c·11) mod 256. `truncate` drops
+    * the final raster byte — a malformation [[decodePpm]] must refuse. */
+  private[graft] def ppmPayload(id: Long, truncate: Boolean): Array[Byte] = {
+    val w = (2 + id % 7).toInt; val h = (1 + id % 5).toInt
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val raster = new Array[Byte](w * h * 3)
+    var p = 0
+    while (p < w * h) {
+      var c = 0
+      while (c < 3) {
+        raster(p * 3 + c) = ((id * 31 + p * 7 + c * 11) % 256).toByte; c += 1
+      }
+      p += 1
+    }
+    val full = header ++ raster
+    if (truncate) full.dropRight(1) else full
+  }
+
+  /** RIFF/WAVE PCM-16 payload: ch = 1 + id%2 channels at 8000 + (id%4)·4000
+    * Hz, n = ch·(4 + id%16) samples; sample k is the int16
+    * ((id·131 + k·7919) mod 65536) − 32768, little-endian. */
+  private[graft] def wavPayload(id: Long): Array[Byte] = {
+    val ch = (1 + id % 2).toInt
+    val rate = (8000 + (id % 4) * 4000).toInt
+    val n = ch * (4 + (id % 16).toInt)
+    val bb = java.nio.ByteBuffer.allocate(44 + 2 * n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + 2 * n)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1); bb.putShort(ch.toShort); bb.putInt(rate)
+    bb.putInt(rate * ch * 2); bb.putShort((ch * 2).toShort); bb.putShort(16)
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(2 * n)
+    var k = 0
+    while (k < n) {
+      bb.putShort((((id * 131 + k * 7919) % 65536) - 32768).toShort); k += 1
+    }
+    bb.array()
   }
 
   /** STUB resize: a real version re-encodes the payload at the target

@@ -240,6 +240,29 @@ class DedupEdgeSpec extends SparkSpec {
       "fixture regime: τ=0.35 must produce at least one drop at sf0.001")
   }
 
+  test("embcos defaults resolve by corpus size; explicit confs always win") {
+    import graft.queries.Dedup
+    // the spec-pinned rule (r16, VERDICT r15 #8): r14-identical (8,1) up
+    // to 10k vectors, the measured scale config (12,4) above — any change
+    // to the breakpoint or configs must retune the oracle's count guard
+    assert(Dedup.embcosDefaults(1L) === ((8, 1)))
+    assert(Dedup.embcosDefaults(10000L) === ((8, 1)))
+    assert(Dedup.embcosDefaults(10001L) === ((12, 4)))
+    assert(Dedup.embcosDefaults(50000L) === ((12, 4)))
+    // integration: at sf0.001 (small branch) the conf-free declared query
+    // equals the explicit (8,1) configuration row for row
+    val free = SparkEntry.queries("q_dedup_embcos")(spark, sf0001).collect()
+    spark.conf.set("graft.dedup.embcos.bits", "8")
+    spark.conf.set("graft.dedup.embcos.bands", "1")
+    try {
+      val pinned = SparkEntry.queries("q_dedup_embcos")(spark, sf0001).collect()
+      assert(free.toSeq === pinned.toSeq)
+    } finally {
+      spark.conf.unset("graft.dedup.embcos.bits")
+      spark.conf.unset("graft.dedup.embcos.bands")
+    }
+  }
+
   test("graft_shingles of NULL text is an empty array, not null") {
     import spark.implicits._
     // parity with the when/otherwise + transform chain it replaced: a

@@ -144,6 +144,59 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.frameSampleStub(one, frameBytes = 15, everyK = 1).count() === 1L)
   }
 
+  // --- q_media_decode: synthetic payloads through the REAL decoders ---
+
+  test("syntheticMedia round-trips through the real decoders with closed-form features") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 2L, 3L, 4L, 5L, 31L, 97L).toDF("doc_id")
+    val out = Multimodal.decodeMedia(Multimodal.syntheticMedia(ids))
+      .orderBy("media_id").collect()
+    assert(out.length === 8)
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+
+    // id 0: PPM, w=2 h=1 — byte at pixel p channel c is (p*7 + c*11) % 256
+    val r0 = byId(0L)
+    assert(r0.getString(2) === "ppm" && r0.getInt(4) === 2 && r0.getInt(5) === 1)
+    assert(r0.getLong(3) === 11L + 2 * 1 * 3)
+    val means0 = r0.getSeq[Double](9)
+    assert(math.abs(means0(0) - (0 + 7).toDouble / (2 * 255)) < 1e-12)
+    assert(math.abs(means0(1) - (11 + 18).toDouble / (2 * 255)) < 1e-12)
+
+    // id 1: WAV — ch=2, rate=12000, n=2*(4+1)=10 samples → 5 frames
+    val r1 = byId(1L)
+    assert(r1.getString(2) === "wav" && r1.getInt(6) === 2 && r1.getInt(7) === 12000)
+    assert(r1.getLong(8) === 5L)
+    val samples = (0 until 10).map(k => (((131L + k * 7919L) % 65536L) - 32768L).toDouble / 32768.0)
+    val rms = math.sqrt(samples.map(v => v * v).sum / 10)
+    assert(math.abs(r1.getSeq[Double](9).head - rms) < 1e-9)
+    assert(math.abs(r1.getSeq[Double](9)(1) - samples.map(math.abs).max) < 1e-12)
+
+    // id 2: truncated PPM must refuse to opaque, not throw or misparse
+    val r2 = byId(2L)
+    assert(r2.getString(2) === "opaque")
+    assert(r2.getLong(3) === r2.getLong(8), "opaque n_units = n_bytes")
+    // the three arms cycle with id % 3
+    assert(byId(3L).getString(2) === "ppm" && byId(4L).getString(2) === "wav" &&
+           byId(5L).getString(2) === "opaque")
+    assert(byId(31L).getString(2) === "wav" && byId(97L).getString(2) === "wav")
+  }
+
+  test("q_media_decode runs on sf0.001 with all three format arms populated") {
+    val out = graft.queries.Media.queries("q_media_decode")(spark, sf0001)
+    val counts = out.groupBy("format").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet === Set("ppm", "wav", "opaque"))
+    val n = counts.values.sum
+    // the arms cycle on doc_id % 3: each within 1 of a third
+    assert(counts.values.forall(c => math.abs(c - n / 3.0) <= 1.0))
+    // features present exactly where the format promises them
+    val bad = out.filter(
+      (col("format") === "ppm" && (col("f0").isNull || col("f2").isNull)) ||
+      (col("format") === "wav" && (col("f0").isNull || col("f2").isNotNull)) ||
+      (col("format") === "opaque" && col("f0").isNotNull)).count()
+    assert(bad === 0L)
+  }
+
   test("exact dedup finds duplicate payloads (positive path for q_dedup_exact)") {
     import spark.implicits._
     val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))

@@ -18,6 +18,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_similarity_ivf_trained", // ≤16-row codebook broadcast per Lloyd round
     "q_similarity_ivf_nprobe",  // same trained ≤16-row codebook + 3-row probe set
     "q_similarity_ivfpq_res",   // ≤16-row raw + ≤16-row residual codebook broadcasts
+    "q_similarity_ivfpq_rtrained", // same broadcasts + trained ≤16-row residual codebook
     "q_similarity_ivfpq_nprobe", // ≤16-row codebook + 3-row probed-cluster broadcasts
     "q_similarity_ivf_indexed",  // prebuilt ≤16-row coarse table × 1-row probe
     "q_similarity_ivfpq_indexed", // prebuilt ≤16-row codebook × 1-row probe (ADC table)
