@@ -67,6 +67,91 @@ object Pipeline {
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy("doc_id")),
 
+    // Per-group quota sampling (mixture balancing's other half): cap each
+    // language at Q=100 documents, chosen deterministically by salted
+    // content hash — "no more than N docs per domain/language" is the
+    // standard guard against one source dominating a training mix, and
+    // unlike q_sample_hash's Bernoulli bucket it keeps EXACTLY min(n, Q)
+    // per group. rank ≤ Q over a window is the one shape Spark optimizes
+    // with WindowGroupLimit: every mapper pre-prunes to its local top-Q
+    // per group BEFORE the exchange, so the shuffle carries O(groups·Q·
+    // mappers) rows, not the corpus (same mechanism PlanAuditSpec pins
+    // for q_similarity_batch). At 100 TB with a skewed group the map-side
+    // prune is what keeps the single hot partition bounded.
+    "q_sample_stratified" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          call_function("graft_md5h",
+            concat(lit("strat#"), col("doc_id").cast("string")), lit(7))
+            .as("hk"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("lang").orderBy(col("hk"), col("doc_id"))))
+        .filter(col("rk") <= 100)
+        .select(col("doc_id"), col("lang"), col("rk").cast("long").as("rk"))
+        .orderBy("lang", "rk")),
+
+    // URL canonicalization + variant dedup (stage 1 of every web-corpus
+    // pipeline: collapse crawl-URL variants before fetching/deduping by
+    // content). Rules: lowercase scheme+host, strip default ports
+    // (http:80 / https:443), strip trailing path slashes, drop tracking
+    // params (utm_*, fbclid), sort surviving query params, drop the
+    // fragment. URLs are PLANTED deterministically from doc_id (the
+    // corpus has no URL column — same pattern as q_pii_scrub's planted
+    // PII) so every rule demonstrably fires; a production run substitutes
+    // the real URL column and the plan is unchanged. Shape: one narrow
+    // codegen'd projection (build + parse + normalize are all string
+    // ops), then ONE exchange on the canonical key for the variant
+    // counts — scan-bound at 100 TB.
+    "q_url_normalize" -> ((s, d) => {
+      val id = col("doc_id")
+      val raw = concat(
+        when(id % 2 === 0, lit("http")).otherwise(lit("HTTPS")), lit("://"),
+        when(id % 3 === 0,
+          concat(lit("WWW.Site"), (id % 7).cast("string"), lit(".COM")))
+          .otherwise(
+            concat(lit("www.site"), (id % 7).cast("string"), lit(".com"))),
+        when(id % 4 === 0,
+          when(id % 2 === 0, lit(":80")).otherwise(lit(":443")))
+          .otherwise(lit("")),
+        lit("/a/b"), (id % 5).cast("string"),
+        when(id % 3 === 1, lit("/")).otherwise(lit("")),
+        when(id % 6 < 3,
+          concat(lit("?utm_source=feed&x="), (id % 2).cast("string"),
+                 lit("&a=1")))
+          .otherwise(concat(lit("?a=1&x="), (id % 2).cast("string"))),
+        when(id % 5 === 0, lit("#sec")).otherwise(lit("")))
+      Tables.documents(s, d)
+        .select(col("doc_id"), raw.as("url"))
+        .withColumn("nofrag", expr("split_part(url, '#', 1)"))
+        .withColumn("base", expr("split_part(nofrag, '?', 1)"))
+        .withColumn("q", expr(
+          "CASE WHEN contains(nofrag, '?') THEN split_part(nofrag, '?', 2) ELSE '' END"))
+        .withColumn("scheme", expr("lower(split_part(base, '://', 1))"))
+        .withColumn("rest", expr("split_part(base, '://', 2)"))
+        .withColumn("hostport", expr("split_part(rest, '/', 1)"))
+        .withColumn("path", expr("substring(rest, length(hostport) + 1)"))
+        .withColumn("host", expr("lower(split_part(hostport, ':', 1))"))
+        .withColumn("port", expr(
+          "CASE WHEN contains(hostport, ':') THEN split_part(hostport, ':', 2) ELSE '' END"))
+        .withColumn("cport", expr(
+          "CASE WHEN port = '' OR (scheme = 'http' AND port = '80')" +
+          " OR (scheme = 'https' AND port = '443')" +
+          " THEN '' ELSE concat(':', port) END"))
+        .withColumn("cpath", expr("regexp_replace(path, '/+$', '')"))
+        .withColumn("cq", expr(
+          "array_join(array_sort(filter(split(q, '&'), p -> p <> ''" +
+          " AND NOT startswith(p, 'utm_')" +
+          " AND NOT startswith(p, 'fbclid='))), '&')"))
+        .withColumn("canonical_url", expr(
+          "concat(scheme, '://', host, cport, cpath," +
+          " CASE WHEN cq = '' THEN '' ELSE concat('?', cq) END)"))
+        .groupBy("canonical_url")
+        .agg(count(lit(1)).as("n_urls"),
+             countDistinct(col("url")).as("n_variants"),
+             min(col("doc_id")).as("min_doc"))
+        .orderBy("canonical_url")
+    }),
+
     // Weighted corpus mixture: per-source sampling rates applied by hash
     // bucket; output the per-source kept counts (the mixture recipe audit).
     "q_data_mixture" -> ((s, d) => {
@@ -182,6 +267,64 @@ object Pipeline {
     "q_sample_hash" ->
       s"""SELECT doc_id, lang, source FROM documents
           WHERE ${pctBucketSql("sample#")} < 5 ORDER BY doc_id""",
+    "q_sample_stratified" ->
+      s"""SELECT doc_id, lang, rk FROM (
+            SELECT doc_id, lang,
+                   row_number() OVER (PARTITION BY lang ORDER BY
+                     CAST(concat('0x', substr(md5(concat('strat#',
+                       CAST(doc_id AS VARCHAR))),1,7)) AS BIGINT),
+                     doc_id) AS rk
+            FROM documents)
+          WHERE rk <= 100 ORDER BY lang, rk""",
+    // the exact mirror of the planted-URL build + canonicalization chain;
+    // starts_with (not LIKE 'utm_%') — SQL LIKE's _ is a wildcard
+    "q_url_normalize" ->
+      """WITH u AS (SELECT doc_id, concat(
+              CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'HTTPS' END, '://',
+              CASE WHEN doc_id % 3 = 0
+                   THEN concat('WWW.Site', CAST(doc_id % 7 AS VARCHAR), '.COM')
+                   ELSE concat('www.site', CAST(doc_id % 7 AS VARCHAR), '.com') END,
+              CASE WHEN doc_id % 4 = 0
+                   THEN (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+                   ELSE '' END,
+              '/a/b', CAST(doc_id % 5 AS VARCHAR),
+              CASE WHEN doc_id % 3 = 1 THEN '/' ELSE '' END,
+              CASE WHEN doc_id % 6 < 3
+                   THEN concat('?utm_source=feed&x=', CAST(doc_id % 2 AS VARCHAR), '&a=1')
+                   ELSE concat('?a=1&x=', CAST(doc_id % 2 AS VARCHAR)) END,
+              CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END) AS url
+            FROM documents),
+          s1 AS (SELECT doc_id, url, split_part(url, '#', 1) AS nofrag FROM u),
+          s2 AS (SELECT *, split_part(nofrag, '?', 1) AS base,
+                 CASE WHEN contains(nofrag, '?')
+                      THEN split_part(nofrag, '?', 2) ELSE '' END AS q
+                 FROM s1),
+          s3 AS (SELECT *, lower(split_part(base, '://', 1)) AS scheme,
+                 split_part(base, '://', 2) AS rest FROM s2),
+          s4 AS (SELECT *, split_part(rest, '/', 1) AS hostport,
+                 substr(rest, len(split_part(rest, '/', 1)) + 1) AS path
+                 FROM s3),
+          s5 AS (SELECT *, lower(split_part(hostport, ':', 1)) AS host,
+                 CASE WHEN contains(hostport, ':')
+                      THEN split_part(hostport, ':', 2) ELSE '' END AS port
+                 FROM s4),
+          s6 AS (SELECT *,
+                 CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                        OR (scheme = 'https' AND port = '443')
+                      THEN '' ELSE concat(':', port) END AS cport,
+                 regexp_replace(path, '/+$', '') AS cpath,
+                 array_to_string(list_sort(list_filter(string_split(q, '&'),
+                   p -> p <> '' AND NOT starts_with(p, 'utm_')
+                     AND NOT starts_with(p, 'fbclid='))), '&') AS cq
+                 FROM s5),
+          c AS (SELECT doc_id, url,
+                concat(scheme, '://', host, cport, cpath,
+                  CASE WHEN cq = '' THEN '' ELSE concat('?', cq) END)
+                  AS canonical_url
+                FROM s6)
+          SELECT canonical_url, count(*) AS n_urls,
+                 count(DISTINCT url) AS n_variants, min(doc_id) AS min_doc
+          FROM c GROUP BY canonical_url ORDER BY canonical_url""",
     "q_data_mixture" ->
       s"""SELECT source, count(*) AS n_kept FROM documents
           WHERE ${pctBucketSql("mix#")} <

@@ -278,6 +278,33 @@ object TextAnalysis {
         .withColumn("is_repetitive", (col("dup_frac") >= 0.01).cast("long"))
         .orderBy("doc_id")),
 
+    // Hashed linear quality classifier (the fastText-shaped model behind
+    // production corpus filters — CCNet's, GPT-3's): score = Σ_t w[h(t)]
+    // / (n_tok·1e5), prob = σ(score), keep = prob > 0.5. Weights are a
+    // deterministic pseudo-model — w[h] = ((h·2654435761) mod 2000001) −
+    // 1e6 ∈ [−1e6, 1e6] — standing in for trained coefficients: the
+    // OPERATOR is feature hashing + sparse dot product + logistic link,
+    // identical under real weights (swap the arithmetic for a broadcast
+    // weight-table lookup; the plan shape doesn't change). ONE narrow
+    // codegen'd map stage: the per-token fold runs inside `aggregate`
+    // over the split array — no explode, no shuffle beyond the output
+    // sort — so at 100 TB this is scan-bound like q_text_quality. w_sum
+    // is integer-exact (hex7 < 2^28, ·2654435761 < 2^60, |w|·n_tok <
+    // 2^47); prob is rounded r4 after the only transcendental (exp).
+    "q_quality_classifier" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("tk"))
+        .select(col("doc_id"), size(col("tk")).cast("long").as("n_tok"),
+          aggregate(transform(col("tk"),
+              t => (hex7(t) * 2654435761L) % 2000001L - 1000000L),
+            lit(0L), (a, w) => a + w).as("w_sum"))
+        .select(col("doc_id"), col("n_tok"), col("w_sum"),
+          graft.Q.r4(lit(1.0) / (lit(1.0) +
+            exp(-(col("w_sum").cast("double") / (col("n_tok") * 1e5)))))
+            .as("prob"))
+        .withColumn("keep", (col("prob") > 0.5).cast("int"))
+        .orderBy("doc_id")),
+
     // The composed keep/drop pipeline a training-data ingest actually runs
     // over a raw corpus: language gate + length gate + repetition gate
     // (with the stopword quality score carried as a signal), then
@@ -481,6 +508,23 @@ object TextAnalysis {
                         ${graft.Q.r4Sql("""1.0 - CAST(len(list_distinct(shs)) AS DOUBLE)
                               / len(shs)""")} >= 0.01
                       THEN 1 ELSE 0 END AS BIGINT) AS is_repetitive
-          FROM hs ORDER BY doc_id"""
+          FROM hs ORDER BY doc_id""",
+    // integer-exact hashed dot product, r4 after the only transcendental;
+    // list_sum promotes to HUGEINT in DuckDB — cast back to BIGINT
+    "q_quality_classifier" ->
+      s"""WITH w AS (SELECT doc_id,
+                 CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok,
+                 CAST(list_sum(list_transform(string_split(text,' '),
+                   t -> ((CAST(concat('0x', substr(md5(t),1,7)) AS BIGINT)
+                          * 2654435761) % 2000001) - 1000000)) AS BIGINT) AS w_sum
+               FROM documents),
+            p AS (SELECT doc_id, n_tok, w_sum,
+                 ${graft.Q.r4Sql(
+                   "1.0 / (1.0 + exp(-(CAST(w_sum AS DOUBLE) / (n_tok * 1e5))))")}
+                   AS prob
+               FROM w)
+          SELECT doc_id, n_tok, w_sum, prob,
+                 CAST(prob > 0.5 AS INT) AS keep
+          FROM p ORDER BY doc_id"""
   )
 }

@@ -95,6 +95,61 @@ class DedupEdgeSpec extends SparkSpec {
       (5L, 3L, 3L, s"$R $R $R")))
   }
 
+  test("q_dedup_spans flags a SHIFTED passage fixed segmentation misses") {
+    import spark.implicits._
+    val d = tmpDir("dedup-spans")
+    // doc 1 carries tokens t1..t20; doc 2 embeds t1..t12 at offset 3 —
+    // the shift is not ≡ 0 mod 8, so q_dedup_lines' fixed 8-token
+    // segments of doc 2 (p1..p3+t1..t5 | t6..t13 | …) never equal doc
+    // 1's (t1..t8 | t9..t16 | …): the overlapping-window design claim
+    // is exactly this case. A 12-token shared passage has 12−8+1 = 5
+    // fully-contained 8-token windows in EACH doc.
+    val passage = (1 to 12).map(i => s"t$i").mkString(" ")
+    Seq(
+      (1L, (1 to 20).map(i => s"t$i").mkString(" ")),
+      (2L, s"p1 p2 p3 $passage q1 q2 q3 q4 q5"),
+      (3L, "short doc under eight"),                // < 8 tokens: no window
+      (4L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10"),
+      (5L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10")        // identical twin of 4
+    ).toDF("doc_id", "text").coalesce(1)
+      .write.parquet(s"$d/documents.parquet")
+    val rows = Dedup.queries("q_dedup_spans")(spark, d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(!rows.contains(3L), "sub-window docs emit no rows")
+    // doc 1: 13 windows, 5 duplicated (the passage), one contiguous run
+    assert(rows(1L) === ((13L, 5L, 0.3846, 5L)))
+    // doc 2: 20 tokens → 13 windows, same 5-window dup run
+    assert(rows(2L) === ((13L, 5L, 0.3846, 5L)))
+    // identical twins: every window duplicated, max_run = n_windows
+    assert(rows(4L) === ((3L, 3L, 1.0, 3L)) && rows(5L) === rows(4L))
+    // contrast claim: q_dedup_lines on the same corpus sees NO shared
+    // segment between docs 1 and 2 (its threshold is >2 docs anyway,
+    // but even the segment frequencies never collide across the shift)
+    val lines = Dedup.queries("q_dedup_lines")(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(lines(1L)._1 === lines(1L)._2 && lines(2L)._1 === lines(2L)._2,
+      "fixed segmentation keeps every segment — the shifted passage is invisible to it")
+  }
+
+  test("q_dedup_spans: runs split across gaps; max_run is the longest island") {
+    import spark.implicits._
+    val d = tmpDir("dedup-spans-gap")
+    // doc 2 shares TWO disjoint 8-token passages of doc 1 (1 window each),
+    // separated by unique middles — n_dup = 2 but max_run = 1
+    val a = (1 to 8).map(i => s"a$i").mkString(" ")
+    val b = (1 to 8).map(i => s"b$i").mkString(" ")
+    Seq(
+      (1L, s"$a m1 m2 m3 m4 m5 m6 m7 $b"),
+      (2L, s"$a n1 n2 n3 n4 n5 n6 n7 $b")
+    ).toDF("doc_id", "text").coalesce(1)
+      .write.parquet(s"$d/documents.parquet")
+    val rows = Dedup.queries("q_dedup_spans")(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(4)))).toMap
+    assert(rows(1L) === ((2L, 1L)) && rows(2L) === ((2L, 1L)),
+      "two isolated duplicated windows must not merge into one run")
+  }
+
   test("embcos knobs: wider buckets cut candidates ~2^Δbits, banding buys recall back") {
     // r14 rehearsal follow-up: q_dedup_embcos's fixed 256-bucket space
     // made within-bucket pairs grow n²/256 (exponent 0.67 at 10×). The

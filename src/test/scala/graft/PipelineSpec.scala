@@ -106,6 +106,52 @@ class PipelineSpec extends SparkSpec {
     assert(rate > 0.01 && rate < 0.12, s"5% target, got $rate")
   }
 
+  test("stratified sampling keeps exactly min(group size, quota) per language") {
+    val rows = Pipeline.queries("q_sample_stratified")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val perLang = rows.groupBy(_._2).view.mapValues(_.map(_._3)).toMap
+    val totals = Tables.documents(spark, sf0001).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every language present; kept count is the exact quota rule, and the
+    // ranks within a group are contiguous 1..k (no gaps from the filter)
+    assert(perLang.keySet === totals.keySet)
+    perLang.foreach { case (lang, rks) =>
+      val expect = math.min(totals(lang), 100L)
+      assert(rks.length.toLong === expect, s"$lang: ${rks.length} vs $expect")
+      assert(rks.sorted === (1L to expect), s"$lang ranks must be 1..$expect")
+    }
+    // quota actually binds somewhere at this SF (en has > 100 docs) —
+    // otherwise the test passes vacuously on a corpus below the quota
+    assert(totals.values.exists(_ > 100L), "fixture regime: a capped group exists")
+    // deterministic: same sample row-for-row on re-run
+    val again = Pipeline.queries("q_sample_stratified")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.sameElements(again))
+  }
+
+  test("URL canonicalization: every rule fires and the canon key is clean") {
+    val rows = Pipeline.queries("q_url_normalize")(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val total = Tables.documents(spark, sf0001).count()
+    assert(rows.map(_._2).sum === total, "every planted URL lands in a group")
+    rows.foreach { case (cu, _, _, _) =>
+      assert(cu == cu.toLowerCase, s"canon must be lowercase: $cu")
+      assert(!cu.contains("#"), s"fragment must be stripped: $cu")
+      assert(!cu.contains("utm_"), s"tracking params must be dropped: $cu")
+      assert(!cu.contains(":80") && !cu.contains(":443"),
+        s"default ports must be stripped: $cu")
+      assert(!cu.stripPrefix("http://").stripPrefix("https://").endsWith("/"),
+        s"trailing path slash must be stripped: $cu")
+      // surviving params arrive sorted: a=1 precedes x=…
+      if (cu.contains("?")) {
+        val params = cu.substring(cu.indexOf('?') + 1).split("&").toSeq
+        assert(params === params.sorted, s"params must be sorted: $cu")
+      }
+    }
+    // variants genuinely collapse: at least one canon groups >1 raw form
+    assert(rows.exists(_._3 > 1), "case/port/tracking variants must merge")
+  }
+
   test("mixture rates follow the per-source recipe") {
     val kept = Pipeline.queries("q_data_mixture")(spark, sf0001)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -75,6 +75,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("q_sample_stratified: quota filter prunes map-side (WindowGroupLimit)") {
+    // rank <= 100 over (lang) must compile to the same map-side group
+    // limit as q_similarity_batch: each mapper keeps <=100 rows per
+    // language BEFORE the exchange, so a skewed language at 100 TB ships
+    // O(mappers * quota) rows to its window partition, not the corpus.
+    val plan = SparkEntry.queries("q_sample_stratified")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      "quota sampling must pre-prune per group map-side")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("q_dedup_minhash plans exactly two shuffles (band join + pair dedup)") {
     // The mh columns ride through the band explode, so the score comes
     // straight off the joined band rows: band-key exchange(s) + the pair

@@ -89,6 +89,43 @@ class SemanticsSpec extends SparkSpec {
     assert(out("stale") === None, "90-minute-old state is cut off")
   }
 
+  test("q_quality_classifier matches a driver-side recomputation; link is monotone") {
+    val rows = graft.queries.TextAnalysis.queries("q_quality_classifier")(spark, sf0001)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4))))
+      .toMap
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // independent recomputation of the hashed dot product for one doc:
+    // w[h] = ((hex7(md5(t)) · 2654435761) mod 2000001) − 1e6
+    val docId = docs.keys.min
+    val toks = docs(docId).split(" ", -1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex7(s: String): Long = {
+      val h = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.take(7), 16)
+    }
+    val wSum = toks.map(t => (hex7(t) * 2654435761L) % 2000001L - 1000000L).sum
+    val score = wSum.toDouble / (toks.length * 1e5)
+    val prob = math.floor(1.0 / (1.0 + math.exp(-score)) * 1e4 + 0.5) / 1e4
+    val (nTok, gotW, gotP, keep) = rows(docId)
+    assert(nTok === toks.length.toLong && gotW === wSum)
+    assert(math.abs(gotP - prob) < 1e-12, s"doc $docId prob: $gotP vs $prob")
+    assert(keep === (if (gotP > 0.5) 1 else 0))
+    // the logistic link is a pure monotone transform of w_sum/n_tok:
+    // ordering by prob must equal ordering by the raw score
+    val byScore = rows.toSeq.map { case (id, (n, w, p, _)) =>
+      (id, w.toDouble / (n * 1e5), p)
+    }
+    val sortedByRaw = byScore.sortBy(_._2).map(_._3)
+    assert(sortedByRaw === sortedByRaw.sorted,
+      "prob must be non-decreasing in the raw linear score")
+    rows.values.foreach { case (_, _, p, _) =>
+      assert(p > 0.0 && p < 1.0, "logistic output stays strictly inside (0,1)")
+    }
+  }
+
   test("q_unigram_logprob matches a driver-side recomputation for one document") {
     val rows = graft.queries.TextAnalysis.queries("q_unigram_logprob")(spark, sf0001)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
