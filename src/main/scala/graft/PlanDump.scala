@@ -26,7 +26,8 @@ object PlanDump {
     "q_chunk_docs", "q_unigram_logprob", "q_dedup_semantic",
     "q_similarity_pq", "q_similarity_ivfpq", "q_similarity_ivf_nprobe",
     "q_similarity_ivfpq_res", "q_similarity_ivfpq_nprobe",
-    "q_similarity_batch")
+    "q_similarity_batch",
+    "q_dedup_spans", "q_sample_stratified", "q_quality_classifier")
 
   private val keep = Seq("Exchange", "HashAggregate", "BroadcastHashJoin",
     "BroadcastNestedLoopJoin", "CartesianProduct", "SortMergeJoin",
@@ -42,6 +43,30 @@ object PlanDump {
   // Adjudicated design decisions that the plan alone doesn't witness —
   // emitted under the matching section so they survive regeneration.
   private val notes = Map(
+    "q_dedup_spans" ->
+      ("""Design (r16): span-level exact-substring dedup (Lee et al. 2021)
+         |as rolling-hash windows. The window-hash frequency aggregate is
+         |ONE exchange on an 8-byte key; the join back is the same key
+         |(frequency side = one row per hash, so a corpus-wide boilerplate
+         |span is one broadcast-ably small build row, never a skewed
+         |bucket); run detection is doc_id-keyed window + aggregate,
+         |bounded by document length. 8x the rows of q_dedup_lines'
+         |fixed segmentation buys shift-invariance — still linear in
+         |corpus tokens, same plan family.""").stripMargin,
+    "q_sample_stratified" ->
+      ("""Design (r16): exact per-group quota via rank<=Q, compiled to
+         |WindowGroupLimit — each mapper pre-prunes to its local top-Q per
+         |language BEFORE the exchange (PlanAuditSpec pins the operator),
+         |so the shuffle carries O(groups x Q x mappers) rows and a skewed
+         |group at 100 TB ships a bounded slice, not the corpus.""").stripMargin,
+    "q_quality_classifier" ->
+      ("""Design (r16): feature hashing + sparse dot product + logistic
+         |link with NO explode — the per-token fold runs inside
+         |`aggregate` over the split array, so the whole classifier is one
+         |codegen'd narrow projection over the pruned (doc_id, text) scan;
+         |the only exchange is the output sort. Swap the arithmetic
+         |pseudo-weights for a broadcast weight-map lookup and the plan is
+         |unchanged: scan-bound at 100 TB.""").stripMargin,
     "q_approx_percentile" ->
       ("""Decision (r14): single-pass histogram percentile. r12/r13 ranked a
          |percentile_approx sketch estimate by RE-SCANNING lineitem (two full
