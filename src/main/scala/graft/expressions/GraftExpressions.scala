@@ -176,6 +176,33 @@ object ShingleHashes {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** k-token window hashes, stride 1 — [[compute]] generalized: folding
+    * 0 → (a·65599 + h) mod P over tokens i..i+k−1 reproduces the 3-token
+    * shingle chain exactly at k = 3 ((0·65599+h₀) = h₀ seeds the same
+    * recurrence), so this is ONE identity family, not a second hash.
+    * Tokens < k → empty array. Backs `graft_spanhashes` and the
+    * q_dedup_spans window stage (n·k multiply-mods in a tight codegen'd
+    * loop vs interpreted transform/aggregate/slice lambda trees). */
+  def computeK(s: UTF8String, k: Int): ArrayData = {
+    val toks = s.split(UTF8String.fromString(" "), -1)
+    val n = toks.length
+    if (n < k)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) { th(i) = Md5Prefix64.compute(toks(i), 7); i += 1 }
+    val out = new Array[Long](n - k + 1)
+    i = 0
+    while (i <= n - k) {
+      var a = 0L
+      var j = 0
+      while (j < k) { a = (a * 65599L + th(i + j)) % P; j += 1 }
+      out(i) = a
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** min((a·h + b) mod P) over a long array; Long.MinValue marks empty
     * (the caller's codegen turns it into SQL NULL, matching
     * `array_min(transform(…))` over an empty array). */
@@ -225,6 +252,40 @@ case class ShingleHashes(child: Expression) extends UnaryExpression {
   }
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** `graft_spanhashes(text, k)`: fused tokenize → per-token md5-prefix
+  * hash → k-token overlapping window combine (stride 1) — the
+  * [[ShingleHashes]] identity generalized to any window width; `k` must
+  * be a positive foldable literal (window width is a query-shape
+  * parameter, like graft_md5h's digit count). NULL text → EMPTY array,
+  * same contract as graft_shingles. */
+case class SpanHashes(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"graft_spanhashes: window width must be >= 1, got $k")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_spanhashes"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    child.eval(input) match {
+      case null => ShingleHashes.EMPTY
+      case s => ShingleHashes.computeK(s.asInstanceOf[UTF8String], k)
+    }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(
+      code = childGen.code +
+        code"""
+        $javaType ${ev.value} = ${childGen.isNull}
+          ? graft.expressions.ShingleHashes.EMPTY()
+          : graft.expressions.ShingleHashes.computeK(${childGen.value}, $k);""",
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SpanHashes =
     copy(child = newChild)
 }
 
@@ -524,6 +585,10 @@ object GraftFunctions {
     ("graft_shingles", classOf[ShingleHashes].getName, {
       case Seq(c) => ShingleHashes(c)
       case _ => throw new IllegalArgumentException("graft_shingles(text)")
+    }),
+    ("graft_spanhashes", classOf[SpanHashes].getName, {
+      case Seq(c, k) => SpanHashes(c, k.eval().asInstanceOf[Number].intValue())
+      case _ => throw new IllegalArgumentException("graft_spanhashes(text, k)")
     }),
     ("graft_minhash", classOf[MinHash].getName, {
       case Seq(c, a, b) => MinHash(c,

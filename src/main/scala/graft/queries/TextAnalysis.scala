@@ -61,6 +61,25 @@ object TextAnalysis {
     }
   }
 
+  /** Hashed-linear quality classifier projection for ANY (id, text)
+    * frame — the body of q_quality_classifier, factored like
+    * Dedup.bandKeys: it is a pure stateless per-row map (feature hash +
+    * integer dot product + logistic link, no shuffle), so it applies
+    * UNCHANGED to a streaming DataFrame — the continuous quality gate in
+    * front of an ingest pipeline (StreamingStateSpec proves batch
+    * parity). Output: (id, n_tok, w_sum, prob, keep); caller orders. */
+  def qualityClassify(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("n_tok"),
+        aggregate(transform(col("tk"),
+            t => (hex7(t) * 2654435761L) % 2000001L - 1000000L),
+          lit(0L), (a, w) => a + w).as("w_sum"))
+      .select(col("doc_id"), col("n_tok"), col("w_sum"),
+        graft.Q.r4(lit(1.0) / (lit(1.0) +
+          exp(-(col("w_sum").cast("double") / (col("n_tok") * 1e5)))))
+          .as("prob"))
+      .withColumn("keep", (col("prob") > 0.5).cast("int"))
+
   val queries: Map[String, Qf] = Map(
     // Token counting: whitespace tokens + a BPE-ish regex tokenizer.
     // STAGING PATTERN (all per-row scalar pipelines here): alias the
@@ -292,17 +311,7 @@ object TextAnalysis {
     // is integer-exact (hex7 < 2^28, ·2654435761 < 2^60, |w|·n_tok <
     // 2^47); prob is rounded r4 after the only transcendental (exp).
     "q_quality_classifier" -> ((s, d) =>
-      Tables.documents(s, d)
-        .select(col("doc_id"), toks.as("tk"))
-        .select(col("doc_id"), size(col("tk")).cast("long").as("n_tok"),
-          aggregate(transform(col("tk"),
-              t => (hex7(t) * 2654435761L) % 2000001L - 1000000L),
-            lit(0L), (a, w) => a + w).as("w_sum"))
-        .select(col("doc_id"), col("n_tok"), col("w_sum"),
-          graft.Q.r4(lit(1.0) / (lit(1.0) +
-            exp(-(col("w_sum").cast("double") / (col("n_tok") * 1e5)))))
-            .as("prob"))
-        .withColumn("keep", (col("prob") > 0.5).cast("int"))
+      qualityClassify(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")),
 
     // The composed keep/drop pipeline a training-data ingest actually runs

@@ -108,6 +108,38 @@ class GraftExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("graft_spanhashes: k=3 IS graft_shingles; k=8 equals the interpreted fold") {
+    import spark.implicits._
+    val P = 1000000007L
+    def hex7(c: org.apache.spark.sql.Column) = call_function("graft_md5h", c, lit(7))
+    val samples = Seq("the quick brown fox jumps over seven lazy dogs today",
+      "a b", "", "x", "a  b c d e f g h",  // double space → empty token kept
+      "héllo wörld snow melt ice rain sun moon", "exactly eight tokens one two three four five")
+    val df = samples.toDF("text")
+      .withColumn("th", transform(split(col("text"), " "), t => hex7(t)))
+      // the pre-expression q_dedup_spans formulation, kept as the spec
+      // mirror: slice+aggregate fold per window
+      .withColumn("chain",
+        when(size(col("th")) >= 8,
+          transform(sequence(lit(1), size(col("th")) - 7),
+            i => aggregate(slice(col("th"), i, lit(8)), lit(0L),
+                   (a, h) => (a * 65599L + h) % P)))
+        .otherwise(array().cast("array<bigint>")))
+      .withColumn("span8", call_function("graft_spanhashes", col("text"), lit(8)))
+      .withColumn("span3", call_function("graft_spanhashes", col("text"), lit(3)))
+      .withColumn("sh", call_function("graft_shingles", col("text")))
+    df.collect().foreach { r =>
+      assert(r.getSeq[Long](r.fieldIndex("span8")) ===
+             r.getSeq[Long](r.fieldIndex("chain")), s"k=8: ${r.getString(0)}")
+      assert(r.getSeq[Long](r.fieldIndex("span3")) ===
+             r.getSeq[Long](r.fieldIndex("sh")),
+        s"k=3 must reproduce the shingle identity: ${r.getString(0)}")
+    }
+    // NULL text → empty array (the graft_shingles contract), never null
+    val n = spark.sql("SELECT graft_spanhashes(CAST(NULL AS STRING), 8) AS s").head()
+    assert(!n.isNullAt(0) && n.getSeq[Long](0).isEmpty)
+  }
+
   test("expressions are SQL-callable via the extensions registry") {
     val r = spark.sql(
       "SELECT graft_md5h('key', 7) AS h, graft_cosine(array(1.0f,0.0f), array(1.0f,0.0f)) AS c")
@@ -306,8 +338,8 @@ class GraftExpressionsSpec extends SparkSpec {
     // whole surface on its next read.
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     val reg = spark.sessionState.functionRegistry
-    Seq("graft_md5h", "graft_cosine", "graft_shingles", "graft_minhash",
-        "graft_pq_dists", "graft_pq_encode", "graft_bloom_agg",
+    Seq("graft_md5h", "graft_cosine", "graft_shingles", "graft_spanhashes",
+        "graft_minhash", "graft_pq_dists", "graft_pq_encode", "graft_bloom_agg",
         "graft_bloom_contains", "graft_cms_query", "graft_bloom_union_agg",
         "graft_cms_union_agg")
       .foreach(n => reg.dropFunction(FunctionIdentifier(n)))
@@ -315,6 +347,8 @@ class GraftExpressionsSpec extends SparkSpec {
       .count() === 10, "PQ query must resolve via the registrar alone")
     assert(SparkEntry.queries("q_dedup_minhash")(spark, "/root/testdata/sf0.001")
       .count() > 0, "minhash query must resolve via the registrar alone")
+    assert(SparkEntry.queries("q_dedup_spans")(spark, "/root/testdata/sf0.001")
+      .count() > 0, "span query must resolve via the registrar alone")
     assert(SparkEntry.queries("q_sketch_bloom")(spark, "/root/testdata/sf0.001")
       .count() > 0, "bloom sketch query must resolve via the registrar alone")
   }

@@ -96,6 +96,28 @@ class PropertySpec extends AnyFunSuite {
       })
   }
 
+  test("span hashes equal an independent fold for arbitrary strings and widths") {
+    check("spanhashes-fold",
+      Prop.forAll(Gen.asciiPrintableStr, Gen.choose(1, 12)) { (s, k) =>
+        val got = graft.expressions.ShingleHashes
+          .computeK(UTF8String.fromString(s), k).toLongArray.toSeq
+        // independent recomputation: JVM split semantics with limit -1
+        // (trailing empties kept), hex7 per token, fold 0→(a·65599+h)%P
+        val toks = s.split(" ", -1)
+        val th = toks.map(t =>
+          graft.expressions.Md5Prefix64.compute(UTF8String.fromString(t), 7))
+        val want =
+          if (th.length < k) Seq.empty[Long]
+          else (0 to th.length - k).map(i =>
+            (i until i + k).foldLeft(0L)((a, j) =>
+              (a * 65599L + th(j)) % 1000000007L))
+        got == want &&
+          // k=3 reproduces the shingle identity on the same input
+          (k != 3 || got == graft.expressions.ShingleHashes
+            .compute(UTF8String.fromString(s)).toLongArray.toSeq)
+      })
+  }
+
   test("count(DISTINCT rewrite never disturbs quoted content, for arbitrary nasty literals") {
     import graft.streaming.KinesisEngine.rewriteCountDistinct
     // A literal of any of the three SQL quote kinds whose CONTENT is built

@@ -347,6 +347,34 @@ class StreamingStateSpec extends SparkSpec {
     eng.consumeEndAll()
   }
 
+  test("continuous quality gate: streaming classifier equals batch row-for-row") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // qualityClassify is a stateless per-row map, so the SAME function
+    // body drives batch (q_quality_classifier, oracle-checked) and a
+    // streaming quality gate; what needs proving is append-mode parity
+    // across multiple micro-batches.
+    val rows = Seq((1L, "the quick brown fox"), (2L, "data data data data"),
+                   (3L, "a"), (4L, "mixed bag of tokens here"))
+    val in = MemoryStream[(Long, String)]
+    val q = graft.queries.TextAnalysis.qualityClassify(
+        in.toDF().toDF("id", "text"), "id", "text")
+      .writeStream.queryName("qgate_view").outputMode("append")
+      .format("memory").start()
+    try {
+      in.addData(rows.take(2): _*); q.processAllAvailable()
+      in.addData(rows.drop(2): _*); q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4))
+      val got = spark.table("qgate_view").collect().map(key).sortBy(_._1).toSeq
+      val want = graft.queries.TextAnalysis.qualityClassify(
+          rows.toDF("id", "text"), "id", "text").collect()
+        .map(key).sortBy(_._1).toSeq
+      assert(got === want, "micro-batched scoring must equal batch scoring")
+      assert(got.length === rows.length)
+    } finally q.stop()
+  }
+
   test("online content dedup: fingerprint + dropDuplicates in a continuous pipeline") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
