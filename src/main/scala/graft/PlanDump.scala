@@ -27,7 +27,8 @@ object PlanDump {
     "q_similarity_pq", "q_similarity_ivfpq", "q_similarity_ivf_nprobe",
     "q_similarity_ivfpq_res", "q_similarity_ivfpq_nprobe",
     "q_similarity_batch",
-    "q_dedup_spans", "q_sample_stratified", "q_quality_classifier")
+    "q_dedup_spans", "q_dedup_spans_clean", "q_sample_stratified",
+    "q_quality_classifier")
 
   private val keep = Seq("Exchange", "HashAggregate", "BroadcastHashJoin",
     "BroadcastNestedLoopJoin", "CartesianProduct", "SortMergeJoin",
@@ -59,6 +60,16 @@ object PlanDump {
          |1,680 -> 968 ms at sf0.1. 8x the rows of q_dedup_lines' fixed
          |segmentation buys shift-invariance — still linear in corpus
          |tokens, same plan family.""").stripMargin,
+    "q_dedup_spans_clean" ->
+      ("""Design (r16): the removal half of span dedup — keeper = min
+         |doc_id per window hash, every other occurrence cut, docs
+         |reassembled from surviving tokens (the q_dedup_lines collect/
+         |sort/join pattern). Coverage explode is bounded by 8x the
+         |duplicated tokens; the kept-token anti-join and reassembly are
+         |(doc_id, pos)- and doc_id-keyed equi-joins. An exact copy of an
+         |earlier doc empties completely; a shifted shared passage is cut
+         |exactly (spec-pinned) — the fixed-segment variant can't do
+         |either without alignment luck.""").stripMargin,
     "q_sample_stratified" ->
       ("""Design (r16): exact per-group quota via rank<=Q, compiled to
          |WindowGroupLimit — each mapper pre-prunes to its local top-Q per

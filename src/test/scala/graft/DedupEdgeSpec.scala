@@ -132,6 +132,30 @@ class DedupEdgeSpec extends SparkSpec {
       "fixed segmentation keeps every segment — the shifted passage is invisible to it")
   }
 
+  test("q_dedup_spans_clean cuts exactly the shared passage, keeper stays intact") {
+    import spark.implicits._
+    val d = tmpDir("dedup-spans-clean")
+    val passage = (1 to 12).map(i => s"t$i").mkString(" ")
+    Seq(
+      (1L, (1 to 20).map(i => s"t$i").mkString(" ")),   // keeper of the passage
+      (2L, s"p1 p2 p3 $passage q1 q2 q3 q4 q5"),        // loses exactly t1..t12
+      (3L, "short doc under eight"),                    // no window → intact
+      (4L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10"),           // keeper twin → intact
+      (5L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10")            // copy → emptied
+    ).toDF("doc_id", "text").coalesce(1)
+      .write.parquet(s"$d/documents.parquet")
+    val rows = Dedup.queries("q_dedup_spans_clean")(spark, d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(rows(1L) === ((20L, 0L, (1 to 20).map(i => s"t$i").mkString(" "))),
+      "the first occurrence of every span survives")
+    assert(rows(2L) === ((20L, 12L, "p1 p2 p3 q1 q2 q3 q4 q5")),
+      "coverage of the 5 duplicated windows is exactly the 12-token passage")
+    assert(rows(3L) === ((4L, 0L, "short doc under eight")))
+    assert(rows(4L) === ((10L, 0L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10")))
+    assert(rows(5L) === ((10L, 10L, "")), "an exact copy empties completely")
+  }
+
   test("q_dedup_spans: runs split across gaps; max_run is the longest island") {
     import spark.implicits._
     val d = tmpDir("dedup-spans-gap")

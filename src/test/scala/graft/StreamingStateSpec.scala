@@ -347,6 +347,37 @@ class StreamingStateSpec extends SparkSpec {
     eng.consumeEndAll()
   }
 
+  test("streaming span contamination: incoming docs matched against a static corpus") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // spanKeys is a stateless projection, so eval-set decontamination
+    // runs as a stream-static equi-join on the 8-byte window hash: an
+    // incoming doc is contaminated iff it shares ANY 8-token window with
+    // the static benchmark corpus — shift-invariant, unlike a fixed
+    // segment or whole-doc fingerprint match.
+    val bench = Seq(
+      (100L, (1 to 12).map(i => s"t$i").mkString(" ")),
+      (101L, "totally unrelated benchmark prompt words here okay")).toDF("id", "text")
+    val benchSpans = graft.queries.Dedup.spanKeys(bench, "id", "text", 8)
+      .select(col("wh")).distinct()
+    val in = MemoryStream[(Long, String)]
+    val q = graft.queries.Dedup.spanKeys(in.toDF().toDF("id", "text"), "id", "text", 8)
+      .join(benchSpans, "wh")   // stream-static inner join, no state
+      .select(col("doc_id")).dropDuplicates("doc_id")
+      .writeStream.queryName("contam_view").outputMode("append")
+      .format("memory").start()
+    try {
+      in.addData(
+        (1L, s"intro words then ${(3 to 10).map(i => s"t$i").mkString(" ")} trailing"),
+        (2L, "clean document with no benchmark overlap at all today"),
+        (3L, "x1 x2 x3 x4 x5 x6 x7 x8 x9"))
+      q.processAllAvailable()
+      val flagged = spark.table("contam_view").collect().map(_.getLong(0)).toSet
+      assert(flagged === Set(1L),
+        "only the doc embedding a shifted benchmark span is contaminated")
+    } finally q.stop()
+  }
+
   test("continuous quality gate: streaming classifier equals batch row-for-row") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
