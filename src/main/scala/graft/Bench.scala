@@ -53,7 +53,13 @@ object BenchGuards {
   }
 
   /** Inverse of [[encodeGrouped]]; tolerant of a truncation-mangled
-    * leading fragment (skips anything that isn't a well-formed pair). */
+    * leading fragment (skips anything that isn't a well-formed pair).
+    * Scope of that tolerance (review r16): an orphan BRACE fragment is
+    * skipped, but a head-cut FLAT fragment that still parses as a pair
+    * (`…ty_batch:313`) would be accepted under the truncated name. Safe
+    * for every current caller — parsePriorQueriesMs only reaches this
+    * through an intact `"grp":"` prefix, so the payload head is whole —
+    * but do not hand this raw tail-truncated text. */
   def decodeGrouped(payload: String): Map[String, Long] = {
     val out = scala.collection.mutable.LinkedHashMap[String, Long]()
     val grpRe = """([a-z0-9_]+)\{([^}]*)\}""".r
@@ -274,6 +280,19 @@ object Bench {
     graft.queries.StreamingIngest.lastStats.foreach { st =>
       println(f"""{"metric":"ingest_throughput","records":${st.records},"rec_per_s":${st.recPerS}%.1f,"seed_s":${st.seedS}%.3f,"setup_s":${st.setupS}%.3f,"drain_s":${st.drainS}%.3f,"stop_s":${st.stopS}%.3f}""")
     }
+    // Band-check verdicts (BenchGuards) BEFORE the queries_ms line: a
+    // suspect entry means "this number is >3x its prior-round archive
+    // after settle+retries — re-measure before trusting it". Printed
+    // only when non-empty, and deliberately OUTSIDE the tail-safe zone
+    // (review r16): a suspect-heavy round must sacrifice suspect DETAIL
+    // to truncation, never per-query entries — n_suspect still rides in
+    // the trailer, so the fact of contamination always survives.
+    if (suspects.nonEmpty) {
+      val susp = suspects.map { case (k, (ms, pms)) =>
+        "\"" + k + "\":{\"ms\":" + ms + ",\"prior_ms\":" + pms + "}"
+      }.mkString("{", ",", "}")
+      println(s"""{"metric":"band_suspects","queries":$susp}""")
+    }
     // Per-query integer-ms map near the END of stdout, in the grouped
     // encoding (BenchGuards.encodeGrouped): the driver archives only the
     // last ~2000 characters, and at 102 queries the flat JSON map alone
@@ -299,17 +318,6 @@ object Bench {
     // even under the harshest truncation.
     val rps = graft.queries.StreamingIngest.lastStats
       .map(st => f"""${st.recPerS}%.1f""").getOrElse("null")
-    // Band-check verdicts (BenchGuards) inside the tail-safe zone: a
-    // suspect entry means "this number is >3x its prior-round archive
-    // after settle+retries — re-measure before trusting it". Printed
-    // only when non-empty (r16: every byte of the tail window now pays
-    // rent; n_suspect + n_prior live in the trailer either way).
-    if (suspects.nonEmpty) {
-      val susp = suspects.map { case (k, (ms, pms)) =>
-        "\"" + k + "\":{\"ms\":" + ms + ",\"prior_ms\":" + pms + "}"
-      }.mkString("{", ",", "}")
-      println(s"""{"metric":"band_suspects","queries":$susp}""")
-    }
     // sf as the basename and total at ms precision: the full path and
     // float tail spent ~30 window bytes saying nothing
     val sfName = new java.io.File(sfDir).getName

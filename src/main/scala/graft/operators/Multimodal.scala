@@ -250,10 +250,15 @@ object Multimodal {
     ids.select(col(ids.columns.head).cast("long").as("media_id"))
       .mapPartitions { it =>
         it.map { r =>
+          // floorMod throughout (review r16): JVM % is sign-preserving,
+          // so a negative id would drive w/h/sample counts negative and
+          // throw from the array allocation — the one crash path in a
+          // module whose decoders never throw. floorMod keeps every
+          // non-negative id byte-identical and makes negatives valid.
           val id = r.getLong(0)
-          (id % 3) match {
-            case 0 => Row(id, "image", ppmPayload(id, truncate = false))
-            case 1 => Row(id, "audio", wavPayload(id))
+          Math.floorMod(id, 3L) match {
+            case 0L => Row(id, "image", ppmPayload(id, truncate = false))
+            case 1L => Row(id, "audio", wavPayload(id))
             case _ => Row(id, "image", ppmPayload(id, truncate = true))
           }
         }
@@ -261,17 +266,20 @@ object Multimodal {
   }
 
   /** P6 payload: w = 2 + id%7, h = 1 + id%5, maxval 255; raster byte at
-    * pixel p channel c is (id·31 + p·7 + c·11) mod 256. `truncate` drops
-    * the final raster byte — a malformation [[decodePpm]] must refuse. */
+    * pixel p channel c is (id·31 + p·7 + c·11) mod 256 (all moduli
+    * floorMod — identical for id ≥ 0, non-crashing for id < 0).
+    * `truncate` drops the final raster byte — a malformation
+    * [[decodePpm]] must refuse. */
   private[graft] def ppmPayload(id: Long, truncate: Boolean): Array[Byte] = {
-    val w = (2 + id % 7).toInt; val h = (1 + id % 5).toInt
+    val w = (2 + Math.floorMod(id, 7L)).toInt
+    val h = (1 + Math.floorMod(id, 5L)).toInt
     val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
     val raster = new Array[Byte](w * h * 3)
     var p = 0
     while (p < w * h) {
       var c = 0
       while (c < 3) {
-        raster(p * 3 + c) = ((id * 31 + p * 7 + c * 11) % 256).toByte; c += 1
+        raster(p * 3 + c) = Math.floorMod(id * 31 + p * 7 + c * 11, 256L).toByte; c += 1
       }
       p += 1
     }
@@ -281,11 +289,12 @@ object Multimodal {
 
   /** RIFF/WAVE PCM-16 payload: ch = 1 + id%2 channels at 8000 + (id%4)·4000
     * Hz, n = ch·(4 + id%16) samples; sample k is the int16
-    * ((id·131 + k·7919) mod 65536) − 32768, little-endian. */
+    * ((id·131 + k·7919) mod 65536) − 32768, little-endian (floorMod — see
+    * [[ppmPayload]]). */
   private[graft] def wavPayload(id: Long): Array[Byte] = {
-    val ch = (1 + id % 2).toInt
-    val rate = (8000 + (id % 4) * 4000).toInt
-    val n = ch * (4 + (id % 16).toInt)
+    val ch = (1 + Math.floorMod(id, 2L)).toInt
+    val rate = (8000 + Math.floorMod(id, 4L) * 4000).toInt
+    val n = ch * (4 + Math.floorMod(id, 16L).toInt)
     val bb = java.nio.ByteBuffer.allocate(44 + 2 * n)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + 2 * n)
@@ -296,7 +305,7 @@ object Multimodal {
     bb.put("data".getBytes("US-ASCII")); bb.putInt(2 * n)
     var k = 0
     while (k < n) {
-      bb.putShort((((id * 131 + k * 7919) % 65536) - 32768).toShort); k += 1
+      bb.putShort((Math.floorMod(id * 131 + k * 7919, 65536L) - 32768).toShort); k += 1
     }
     bb.array()
   }

@@ -110,15 +110,19 @@ object Pipeline {
           concat(lit("WWW.Site"), (id % 7).cast("string"), lit(".COM")))
           .otherwise(
             concat(lit("www.site"), (id % 7).cast("string"), lit(".com"))),
-        when(id % 4 === 0,
-          when(id % 2 === 0, lit(":80")).otherwise(lit(":443")))
+        // id%4==0 is always even (http→:80) and id%4==1 always odd
+        // (HTTPS→:443), so BOTH default-port strip rules get planted
+        // inputs (review r16: the old nested id%2 arm made :443 dead)
+        when(id % 4 === 0, lit(":80"))
+          .when(id % 4 === 1, lit(":443"))
           .otherwise(lit("")),
         lit("/a/b"), (id % 5).cast("string"),
         when(id % 3 === 1, lit("/")).otherwise(lit("")),
         when(id % 6 < 3,
           concat(lit("?utm_source=feed&x="), (id % 2).cast("string"),
                  lit("&a=1")))
-          .otherwise(concat(lit("?a=1&x="), (id % 2).cast("string"))),
+          .otherwise(concat(lit("?a=1&fbclid=c"), (id % 3).cast("string"),
+                            lit("&x="), (id % 2).cast("string"))),
         when(id % 5 === 0, lit("#sec")).otherwise(lit("")))
       Tables.documents(s, d)
         .select(col("doc_id"), raw.as("url"))
@@ -284,14 +288,15 @@ object Pipeline {
               CASE WHEN doc_id % 3 = 0
                    THEN concat('WWW.Site', CAST(doc_id % 7 AS VARCHAR), '.COM')
                    ELSE concat('www.site', CAST(doc_id % 7 AS VARCHAR), '.com') END,
-              CASE WHEN doc_id % 4 = 0
-                   THEN (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+              CASE WHEN doc_id % 4 = 0 THEN ':80'
+                   WHEN doc_id % 4 = 1 THEN ':443'
                    ELSE '' END,
               '/a/b', CAST(doc_id % 5 AS VARCHAR),
               CASE WHEN doc_id % 3 = 1 THEN '/' ELSE '' END,
               CASE WHEN doc_id % 6 < 3
                    THEN concat('?utm_source=feed&x=', CAST(doc_id % 2 AS VARCHAR), '&a=1')
-                   ELSE concat('?a=1&x=', CAST(doc_id % 2 AS VARCHAR)) END,
+                   ELSE concat('?a=1&fbclid=c', CAST(doc_id % 3 AS VARCHAR),
+                               '&x=', CAST(doc_id % 2 AS VARCHAR)) END,
               CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END) AS url
             FROM documents),
           s1 AS (SELECT doc_id, url, split_part(url, '#', 1) AS nofrag FROM u),

@@ -62,9 +62,16 @@ class BenchGuardSpec extends AnyFunSuite {
     val summary =
       """{"metric":"total_summary","total_s":29.745,"n_queries":102,"n_errors":0,"n_suspect":0,"n_prior":102,"spread_med":0.077,"spread_p90":0.243,"rec_per_s":18290.7,"sf":"sf0.1"}"""
     val sbtNoise = "[success] Total time: 182 s (03:02), completed Aug 14, 2026, 12:51:47 PM"
+    // a suspect-HEAVY round: the band_suspects line prints BEFORE the
+    // grp line (review r16 — it must be the sacrificial content, never
+    // the per-query entries), so even a fat suspects payload cannot
+    // evict queries_ms entries from the window
+    val suspects = "[info] " + ("""{"metric":"band_suspects","queries":{""" +
+      names.take(5).map(n => s""""$n":{"ms":1340,"prior_ms":95}""").mkString(",") + "}}")
     // sbt prefixes every stdout line with "[info] "
     val stdout = Seq(
       "[info] " + """{"metric":"ingest_throughput","records":20000,"rec_per_s":18290.7,"seed_s":0.007,"setup_s":0.001,"drain_s":1.093,"stop_s":0.220}""",
+      suspects,
       "[info] " + grpLine,
       "[info] " + summary,
       sbtNoise).mkString("\n")

@@ -146,6 +146,17 @@ class MultimodalSpec extends SparkSpec {
 
   // --- q_media_decode: synthetic payloads through the REAL decoders ---
 
+  test("syntheticMedia never throws on negative ids (floorMod, review r16)") {
+    import spark.implicits._
+    // JVM % is sign-preserving: with plain %, id = -3 routes to the PPM
+    // arm with w = 2 + (-3 % 7) = -1 and the raster allocation throws.
+    val out = Multimodal.decodeMedia(
+      Multimodal.syntheticMedia(Seq(-1L, -2L, -3L, -97L).toDF("doc_id")))
+      .collect()
+    assert(out.length === 4, "every negative id decodes or refuses, no crash")
+    assert(out.forall(r => Set("ppm", "wav", "opaque").contains(r.getString(2))))
+  }
+
   test("syntheticMedia round-trips through the real decoders with closed-form features") {
     import spark.implicits._
     val ids = Seq(0L, 1L, 2L, 3L, 4L, 5L, 31L, 97L).toDF("doc_id")

@@ -138,6 +138,9 @@ class PipelineSpec extends SparkSpec {
       assert(cu == cu.toLowerCase, s"canon must be lowercase: $cu")
       assert(!cu.contains("#"), s"fragment must be stripped: $cu")
       assert(!cu.contains("utm_"), s"tracking params must be dropped: $cu")
+      // non-vacuous: the plant puts fbclid on every id%6>=3 doc and :443
+      // on every id%4==1 doc, so a broken rule WOULD surface here
+      assert(!cu.contains("fbclid"), s"fbclid must be dropped: $cu")
       assert(!cu.contains(":80") && !cu.contains(":443"),
         s"default ports must be stripped: $cu")
       assert(!cu.stripPrefix("http://").stripPrefix("https://").endsWith("/"),
