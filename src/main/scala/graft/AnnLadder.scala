@@ -41,7 +41,8 @@ object AnnLadder {
       "q_similarity_ivfpq_nprobe" -> "IVF-PQ nprobe=3",
       "q_similarity_ivfpq_indexed" -> "IVF-PQ nprobe=3, prebuilt index (query-only)",
       "q_similarity_ivfpq_res" -> "IVF-PQ residual encoding",
-      "q_similarity_ivfpq_rtrained" -> "IVF-PQ trained residual sub-codebook")
+      "q_similarity_ivfpq_rtrained" -> "IVF-PQ trained residual sub-codebook",
+      "q_similarity_ivfpq_rindexed" -> "IVF-PQ trained residual, prebuilt index (query-only)")
 
     // ground truth + index build, both OUTSIDE every timed region
     val exact = SparkEntry.queries("q_similarity_topk")(spark, sfDir)

@@ -340,6 +340,27 @@ object Similarity {
         coded.repartition(16, col("cluster"))
           .write.mode("overwrite").partitionBy("cluster")
           .parquet(s"$dir/pq_postings")
+        // trained-residual index (r16, completing the family): the
+        // residual sub-codebook Lloyd-trains ONCE here — this was ~all
+        // of q_similarity_ivfpq_rtrained's per-query cost — and the
+        // stored residual codes equal its in-query encode by the same
+        // filter-independence argument as pq_postings (per-row encode
+        // against the same full-corpus-trained rcb).
+        //   res_codebook/ trained ≤16-row residual sub-codebook
+        //   res_postings/ residual codes (vec_id, label, c0…c7), by cluster
+        val assignedR = ivfAssignment(emb, cents, keepCentEmb = true)
+          .select(col("vec_id"), col("label"), col("cluster"),
+            zip_with(col("embedding"), col("cent_vec"),
+              (a, b) => a.cast("double") - b.cast("double")).as("res"))
+        val qres = assignedR.select(col("vec_id"),
+          transform(col("res"), v => floor(v * 1e6 + 0.5) / 1e6).as("qres"))
+        val rcb = trainedResidualCodebook(qres)
+        rcb.write.mode("overwrite").parquet(s"$dir/res_codebook")
+        pqCodes(assignedR, col("res"), rcb,
+            Seq(col("vec_id"), col("label"), col("cluster")))
+          .repartition(16, col("cluster"))
+          .write.mode("overwrite").partitionBy("cluster")
+          .parquet(s"$dir/res_postings")
         dir.toString
       })
 
@@ -735,6 +756,35 @@ object Similarity {
       val cand = coded.join(broadcast(probed), col("cluster") === col("pc"))
         .filter(col("vec_id") =!= 0)
       adcTopK(cand, cents, probeRow, Seq("vec_id", "label", "cluster"))
+    }),
+
+    // Query-only trained-residual IVF-PQ against the PREBUILT index
+    // (r16): value-identical to q_similarity_ivfpq_rtrained — same
+    // trained residual sub-codebook (Lloyd descent ran ONCE in
+    // annIndexDir, it was ~all of that query's cost), same stored codes,
+    // same ADC — but the query is: assign the probe (16-row broadcast),
+    // read ONE posting list (DPP directory pruning), 8 ADC lookups per
+    // candidate, top-10. The shared oracle retrains in its CTE prelude,
+    // so correctness still covers the residual trainer end to end.
+    "q_similarity_ivfpq_rindexed" -> ((s, d) => {
+      val dir = annIndexDir(s, d)
+      val rcb = s.read.parquet(s"$dir/res_codebook")
+      val coded = s.read.parquet(s"$dir/res_postings")
+      val emb = Tables.embeddings(s, d)
+      val cents = emb.filter(col("vec_id") <= 15)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+      // the probe's assignment + residual recomputed standalone: per-row
+      // argmax, so it equals the rtrained pipeline's row for vec_id 0
+      val probeC = ivfAssignment(emb.filter(col("vec_id") === 0), cents,
+          keepCentEmb = true)
+        .select(col("cluster").as("pc"),
+          zip_with(col("embedding"), col("cent_vec"),
+            (a, b) => a.cast("double") - b.cast("double")).as("probe_res"))
+      val cand = coded.join(broadcast(probeC.select(col("pc"))),
+          col("cluster") === col("pc"))
+        .filter(col("vec_id") =!= 0)
+      adcTopK(cand, rcb, probeC.select(col("probe_res")),
+        Seq("vec_id", "label", "cluster"))
     }),
 
     // Int8 symmetric quantization of the embedding column — the storage
@@ -1222,5 +1272,6 @@ object Similarity {
     * CTE prelude, covering training AND the query-only serve path. */
   val oracle: Map[String, String] = oracleBase ++ Map(
     "q_similarity_ivf_indexed" -> oracleBase("q_similarity_ivf_nprobe"),
-    "q_similarity_ivfpq_indexed" -> oracleBase("q_similarity_ivfpq_nprobe"))
+    "q_similarity_ivfpq_indexed" -> oracleBase("q_similarity_ivfpq_nprobe"),
+    "q_similarity_ivfpq_rindexed" -> oracleBase("q_similarity_ivfpq_rtrained"))
 }

@@ -22,6 +22,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_similarity_ivfpq_nprobe", // ≤16-row codebook + 3-row probed-cluster broadcasts
     "q_similarity_ivf_indexed",  // prebuilt ≤16-row coarse table × 1-row probe
     "q_similarity_ivfpq_indexed", // prebuilt ≤16-row codebook × 1-row probe (ADC table)
+    "q_similarity_ivfpq_rindexed", // prebuilt ≤16-row residual codebook × 1-row probe
     "q_similarity_batch",       // 5-row probe-set broadcast, non-equi (≠ self) join
     "q_dedup_semantic",  // ≤16-row codebook broadcast (SemDeDup assignment)
     "q_similarity_pq",   // ≤16-row codebook broadcast (PQ encode + ADC table)
@@ -56,7 +57,8 @@ class PlanAuditSpec extends SparkSpec {
     // filter so only 3 of 16 list directories are read — THE property
     // that makes the layout an inverted file at 100 TB rather than a
     // full scan with a filter.
-    Seq("q_similarity_ivf_indexed", "q_similarity_ivfpq_indexed").foreach { name =>
+    Seq("q_similarity_ivf_indexed", "q_similarity_ivfpq_indexed",
+        "q_similarity_ivfpq_rindexed").foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf0001)
         .queryExecution.executedPlan.toString
       assert(plan.contains("dynamicpruningexpression"),
