@@ -28,6 +28,43 @@ object Pipeline {
   private def pctBucketSql(salt: String) =
     s"CAST(concat('0x', substr(md5(concat('$salt', CAST(doc_id AS VARCHAR))),1,7)) AS BIGINT) % 100"
 
+  /** Crawl-URL canonicalization for ANY frame with a URL string column —
+    * adds `canonical_url`, keeps every input column, drops intermediates.
+    * Rules: lowercase scheme+host; strip default ports (http:80 /
+    * https:443); strip trailing path slashes; drop tracking params
+    * (utm_*, fbclid); sort surviving query params; drop the fragment.
+    * PRECONDITION: inputs carry a scheme (`x://…`) — a scheme-less
+    * string has no well-defined host split and comes back mangled, so
+    * prefilter `contains(url, '://')` on raw crawl data (spec-pinned).
+    * Pure narrow string projection: no shuffle, streams unchanged. */
+  def canonicalizeUrls(df: DataFrame, urlCol: String): DataFrame = {
+    val in = df.columns
+    df.withColumn("nofrag", expr(s"split_part($urlCol, '#', 1)"))
+      .withColumn("base", expr("split_part(nofrag, '?', 1)"))
+      .withColumn("q", expr(
+        "CASE WHEN contains(nofrag, '?') THEN split_part(nofrag, '?', 2) ELSE '' END"))
+      .withColumn("scheme", expr("lower(split_part(base, '://', 1))"))
+      .withColumn("rest", expr("split_part(base, '://', 2)"))
+      .withColumn("hostport", expr("split_part(rest, '/', 1)"))
+      .withColumn("path", expr("substring(rest, length(hostport) + 1)"))
+      .withColumn("host", expr("lower(split_part(hostport, ':', 1))"))
+      .withColumn("port", expr(
+        "CASE WHEN contains(hostport, ':') THEN split_part(hostport, ':', 2) ELSE '' END"))
+      .withColumn("cport", expr(
+        "CASE WHEN port = '' OR (scheme = 'http' AND port = '80')" +
+        " OR (scheme = 'https' AND port = '443')" +
+        " THEN '' ELSE concat(':', port) END"))
+      .withColumn("cpath", expr("regexp_replace(path, '/+$', '')"))
+      .withColumn("cq", expr(
+        "array_join(array_sort(filter(split(q, '&'), p -> p <> ''" +
+        " AND NOT startswith(p, 'utm_')" +
+        " AND NOT startswith(p, 'fbclid='))), '&')"))
+      .withColumn("canonical_url", expr(
+        "concat(scheme, '://', host, cport, cpath," +
+        " CASE WHEN cq = '' THEN '' ELSE concat('?', cq) END)"))
+      .select((in :+ "canonical_url").map(col): _*)
+  }
+
   val queries: Map[String, Qf] = Map(
     // TF-IDF: per-(doc, token) term frequency ⋈ global document frequency
     // ⋈ corpus size, then the per-doc argmax term. Two aggregations plus
@@ -124,31 +161,8 @@ object Pipeline {
           .otherwise(concat(lit("?a=1&fbclid=c"), (id % 3).cast("string"),
                             lit("&x="), (id % 2).cast("string"))),
         when(id % 5 === 0, lit("#sec")).otherwise(lit("")))
-      Tables.documents(s, d)
-        .select(col("doc_id"), raw.as("url"))
-        .withColumn("nofrag", expr("split_part(url, '#', 1)"))
-        .withColumn("base", expr("split_part(nofrag, '?', 1)"))
-        .withColumn("q", expr(
-          "CASE WHEN contains(nofrag, '?') THEN split_part(nofrag, '?', 2) ELSE '' END"))
-        .withColumn("scheme", expr("lower(split_part(base, '://', 1))"))
-        .withColumn("rest", expr("split_part(base, '://', 2)"))
-        .withColumn("hostport", expr("split_part(rest, '/', 1)"))
-        .withColumn("path", expr("substring(rest, length(hostport) + 1)"))
-        .withColumn("host", expr("lower(split_part(hostport, ':', 1))"))
-        .withColumn("port", expr(
-          "CASE WHEN contains(hostport, ':') THEN split_part(hostport, ':', 2) ELSE '' END"))
-        .withColumn("cport", expr(
-          "CASE WHEN port = '' OR (scheme = 'http' AND port = '80')" +
-          " OR (scheme = 'https' AND port = '443')" +
-          " THEN '' ELSE concat(':', port) END"))
-        .withColumn("cpath", expr("regexp_replace(path, '/+$', '')"))
-        .withColumn("cq", expr(
-          "array_join(array_sort(filter(split(q, '&'), p -> p <> ''" +
-          " AND NOT startswith(p, 'utm_')" +
-          " AND NOT startswith(p, 'fbclid='))), '&')"))
-        .withColumn("canonical_url", expr(
-          "concat(scheme, '://', host, cport, cpath," +
-          " CASE WHEN cq = '' THEN '' ELSE concat('?', cq) END)"))
+      canonicalizeUrls(
+          Tables.documents(s, d).select(col("doc_id"), raw.as("url")), "url")
         .groupBy("canonical_url")
         .agg(count(lit(1)).as("n_urls"),
              countDistinct(col("url")).as("n_variants"),

@@ -155,6 +155,36 @@ class PipelineSpec extends SparkSpec {
     assert(rows.exists(_._3 > 1), "case/port/tracking variants must merge")
   }
 
+  test("canonicalizeUrls handles messy edge inputs deterministically") {
+    import spark.implicits._
+    val cases = Seq(
+      // (input, expected canonical)
+      ("HTTP://WWW.EX.COM:80/A/B/", "http://www.ex.com/A/B"),      // case, default port, slash (path case preserved)
+      ("https://ex.com:443/p?b=2&a=1", "https://ex.com/p?a=1&b=2"), // port + param sort
+      ("https://ex.com:8080/p", "https://ex.com:8080/p"),           // NON-default port kept
+      ("http://ex.com/p?utm_source=x", "http://ex.com/p"),          // utm-only query vanishes
+      ("http://ex.com/p?", "http://ex.com/p"),                      // empty query
+      ("http://ex.com/p#", "http://ex.com/p"),                      // empty fragment
+      ("http://ex.com/p///", "http://ex.com/p"),                    // repeated trailing slashes
+      ("http://ex.com", "http://ex.com"),                           // no path at all
+      ("http://ex.com/p?a=1&a=1", "http://ex.com/p?a=1&a=1"),       // dup params kept (sorted)
+      ("http://ex.com/p?fbclid=z&z=9", "http://ex.com/p?z=9"))      // fbclid dropped
+    val out = graft.queries.Pipeline.canonicalizeUrls(
+        cases.map(_._1).zipWithIndex.map { case (u, i) => (i.toLong, u) }
+          .toDF("id", "url"), "url")
+      .orderBy("id").collect().map(_.getString(2))
+    cases.zip(out).foreach { case ((in, want), got) =>
+      assert(got === want, s"canon($in)")
+    }
+    // the documented precondition: a scheme-less input is detectable
+    // (mangled, ends with '://'), so raw crawl data must prefilter
+    val noScheme = graft.queries.Pipeline.canonicalizeUrls(
+      Seq((1L, "ex.com/path")).toDF("id", "url"), "url")
+      .collect().head.getString(2)
+    assert(noScheme.contains("://") && !noScheme.startsWith("http"),
+      "scheme-less inputs come back visibly mangled, per the contract")
+  }
+
   test("mixture rates follow the per-source recipe") {
     val kept = Pipeline.queries("q_data_mixture")(spark, sf0001)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
