@@ -28,7 +28,7 @@ object PlanDump {
     "q_similarity_ivfpq_res", "q_similarity_ivfpq_nprobe",
     "q_similarity_batch",
     "q_dedup_spans", "q_dedup_spans_clean", "q_sample_stratified",
-    "q_quality_classifier")
+    "q_quality_classifier", "q_split_leakfree")
 
   private val keep = Seq("Exchange", "HashAggregate", "BroadcastHashJoin",
     "BroadcastNestedLoopJoin", "CartesianProduct", "SortMergeJoin",
@@ -70,6 +70,15 @@ object PlanDump {
          |earlier doc empties completely; a shifted shared passage is cut
          |exactly (spec-pinned) — the fixed-segment variant can't do
          |either without alignment luck.""").stripMargin,
+    "q_split_leakfree" ->
+      ("""Design (r16): train/val/test assignment hashed from the near-dup
+         |CLUSTER representative (q_dedup_cluster's min-label fixpoint,
+         |shared helper), not the doc — per-doc hashing puts near-dup
+         |pairs on opposite sides of the train/test boundary (the
+         |contrast is spec-demonstrated on the gate corpus). Costs one
+         |left join + a narrow hash projection on top of the propagation
+         |rounds; at 100 TB the propagation is the same job count as the
+         |dedup pass the pipeline already runs.""").stripMargin,
     "q_sample_stratified" ->
       ("""Design (r16): exact per-group quota via rank<=Q, compiled to
          |WindowGroupLimit — each mapper pre-prunes to its local top-Q per

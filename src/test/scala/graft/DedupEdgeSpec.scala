@@ -132,6 +132,39 @@ class DedupEdgeSpec extends SparkSpec {
       "fixed segmentation keeps every segment — the shifted passage is invisible to it")
   }
 
+  test("q_split_leakfree: clusters stay whole; per-doc hashing would leak") {
+    import graft.queries.Dedup
+    val rows = SparkEntry.queries("q_split_leakfree")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val total = Tables.documents(spark, sf0001).count()
+    assert(rows.length.toLong === total, "every doc assigned exactly once")
+    // the defining property: all members of a cluster share the split
+    val byRep = rows.groupBy(_._2).view.mapValues(_.map(_._3).distinct).toMap
+    byRep.foreach { case (rep, splits) =>
+      assert(splits.size === 1, s"cluster rep=$rep straddles splits: $splits")
+    }
+    // split sizes near 80/10/10 (wide tolerance, 500 docs)
+    val frac = rows.groupBy(_._3).view.mapValues(_.size.toDouble / rows.length).toMap
+    assert(frac("train") > 0.7 && frac("train") < 0.9, frac.toString)
+    assert(frac.getOrElse("val", 0.0) < 0.2 && frac.getOrElse("test", 0.0) < 0.2)
+    // CONTRAST (why rep-hashing matters): at least one multi-doc cluster
+    // exists whose members' INDEPENDENT per-doc buckets would disagree —
+    // per-doc hashing would put near-duplicates on both sides
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(v: Long): Long = {
+      val h = md.digest(s"split#$v".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(7)
+      java.lang.Long.parseLong(h, 16) % 100
+    }
+    def splitOf(b: Long) = if (b < 80) "train" else if (b < 90) "val" else "test"
+    val leaky = rows.groupBy(_._2).values.exists { members =>
+      members.size > 1 &&
+        members.map(m => splitOf(bucket(m._1))).distinct.size > 1
+    }
+    assert(leaky, "fixture regime: some cluster must demonstrate the leak " +
+      "per-doc hashing would cause (else the test is vacuous)")
+  }
+
   test("q_dedup_spans_clean cuts exactly the shared passage, keeper stays intact") {
     import spark.implicits._
     val d = tmpDir("dedup-spans-clean")
