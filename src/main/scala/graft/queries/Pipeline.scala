@@ -39,29 +39,43 @@ object Pipeline {
     * Pure narrow string projection: no shuffle, streams unchanged. */
   def canonicalizeUrls(df: DataFrame, urlCol: String): DataFrame = {
     val in = df.columns
-    df.withColumn("nofrag", expr(s"split_part($urlCol, '#', 1)"))
-      .withColumn("base", expr("split_part(nofrag, '?', 1)"))
-      .withColumn("q", expr(
-        "CASE WHEN contains(nofrag, '?') THEN split_part(nofrag, '?', 2) ELSE '' END"))
-      .withColumn("scheme", expr("lower(split_part(base, '://', 1))"))
-      .withColumn("rest", expr("split_part(base, '://', 2)"))
-      .withColumn("hostport", expr("split_part(rest, '/', 1)"))
-      .withColumn("path", expr("substring(rest, length(hostport) + 1)"))
-      .withColumn("host", expr("lower(split_part(hostport, ':', 1))"))
-      .withColumn("port", expr(
-        "CASE WHEN contains(hostport, ':') THEN split_part(hostport, ':', 2) ELSE '' END"))
-      .withColumn("cport", expr(
-        "CASE WHEN port = '' OR (scheme = 'http' AND port = '80')" +
-        " OR (scheme = 'https' AND port = '443')" +
-        " THEN '' ELSE concat(':', port) END"))
-      .withColumn("cpath", expr("regexp_replace(path, '/+$', '')"))
-      .withColumn("cq", expr(
-        "array_join(array_sort(filter(split(q, '&'), p -> p <> ''" +
+    // intermediates under a reserved _cu_ prefix so an input frame that
+    // already carries host/path/port/q/… columns (plausible in real
+    // crawl data) is never clobbered (review r16); the output name
+    // itself must be free — fail loudly rather than emit a duplicate
+    require(!in.contains("canonical_url"),
+      "canonicalizeUrls: input already has a canonical_url column")
+    require(!in.exists(_.startsWith("_cu_")),
+      "canonicalizeUrls: input columns must not use the reserved _cu_ prefix")
+    df.withColumn("_cu_nofrag", expr(s"split_part($urlCol, '#', 1)"))
+      .withColumn("_cu_base", expr("split_part(_cu_nofrag, '?', 1)"))
+      // everything after the FIRST '?' — a literal '?' inside the query
+      // is legal (RFC 3986) and split_part(…, 2) would drop the tail,
+      // falsely merging distinct URLs (review r16)
+      .withColumn("_cu_q", expr(
+        "CASE WHEN contains(_cu_nofrag, '?')" +
+        " THEN substring(_cu_nofrag, instr(_cu_nofrag, '?') + 1) ELSE '' END"))
+      .withColumn("_cu_scheme", expr("lower(split_part(_cu_base, '://', 1))"))
+      .withColumn("_cu_rest", expr("split_part(_cu_base, '://', 2)"))
+      .withColumn("_cu_hostport", expr("split_part(_cu_rest, '/', 1)"))
+      .withColumn("_cu_path",
+        expr("substring(_cu_rest, length(_cu_hostport) + 1)"))
+      .withColumn("_cu_host", expr("lower(split_part(_cu_hostport, ':', 1))"))
+      .withColumn("_cu_port", expr(
+        "CASE WHEN contains(_cu_hostport, ':')" +
+        " THEN split_part(_cu_hostport, ':', 2) ELSE '' END"))
+      .withColumn("_cu_cport", expr(
+        "CASE WHEN _cu_port = '' OR (_cu_scheme = 'http' AND _cu_port = '80')" +
+        " OR (_cu_scheme = 'https' AND _cu_port = '443')" +
+        " THEN '' ELSE concat(':', _cu_port) END"))
+      .withColumn("_cu_cpath", expr("regexp_replace(_cu_path, '/+$', '')"))
+      .withColumn("_cu_cq", expr(
+        "array_join(array_sort(filter(split(_cu_q, '&'), p -> p <> ''" +
         " AND NOT startswith(p, 'utm_')" +
         " AND NOT startswith(p, 'fbclid='))), '&')"))
       .withColumn("canonical_url", expr(
-        "concat(scheme, '://', host, cport, cpath," +
-        " CASE WHEN cq = '' THEN '' ELSE concat('?', cq) END)"))
+        "concat(_cu_scheme, '://', _cu_host, _cu_cport, _cu_cpath," +
+        " CASE WHEN _cu_cq = '' THEN '' ELSE concat('?', _cu_cq) END)"))
       .select((in :+ "canonical_url").map(col): _*)
   }
 
@@ -316,7 +330,8 @@ object Pipeline {
           s1 AS (SELECT doc_id, url, split_part(url, '#', 1) AS nofrag FROM u),
           s2 AS (SELECT *, split_part(nofrag, '?', 1) AS base,
                  CASE WHEN contains(nofrag, '?')
-                      THEN split_part(nofrag, '?', 2) ELSE '' END AS q
+                      THEN substr(nofrag, instr(nofrag, '?') + 1)
+                      ELSE '' END AS q
                  FROM s1),
           s3 AS (SELECT *, lower(split_part(base, '://', 1)) AS scheme,
                  split_part(base, '://', 2) AS rest FROM s2),

@@ -348,10 +348,15 @@ object Similarity {
         // against the same full-corpus-trained rcb).
         //   res_codebook/ trained ≤16-row residual sub-codebook
         //   res_postings/ residual codes (vec_id, label, c0…c7), by cluster
+        // localCheckpoint: the Lloyd rounds and the final encode would
+        // otherwise each re-run the full-corpus assignment (review r16)
+        // — a ONE-TIME build may materialize what the oracle-covered
+        // in-query path deliberately recomputes
         val assignedR = ivfAssignment(emb, cents, keepCentEmb = true)
           .select(col("vec_id"), col("label"), col("cluster"),
             zip_with(col("embedding"), col("cent_vec"),
               (a, b) => a.cast("double") - b.cast("double")).as("res"))
+          .localCheckpoint(false)
         val qres = assignedR.select(col("vec_id"),
           transform(col("res"), v => floor(v * 1e6 + 0.5) / 1e6).as("qres"))
         val rcb = trainedResidualCodebook(qres)

@@ -133,7 +133,6 @@ class DedupEdgeSpec extends SparkSpec {
   }
 
   test("q_split_leakfree: clusters stay whole; per-doc hashing would leak") {
-    import graft.queries.Dedup
     val rows = SparkEntry.queries("q_split_leakfree")(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
     val total = Tables.documents(spark, sf0001).count()

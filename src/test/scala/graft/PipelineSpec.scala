@@ -168,7 +168,10 @@ class PipelineSpec extends SparkSpec {
       ("http://ex.com/p///", "http://ex.com/p"),                    // repeated trailing slashes
       ("http://ex.com", "http://ex.com"),                           // no path at all
       ("http://ex.com/p?a=1&a=1", "http://ex.com/p?a=1&a=1"),       // dup params kept (sorted)
-      ("http://ex.com/p?fbclid=z&z=9", "http://ex.com/p?z=9"))      // fbclid dropped
+      ("http://ex.com/p?fbclid=z&z=9", "http://ex.com/p?z=9"),      // fbclid dropped
+      // literal '?' inside the query (RFC 3986-legal): the tail after
+      // the SECOND '?' must survive as part of the param, not vanish
+      ("http://ex.com/p?a=1?b=2", "http://ex.com/p?a=1?b=2"))
     val out = graft.queries.Pipeline.canonicalizeUrls(
         cases.map(_._1).zipWithIndex.map { case (u, i) => (i.toLong, u) }
           .toDF("id", "url"), "url")
