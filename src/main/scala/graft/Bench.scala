@@ -54,13 +54,15 @@ object BenchGuards {
 
   /** Inverse of [[encodeGrouped]]; tolerant of a truncation-mangled
     * leading fragment (skips anything that isn't a well-formed pair).
-    * Scope of that tolerance (review r16): an orphan BRACE fragment is
-    * skipped, but a head-cut FLAT fragment that still parses as a pair
-    * (`…ty_batch:313`) would be accepted under the truncated name. Safe
-    * for every current caller — parsePriorQueriesMs only reaches this
-    * through an intact `"grp":"` prefix, so the payload head is whole —
-    * but do not hand this raw tail-truncated text. */
-  def decodeGrouped(payload: String): Map[String, Long] = {
+    * Scope of that tolerance: an orphan BRACE fragment is skipped
+    * unconditionally, but a head-cut FLAT fragment can still parse as a
+    * pair (`…ty_batch:313` → bogus `q_ty_batch`) — callers handing text
+    * whose head may be truncated must pass `headIntact = false`, which
+    * drops a flat pair sitting at position 0 of the payload (the only
+    * place a head cut can leave one). parsePriorQueriesMs reaches this
+    * through an intact `"grp":"` prefix, so it keeps the default
+    * (review r16 → hardened per ADVICE r16 #3). */
+  def decodeGrouped(payload: String, headIntact: Boolean = true): Map[String, Long] = {
     val out = scala.collection.mutable.LinkedHashMap[String, Long]()
     val grpRe = """([a-z0-9_]+)\{([^}]*)\}""".r
     val pairRe = """^([a-z0-9_.]+):([0-9]+)$""".r
@@ -72,9 +74,16 @@ object BenchGuards {
         case _ => () // truncated fragment
       }
     }
+    // a flat pair at the payload's very head is unverifiable when the head
+    // may be cut — its name could be the tail of a longer one
+    val dropHead = !headIntact &&
+      """^[a-z0-9_.]+:[0-9]+""".r.findFirstIn(payload).isDefined
     val flat = grpRe.replaceAllIn(payload, ",")
+    var first = true
     """(?:^|,)([a-z0-9_]+):([0-9]+)(?=,|$)""".r.findAllMatchIn(flat).foreach { m =>
-      out(s"q_${m.group(1)}") = m.group(2).toLong
+      val atHead = m.start == 0 && first
+      if (!(dropHead && atHead)) out(s"q_${m.group(1)}") = m.group(2).toLong
+      first = false
     }
     out.toMap
   }
@@ -91,9 +100,29 @@ object BenchGuards {
     val re = """"(q_[a-z0-9_]+)":([0-9]+)[,}]""".r
     val flat = re.findAllMatchIn(unescaped)
       .map(m => m.group(1) -> m.group(2).toLong).toMap
-    val grp = """"grp":"([^"]*)"""".r.findAllMatchIn(unescaped)
+    // anchored to the queries_ms metric: the artifact now carries a SECOND
+    // grouped payload (spread_pct — iteration-spread percents, r17), whose
+    // values must never pollute the ms priors
+    val grp = """"queries_ms"(?:,"unit":"ms")?,"grp":"([^"]*)"""".r.findAllMatchIn(unescaped)
       .flatMap(m => decodeGrouped(m.group(1))).toMap
     flat ++ grp
+  }
+
+  /** Suite-level drift ratio vs a single prior artifact (VERDICT r16 #1):
+    * Σ current ms over the keys present in the prior ÷ Σ prior ms over
+    * the same keys, plus the overlap size. The per-query 3× band guard is
+    * structurally blind to broad 1.2–1.7× drift (every query a little
+    * slow, none 3×) — this ratio makes such drift adjudicable from the
+    * artifacts alone. None when nothing overlaps. */
+  def commonVsPrior(cur: Map[String, Long],
+                    prior: Map[String, Long]): Option[(Double, Int)] = {
+    val common = (cur.keySet & prior.keySet).filter(k => prior(k) > 0)
+    if (common.isEmpty) None
+    else {
+      val p = common.toSeq.map(prior).sum.toDouble
+      if (p <= 0) None
+      else Some((common.toSeq.map(cur).sum.toDouble / p, common.size))
+    }
   }
 
   /** Prior reference: SPARK_GRAFT_BENCH_PRIOR (explicit path) or the per-
@@ -105,20 +134,29 @@ object BenchGuards {
     * keeps one clean recording in play). Empty map (guard disabled) when
     * nothing exists or parses. */
   def loadPrior(): Map[String, Long] = {
-    def parse(p: String): Map[String, Long] =
-      try parsePriorQueriesMs(
-        new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))))
-      catch { case _: Throwable => Map.empty }
     sys.env.get("SPARK_GRAFT_BENCH_PRIOR") match {
-      case Some(p) => parse(p)
-      case None =>
-        val fs = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
-          .filter(_.getName.matches("BENCH_r\\d+\\.json"))
-          .sortBy(f => -f.getName.replaceAll("\\D", "").toInt)
-          .take(2)
-        mergeMin(fs.map(f => parse(f.getPath)).toSeq)
+      case Some(p) => parseArtifactFile(p)
+      case None => mergeMin(newestArtifacts(2).map(parseArtifactFile))
     }
   }
+
+  /** The newest single archived round's per-query times — the
+    * [[commonVsPrior]] drift reference. (loadPrior's min-over-two is the
+    * right BAND reference, but a min across rounds would understate
+    * round-over-round drift.) */
+  def loadNewestPrior(): Map[String, Long] =
+    newestArtifacts(1).headOption.map(parseArtifactFile).getOrElse(Map.empty)
+
+  private def parseArtifactFile(p: String): Map[String, Long] =
+    try parsePriorQueriesMs(
+      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))))
+    catch { case _: Throwable => Map.empty }
+
+  private def newestArtifacts(n: Int): Seq[String] =
+    Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+      .sortBy(f => -f.getName.replaceAll("\\D", "").toInt)
+      .take(n).map(_.getPath).toSeq
 
   /** Per-query minimum across several prior maps (missing keys pass
     * through). */
@@ -293,6 +331,17 @@ object Bench {
       }.mkString("{", ",", "}")
       println(s"""{"metric":"band_suspects","queries":$susp}""")
     }
+    // Per-query iteration spread as (second_best/best − 1) PERCENT in the
+    // grouped encoding (r16 verdict optional #7): the flat iter_spread_ms
+    // arrays above are the first casualty of the tail window; this line
+    // carries the same run-cleanliness signal at 1-3 digits per query,
+    // and sits just ABOVE queries_ms so under truncation it is sacrificed
+    // before any per-query ms entry. parsePriorQueriesMs is anchored to
+    // the queries_ms metric, so these percents can never pollute priors.
+    val spct = spreads.collect { case (k, v) if v.size >= 2 && v.head > 0 =>
+      k -> math.round((v(1) / v.head - 1.0) * 100)
+    }
+    println(s"""{"metric":"spread_pct","grp":"${BenchGuards.encodeGrouped(spct)}","n":${spct.size}}""")
     // Per-query integer-ms map near the END of stdout, in the grouped
     // encoding (BenchGuards.encodeGrouped): the driver archives only the
     // last ~2000 characters, and at 102 queries the flat JSON map alone
@@ -324,7 +373,16 @@ object Bench {
     // sf as the basename and total at ms precision: the full path and
     // float tail spent ~30 window bytes saying nothing
     val sfName = new java.io.File(sfDir).getName
-    println(f"""{"metric":"total_summary","total_s":$total%.3f,"n_queries":${timings.size},"n_errors":${errors.size},"n_suspect":${suspects.size},"n_prior":${prior.size},"spread_med":$med%.3f,"spread_p90":$p90%.3f,"rec_per_s":$rps,"sf":"$sfName"}""")
+    // Suite-level drift vs the NEWEST archived round (VERDICT r16 #1):
+    // Σ current / Σ prior over common keys — the broad-drift signal the
+    // per-query 3× band guard cannot see. `cvp` = ratio, `n_common` =
+    // overlap size; null/0 when no prior artifact parses.
+    val curMs = timings.map { case (k, v) => k -> math.round(v * 1000) }.toMap
+    val cvp = if (guards) BenchGuards.commonVsPrior(curMs, BenchGuards.loadNewestPrior())
+              else None
+    val cvpS = cvp.map { case (r, _) => f"$r%.3f" }.getOrElse("null")
+    val cvpN = cvp.map(_._2).getOrElse(0)
+    println(f"""{"metric":"total_summary","total_s":$total%.3f,"n_queries":${timings.size},"n_errors":${errors.size},"n_suspect":${suspects.size},"n_prior":${prior.size},"spread_med":$med%.3f,"spread_p90":$p90%.3f,"cvp":$cvpS,"n_common":$cvpN,"rec_per_s":$rps,"sf":"$sfName"}""")
     spark.stop()
   }
 }

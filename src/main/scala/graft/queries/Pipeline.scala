@@ -28,14 +28,37 @@ object Pipeline {
   private def pctBucketSql(salt: String) =
     s"CAST(concat('0x', substr(md5(concat('$salt', CAST(doc_id AS VARCHAR))),1,7)) AS BIGINT) % 100"
 
+  /** Percent-encoding normalization of the four RFC 3986 §2.3 unreserved
+    * MARKS (`- . _ ~`, either hex case) — the one equivalence class where
+    * `%7E` and `~` are THE SAME URL by the spec's own normalization rule
+    * (§6.2.2.2), so leaving them distinct falsely splits variants.
+    * Decoding is structure-safe: none of the four is a URL delimiter.
+    * Alphanumeric octets (`%41` = `A`) and hex-case folding of OTHER
+    * triplets are deliberately NOT decoded — SQL has no per-match
+    * callback, and the marks cover the variants crawlers actually emit;
+    * the residue is part of the helper's documented contract
+    * (r16 verdict optional #8). Shared verbatim by the DuckDB oracle
+    * (replace() has identical semantics on both engines). */
+  private[graft] val pctPairs = Seq(
+    "%7E" -> "~", "%7e" -> "~", "%2D" -> "-", "%2d" -> "-",
+    "%2E" -> ".", "%2e" -> ".", "%5F" -> "_", "%5f" -> "_")
+  private[graft] def pctNormSql(inner: String): String =
+    pctPairs.foldLeft(inner) { case (e, (from, to)) => s"replace($e, '$from', '$to')" }
+
   /** Crawl-URL canonicalization for ANY frame with a URL string column —
     * adds `canonical_url`, keeps every input column, drops intermediates.
-    * Rules: lowercase scheme+host; strip default ports (http:80 /
-    * https:443); strip trailing path slashes; drop tracking params
-    * (utm_*, fbclid); sort surviving query params; drop the fragment.
-    * PRECONDITION: inputs carry a scheme (`x://…`) — a scheme-less
-    * string has no well-defined host split and comes back mangled, so
-    * prefilter `contains(url, '://')` on raw crawl data (spec-pinned).
+    * Rules: lowercase scheme+host; strip userinfo (`user:pw@`); strip
+    * default ports (http:80 / https:443); strip trailing path slashes;
+    * decode percent-encoded unreserved marks ([[pctNormSql]]); drop
+    * tracking params (utm_*, fbclid); sort surviving query params; drop
+    * the fragment. Port logic applies only to an all-digit tail after the
+    * LAST ':', so IPv6 literals (`[::1]`, `[::1]:8080`) keep their
+    * bracketed host intact instead of being split at the first ':'
+    * (ADVICE r16 #1). PRECONDITIONS: inputs carry a scheme (`x://…`) — a
+    * scheme-less string has no well-defined host split and comes back
+    * mangled, so prefilter `contains(url, '://')` on raw crawl data
+    * (spec-pinned); and a non-numeric port suffix (`host:80x`) stays part
+    * of the host rather than being guessed at.
     * Pure narrow string projection: no shuffle, streams unchanged. */
   def canonicalizeUrls(df: DataFrame, urlCol: String): DataFrame = {
     val in = df.columns
@@ -47,7 +70,8 @@ object Pipeline {
       "canonicalizeUrls: input already has a canonical_url column")
     require(!in.exists(_.startsWith("_cu_")),
       "canonicalizeUrls: input columns must not use the reserved _cu_ prefix")
-    df.withColumn("_cu_nofrag", expr(s"split_part($urlCol, '#', 1)"))
+    df.withColumn("_cu_nofrag",
+        expr(pctNormSql(s"split_part($urlCol, '#', 1)")))
       .withColumn("_cu_base", expr("split_part(_cu_nofrag, '?', 1)"))
       // everything after the FIRST '?' — a literal '?' inside the query
       // is legal (RFC 3986) and split_part(…, 2) would drop the tail,
@@ -57,13 +81,19 @@ object Pipeline {
         " THEN substring(_cu_nofrag, instr(_cu_nofrag, '?') + 1) ELSE '' END"))
       .withColumn("_cu_scheme", expr("lower(split_part(_cu_base, '://', 1))"))
       .withColumn("_cu_rest", expr("split_part(_cu_base, '://', 2)"))
-      .withColumn("_cu_hostport", expr("split_part(_cu_rest, '/', 1)"))
+      // authority = userinfo@host:port; userinfo is access metadata, not
+      // identity — strip at the LAST '@' ('@' cannot appear in a host)
+      .withColumn("_cu_auth", expr("split_part(_cu_rest, '/', 1)"))
       .withColumn("_cu_path",
-        expr("substring(_cu_rest, length(_cu_hostport) + 1)"))
-      .withColumn("_cu_host", expr("lower(split_part(_cu_hostport, ':', 1))"))
-      .withColumn("_cu_port", expr(
-        "CASE WHEN contains(_cu_hostport, ':')" +
-        " THEN split_part(_cu_hostport, ':', 2) ELSE '' END"))
+        expr("substring(_cu_rest, length(_cu_auth) + 1)"))
+      .withColumn("_cu_hp", expr("regexp_replace(_cu_auth, '^.*@', '')"))
+      // port = all-digit tail after the last ':' — '' otherwise, which
+      // leaves IPv6 literals and malformed ports whole in the host
+      .withColumn("_cu_port", expr("regexp_extract(_cu_hp, ':([0-9]+)$', 1)"))
+      .withColumn("_cu_host", expr(
+        "CASE WHEN _cu_port = '' THEN lower(_cu_hp)" +
+        " ELSE lower(substring(_cu_hp, 1," +
+        " length(_cu_hp) - length(_cu_port) - 1)) END"))
       .withColumn("_cu_cport", expr(
         "CASE WHEN _cu_port = '' OR (_cu_scheme = 'http' AND _cu_port = '80')" +
         " OR (_cu_scheme = 'https' AND _cu_port = '443')" +
@@ -76,7 +106,7 @@ object Pipeline {
       .withColumn("canonical_url", expr(
         "concat(_cu_scheme, '://', _cu_host, _cu_cport, _cu_cpath," +
         " CASE WHEN _cu_cq = '' THEN '' ELSE concat('?', _cu_cq) END)"))
-      .select((in :+ "canonical_url").map(col): _*)
+      .select((in.toIndexedSeq :+ "canonical_url").map(col): _*)
   }
 
   val queries: Map[String, Qf] = Map(
@@ -157,8 +187,14 @@ object Pipeline {
       val id = col("doc_id")
       val raw = concat(
         when(id % 2 === 0, lit("http")).otherwise(lit("HTTPS")), lit("://"),
-        when(id % 3 === 0,
-          concat(lit("WWW.Site"), (id % 7).cast("string"), lit(".COM")))
+        // userinfo (stripped), IPv6 literal host (kept whole — the port
+        // split must not fire on its inner ':'s), and a percent-encoded
+        // unreserved mark (%7E ≡ ~): the r17 rules each get planted
+        // inputs so the oracle hash proves them, like :80/:443 below
+        when(id % 11 === 0, lit("u:p@")).otherwise(lit("")),
+        when(id % 13 === 0, lit("[2001:DB8::1]"))
+          .when(id % 3 === 0,
+            concat(lit("WWW.Site"), (id % 7).cast("string"), lit(".COM")))
           .otherwise(
             concat(lit("www.site"), (id % 7).cast("string"), lit(".com"))),
         // id%4==0 is always even (http→:80) and id%4==1 always odd
@@ -168,6 +204,9 @@ object Pipeline {
           .when(id % 4 === 1, lit(":443"))
           .otherwise(lit("")),
         lit("/a/b"), (id % 5).cast("string"),
+        when(id % 9 === 0, lit("/x%7Ey"))
+          .when(id % 9 === 1, lit("/x~y"))
+          .otherwise(lit("")),
         when(id % 3 === 1, lit("/")).otherwise(lit("")),
         when(id % 6 < 3,
           concat(lit("?utm_source=feed&x="), (id % 2).cast("string"),
@@ -311,15 +350,20 @@ object Pipeline {
     // the exact mirror of the planted-URL build + canonicalization chain;
     // starts_with (not LIKE 'utm_%') — SQL LIKE's _ is a wildcard
     "q_url_normalize" ->
-      """WITH u AS (SELECT doc_id, concat(
+      s"""WITH u AS (SELECT doc_id, concat(
               CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'HTTPS' END, '://',
-              CASE WHEN doc_id % 3 = 0
+              CASE WHEN doc_id % 11 = 0 THEN 'u:p@' ELSE '' END,
+              CASE WHEN doc_id % 13 = 0 THEN '[2001:DB8::1]'
+                   WHEN doc_id % 3 = 0
                    THEN concat('WWW.Site', CAST(doc_id % 7 AS VARCHAR), '.COM')
                    ELSE concat('www.site', CAST(doc_id % 7 AS VARCHAR), '.com') END,
               CASE WHEN doc_id % 4 = 0 THEN ':80'
                    WHEN doc_id % 4 = 1 THEN ':443'
                    ELSE '' END,
               '/a/b', CAST(doc_id % 5 AS VARCHAR),
+              CASE WHEN doc_id % 9 = 0 THEN '/x%7Ey'
+                   WHEN doc_id % 9 = 1 THEN '/x~y'
+                   ELSE '' END,
               CASE WHEN doc_id % 3 = 1 THEN '/' ELSE '' END,
               CASE WHEN doc_id % 6 < 3
                    THEN concat('?utm_source=feed&x=', CAST(doc_id % 2 AS VARCHAR), '&a=1')
@@ -327,7 +371,8 @@ object Pipeline {
                                '&x=', CAST(doc_id % 2 AS VARCHAR)) END,
               CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END) AS url
             FROM documents),
-          s1 AS (SELECT doc_id, url, split_part(url, '#', 1) AS nofrag FROM u),
+          s1 AS (SELECT doc_id, url,
+                 ${pctNormSql("split_part(url, '#', 1)")} AS nofrag FROM u),
           s2 AS (SELECT *, split_part(nofrag, '?', 1) AS base,
                  CASE WHEN contains(nofrag, '?')
                       THEN substr(nofrag, instr(nofrag, '?') + 1)
@@ -335,18 +380,22 @@ object Pipeline {
                  FROM s1),
           s3 AS (SELECT *, lower(split_part(base, '://', 1)) AS scheme,
                  split_part(base, '://', 2) AS rest FROM s2),
-          s4 AS (SELECT *, split_part(rest, '/', 1) AS hostport,
+          s4 AS (SELECT *, split_part(rest, '/', 1) AS auth,
                  substr(rest, len(split_part(rest, '/', 1)) + 1) AS path
                  FROM s3),
-          s5 AS (SELECT *, lower(split_part(hostport, ':', 1)) AS host,
-                 CASE WHEN contains(hostport, ':')
-                      THEN split_part(hostport, ':', 2) ELSE '' END AS port
-                 FROM s4),
+          s4b AS (SELECT *, regexp_replace(auth, '^.*@', '') AS hp FROM s4),
+          s5 AS (SELECT *,
+                 CASE WHEN regexp_extract(hp, ':([0-9]+)$$', 1) = ''
+                      THEN lower(hp)
+                      ELSE lower(substr(hp, 1, len(hp)
+                           - len(regexp_extract(hp, ':([0-9]+)$$', 1)) - 1)) END AS host,
+                 regexp_extract(hp, ':([0-9]+)$$', 1) AS port
+                 FROM s4b),
           s6 AS (SELECT *,
                  CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
                         OR (scheme = 'https' AND port = '443')
                       THEN '' ELSE concat(':', port) END AS cport,
-                 regexp_replace(path, '/+$', '') AS cpath,
+                 regexp_replace(path, '/+$$', '') AS cpath,
                  array_to_string(list_sort(list_filter(string_split(q, '&'),
                    p -> p <> '' AND NOT starts_with(p, 'utm_')
                      AND NOT starts_with(p, 'fbclid='))), '&') AS cq

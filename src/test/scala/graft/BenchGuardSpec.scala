@@ -60,7 +60,12 @@ class BenchGuardSpec extends AnyFunSuite {
     val grpLine =
       s"""{"metric":"queries_ms","grp":"${BenchGuards.encodeGrouped(ms)}","n":${ms.size}}"""
     val summary =
-      """{"metric":"total_summary","total_s":29.745,"n_queries":102,"n_errors":0,"n_suspect":0,"n_prior":102,"spread_med":0.077,"spread_p90":0.243,"rec_per_s":18290.7,"sf":"sf0.1"}"""
+      """{"metric":"total_summary","total_s":29.745,"n_queries":102,"n_errors":0,"n_suspect":0,"n_prior":102,"spread_med":0.077,"spread_p90":0.243,"cvp":1.148,"n_common":75,"rec_per_s":18290.7,"sf":"sf0.1"}"""
+    // the r17 spread_pct line rides ABOVE queries_ms: sacrificial under
+    // truncation, and its grouped percents must never parse as ms priors
+    val spct = names.zipWithIndex.map { case (n, i) => n -> ((i * 7) % 250).toLong }
+    val spctLine =
+      s"""{"metric":"spread_pct","grp":"${BenchGuards.encodeGrouped(spct)}","n":${spct.size}}"""
     val sbtNoise = "[success] Total time: 182 s (03:02), completed Aug 14, 2026, 12:51:47 PM"
     // a suspect-HEAVY round: the band_suspects line prints BEFORE the
     // grp line (review r16 — it must be the sacrificial content, never
@@ -72,6 +77,7 @@ class BenchGuardSpec extends AnyFunSuite {
     val stdout = Seq(
       "[info] " + """{"metric":"ingest_throughput","records":20000,"rec_per_s":18290.7,"seed_s":0.007,"setup_s":0.001,"drain_s":1.093,"stop_s":0.220}""",
       suspects,
+      "[info] " + spctLine,
       "[info] " + grpLine,
       "[info] " + summary,
       sbtNoise).mkString("\n")
@@ -80,7 +86,8 @@ class BenchGuardSpec extends AnyFunSuite {
     val artifact = s"""{"n": 16, "rc": 0, "tail": "${tail.replace("\"", "\\\"")}"}"""
     val recovered = BenchGuards.parsePriorQueriesMs(artifact)
     assert(recovered === ms.toMap,
-      s"window must preserve all ${ms.size} entries; got ${recovered.size}")
+      s"window must preserve all ${ms.size} entries; got ${recovered.size}" +
+        " (a spread_pct percent leaking in as an ms prior would also fail here)")
     // headroom so the NEXT few queries don't silently overflow. The HARD
     // 2000-byte guarantee is the recovery assert above (it replays the
     // exact window); this line is ADVANCE notice only — it fired at the
@@ -106,6 +113,35 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(got.get("q_argmax").contains(77L))
     assert(got.get("q_dedup_exact").contains(12L))
     assert(!got.contains("q_distinct"), "orphan brace fragment must not parse")
+  }
+
+  test("decodeGrouped with headIntact=false rejects a head-cut flat pair (ADVICE r16 #3)") {
+    // '…ty_batch:313' — the head cut ate 'q_similari'; the remnant still
+    // parses as a well-formed pair, so only the caller's headIntact flag
+    // can reject it
+    val cut = "ty_batch:313,cond_agg:202,dedup{exact:12}"
+    val loose = BenchGuards.decodeGrouped(cut, headIntact = false)
+    assert(!loose.contains("q_ty_batch"), "head-cut pair must be dropped")
+    assert(loose === Map("q_cond_agg" -> 202L, "q_dedup_exact" -> 12L))
+    // the default (intact head) keeps byte-identical behavior
+    assert(BenchGuards.decodeGrouped(cut).get("q_ty_batch").contains(313L))
+    // a payload opening with a GROUP is safe either way — nothing flat at
+    // position 0 to drop
+    assert(BenchGuards.decodeGrouped("dedup{exact:12},topk:80", headIntact = false)
+      === Map("q_dedup_exact" -> 12L, "q_topk" -> 80L))
+  }
+
+  test("commonVsPrior: broad sub-3x drift is visible; disjoint or zero priors are not") {
+    // the r16 incident shape: every common query ~15% slow, none 3x out
+    val prior = Map("q_a" -> 100L, "q_b" -> 1000L, "q_gone" -> 50L, "q_zero" -> 0L)
+    val cur = Map("q_a" -> 115L, "q_b" -> 1150L, "q_new" -> 999L, "q_zero" -> 70L)
+    val Some((ratio, n)) = BenchGuards.commonVsPrior(cur, prior)
+    assert(n === 2, "only keys in BOTH rounds with a usable prior count")
+    assert(math.abs(ratio - 1.15) < 1e-9)
+    // new-this-round and retired queries never skew the ratio;
+    // a 0-ms prior (truncation corruption) is excluded like the band guard
+    assert(BenchGuards.commonVsPrior(Map("q_x" -> 5L), Map("q_y" -> 5L)).isEmpty)
+    assert(BenchGuards.commonVsPrior(Map.empty, prior).isEmpty)
   }
 
   test("outOfBand: sustained contamination flagged, clean runs and noise not") {

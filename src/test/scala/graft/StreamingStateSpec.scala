@@ -499,4 +499,29 @@ class StreamingStateSpec extends SparkSpec {
     assert(r.getLong(1) === 2L, "malformed numeric parsed as null")
     eng.consumeEndAll()
   }
+
+  test("annIndexDir rebuilds when the corpus is regenerated in-place (VERDICT r16 #3)") {
+    // the r16 memo keyed on the corpus PATH alone: regenerating a corpus
+    // under the same absolute path within one JVM lifetime silently served
+    // the stale index. The r17 key adds a shallow file-listing fingerprint
+    // (name, length, mtime) of embeddings.parquet, so any rewrite forces a
+    // rebuild — demonstrated here by swapping corpus contents in-place.
+    val corpus = tmpDir("ann-regen")
+    val emb = Tables.embeddings(spark, sf0001)
+    // both generations keep vec_ids 0..31 (coarse centroids + residual
+    // codebook seeds live there); lengths differ, so fingerprints differ
+    emb.filter(col("vec_id") < 200).write.mode("overwrite")
+      .parquet(s"$corpus/embeddings.parquet")
+    val first = graft.queries.Similarity.annIndexDir(spark, corpus)
+    val again = graft.queries.Similarity.annIndexDir(spark, corpus)
+    assert(again === first, "unchanged corpus must memo-hit, not rebuild")
+    emb.write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
+    val rebuilt = graft.queries.Similarity.annIndexDir(spark, corpus)
+    assert(rebuilt !== first,
+      "an in-place regenerated corpus must get a fresh index build")
+    // and the fresh index reflects the NEW corpus: its posting lists
+    // cover all vectors, not the 200-vector first generation
+    val n = spark.read.parquet(s"$rebuilt/postings").count()
+    assert(n === emb.count(), "rebuilt posting lists must cover the new corpus")
+  }
 }
