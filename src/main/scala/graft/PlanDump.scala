@@ -28,7 +28,7 @@ object PlanDump {
     "q_similarity_ivfpq_res", "q_similarity_ivfpq_nprobe",
     "q_similarity_batch",
     "q_dedup_spans", "q_dedup_spans_clean", "q_sample_stratified",
-    "q_quality_classifier", "q_split_leakfree")
+    "q_quality_classifier", "q_split_leakfree", "q_split_contam_audit")
 
   private val keep = Seq("Exchange", "HashAggregate", "BroadcastHashJoin",
     "BroadcastNestedLoopJoin", "CartesianProduct", "SortMergeJoin",
@@ -94,6 +94,20 @@ object PlanDump {
          |left join + a narrow hash projection on top of the propagation
          |rounds; at 100 TB the propagation is the same job count as the
          |dedup pass the pipeline already runs.""").stripMargin,
+    "q_split_contam_audit" ->
+      ("""Design (r17, VERDICT r16 next-round #2): the pre-eval trust
+         |check — does any TEST-split doc share an 8-token window with
+         |any TRAIN-split doc? Composes the two existing projections
+         |(spanKeys x splitAssign): per-doc distinct window hashes join
+         |the split on doc_id, the train-side hash set distincts on wh,
+         |and the test side probes it with a wh-keyed left join — every
+         |stage an equi-join on a compact key, no token explode beyond
+         |spanKeys' own. The leak-free split guarantees zero sharing
+         |WITHIN a near-dup cluster, so any hit is CROSS-cluster verbatim
+         |passage reuse below the 0.75 minhash threshold (the residual
+         |leak class; spec plants one and the audit reports exactly it).
+         |The gate corpus audits CLEAN at sf0.01 — the empty result is
+         |the assertion a lab wants, and the spec keeps it non-vacuous.""").stripMargin,
     "q_sample_stratified" ->
       ("""Design (r16): exact per-group quota via rank<=Q, compiled to
          |WindowGroupLimit — each mapper pre-prunes to its local top-Q per

@@ -164,6 +164,47 @@ class DedupEdgeSpec extends SparkSpec {
       "per-doc hashing would cause (else the test is vacuous)")
   }
 
+  test("q_split_contam_audit catches cross-cluster span sharing the split cannot prevent") {
+    import spark.implicits._
+    // Two docs share an 8-token passage inside otherwise-disjoint ~40-token
+    // bodies: Jaccard far below the 0.75 near-dup threshold, so they sit in
+    // DIFFERENT clusters and rep-hashing cannot co-locate them — exactly
+    // the residual leak class the audit exists to surface. Pick doc ids
+    // whose split buckets land on opposite sides of the train/test line.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(v: Long): Long = {
+      val h = md.digest(s"split#$v".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(7)
+      java.lang.Long.parseLong(h, 16) % 100
+    }
+    def splitOf(b: Long) = if (b < 80) "train" else if (b < 90) "val" else "test"
+    val trainId = (1L to 500L).find(id => splitOf(bucket(id)) == "train").get
+    val testId = (1L to 500L).find(id => splitOf(bucket(id)) == "test").get
+    val passage = (1 to 8).map(i => s"s$i").mkString(" ")
+    val d = tmpDir("contam-audit")
+    (Seq(
+      (trainId, s"$passage " + (1 to 40).map(i => s"a$i").mkString(" ")),
+      (testId, s"$passage " + (1 to 40).map(i => s"b$i").mkString(" "))) ++
+      // uncontaminated background docs with doc-unique vocabularies
+      (1L to 6L).map(i => (1000L + i, (1 to 15).map(j => s"o${i}x$j").mkString(" "))))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.parquet(s"$d/documents.parquet")
+    // precondition check: the planted pair really is cross-cluster
+    // (each doc is its own rep) and straddles train/test
+    val sp = Dedup.queries("q_split_leakfree")(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(sp(trainId) === ((trainId, "train")) && sp(testId) === ((testId, "test")),
+      "fixture regime: the planted pair must be singleton clusters on opposite splits")
+    val rows = Dedup.queries("q_split_contam_audit")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq === Seq(testId),
+      "exactly the contaminated test doc is reported")
+    val (_, nWh, nShared, frac) = rows.head
+    assert(nShared === 1L, "exactly the one pure-passage window is shared")
+    assert(nWh === 41L && frac === math.floor(1.0 / 41 * 10000 + 0.5) / 10000,
+      "window accounting: 48 tokens -> 41 windows, frac = 1/41 r4")
+  }
+
   test("q_dedup_spans_clean cuts exactly the shared passage, keeper stays intact") {
     import spark.implicits._
     val d = tmpDir("dedup-spans-clean")
