@@ -28,7 +28,8 @@ object PlanDump {
     "q_similarity_ivfpq_res", "q_similarity_ivfpq_nprobe",
     "q_similarity_batch",
     "q_dedup_spans", "q_dedup_spans_clean", "q_sample_stratified",
-    "q_quality_classifier", "q_split_leakfree", "q_split_contam_audit")
+    "q_quality_classifier", "q_split_leakfree", "q_split_contam_audit",
+    "q_vocab_coverage")
 
   private val keep = Seq("Exchange", "HashAggregate", "BroadcastHashJoin",
     "BroadcastNestedLoopJoin", "CartesianProduct", "SortMergeJoin",
@@ -122,6 +123,19 @@ object PlanDump {
          |the only exchange is the output sort. Swap the arithmetic
          |pseudo-weights for a broadcast weight-map lookup and the plan is
          |unchanged: scan-bound at 100 TB.""").stripMargin,
+    "q_vocab_coverage" ->
+      ("""Design (r17, VERDICT r16 next-round #5): per-language tokenizer
+         |cost audit — subword count, OOV rate, fertility under a
+         |WordPiece-style greedy longest-match segmenter (declaration-
+         |time merge vocabulary), plus the mixture rule's kept-count in
+         |the same aggregate so the output is the recipe audit mixture
+         |designers weight by. The segmenter is the native codegen'd
+         |graft_subwords expression — one narrow map stage over the
+         |pruned scan, one lang-keyed exchange (its partial aggregate is
+         |5 longs per mapper-language); scan-bound at 100 TB. The DuckDB
+         |oracle replays the greedy loop as a MAX_WORD-depth fold
+         |generated from the SAME vocabulary constant, so segmentation
+         |is value-checked, not trusted.""").stripMargin,
     "q_approx_percentile" ->
       ("""Decision (r14): single-pass histogram percentile. r12/r13 ranked a
          |percentile_approx sketch estimate by RE-SCANNING lineitem (two full

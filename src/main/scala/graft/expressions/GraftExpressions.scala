@@ -311,6 +311,100 @@ case class MinHash(child: Expression, a: Long, b: Long) extends UnaryExpression 
     copy(child = newChild)
 }
 
+object SubwordStats {
+  /** Declaration-time merge-table vocabulary for the WordPiece SERVE path
+    * (greedy longest-match segmentation — Wu et al. 2016 §3.1's decode
+    * side; training the merges is out of scope, exactly as
+    * q_quality_classifier's weights stand in for a trained model).
+    * Multi-char pieces cover common stems/suffixes; single chars cover
+    * the rest EXCEPT p/q/v/x/z, so words reaching those letters outside
+    * a multi-char piece are OOV — real vocabularies have coverage holes,
+    * and the OOV rate is the statistic mixture designers weight by. */
+  val VOCAB: Array[String] = Array(
+    "the", "da", "ta", "jo", "in", "ba", "tch", "sort", "sp", "ark",
+    "str", "eam", "win", "dow", "val", "ue", "ve", "ctor", "qu", "ery",
+    "fil", "ter", "gr", "oup", "mer", "ge", "ord", "er", "sc", "an",
+    "sm", "all", "ble", "cus", "tom",
+    "a", "b", "c", "d", "e", "f", "g", "h", "i", "j", "k", "l", "m",
+    "n", "o", "r", "s", "t", "u", "w", "y")
+
+  /** Shared (0, 0, 0) result for NULL text. */
+  val ZERO: ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(0L, 0L, 0L))
+
+  /** Words longer than this are [UNK] outright (WordPiece's
+    * max_input_chars_per_word rule) — ALSO the bound that lets the DuckDB
+    * oracle mirror the greedy loop as a fixed-depth fold: each step
+    * consumes ≥1 char, so MAX_WORD fold steps complete any non-UNK word. */
+  val MAX_WORD = 24
+
+  /** (n_words, n_subwords, n_oov) of a space-tokenized text under greedy
+    * longest-match segmentation. Per word: repeatedly take the longest
+    * VOCAB piece prefixing the remainder; a position with no match makes
+    * the WHOLE word one [UNK] subword (WordPiece semantics, not partial
+    * credit). ASCII contract (like every hash here): DuckDB len/substr
+    * count codepoints, Java counts UTF-16 units — identical on ASCII. */
+  def compute(s: UTF8String): ArrayData = {
+    val words = s.toString.split(" ", -1)
+    var nw = 0L; var ns = 0L; var no = 0L
+    var wi = 0
+    while (wi < words.length) {
+      val w = words(wi)
+      nw += 1
+      if (w.length > MAX_WORD) { ns += 1; no += 1 }
+      else {
+        var pos = 0; var cnt = 0L; var oov = false
+        while (pos < w.length && !oov) {
+          var best = 0
+          var i = 0
+          while (i < VOCAB.length) {
+            val p = VOCAB(i)
+            if (p.length > best && w.startsWith(p, pos)) best = p.length
+            i += 1
+          }
+          if (best == 0) oov = true
+          else { pos += best; cnt += 1 }
+        }
+        if (oov) { ns += 1; no += 1 } else ns += cnt
+      }
+      wi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(nw, ns, no))
+  }
+}
+
+/** `graft_subwords(text)`: (n_words, n_subwords, n_oov) under greedy
+  * longest-match subword segmentation against the declaration-time
+  * [[SubwordStats.VOCAB]] — one codegen'd loop per row (the interpreted
+  * nested-lambda formulation would pay tokens × MAX_WORD × |VOCAB|
+  * lambda dispatches per document). NULL text → [0, 0, 0]. */
+case class SubwordStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_subwords"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    child.eval(input) match {
+      case null => SubwordStats.ZERO
+      case s => SubwordStats.compute(s.asInstanceOf[UTF8String])
+    }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(
+      code = childGen.code +
+        code"""
+        $javaType ${ev.value} = ${childGen.isNull}
+          ? graft.expressions.SubwordStats.ZERO()
+          : graft.expressions.SubwordStats.compute(${childGen.value});""",
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SubwordStats =
+    copy(child = newChild)
+}
+
 object PqDists {
   /** graft_pq_dists is SQL-registered for arbitrary use, so the 64-dim
     * contract is enforced here, not assumed (ADVICE r14): a short array
@@ -589,6 +683,10 @@ object GraftFunctions {
     ("graft_spanhashes", classOf[SpanHashes].getName, {
       case Seq(c, k) => SpanHashes(c, k.eval().asInstanceOf[Number].intValue())
       case _ => throw new IllegalArgumentException("graft_spanhashes(text, k)")
+    }),
+    ("graft_subwords", classOf[SubwordStats].getName, {
+      case Seq(c) => SubwordStats(c)
+      case _ => throw new IllegalArgumentException("graft_subwords(text)")
     }),
     ("graft_minhash", classOf[MinHash].getName, {
       case Seq(c, a, b) => MinHash(c,

@@ -28,6 +28,44 @@ object Pipeline {
   private def pctBucketSql(salt: String) =
     s"CAST(concat('0x', substr(md5(concat('$salt', CAST(doc_id AS VARCHAR))),1,7)) AS BIGINT) % 100"
 
+  /** The q_data_mixture per-source sampling rate — shared with
+    * q_vocab_coverage's recipe-audit column so the rule lives once. */
+  private val mixRate =
+    when(col("source").isin("src0", "src1", "src2", "src3", "src4"), 50)
+      .when(col("source").isin("src5", "src6", "src7", "src8", "src9"), 25)
+      .otherwise(10)
+  private val mixRateSql =
+    """CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 50
+            WHEN source IN ('src5','src6','src7','src8','src9') THEN 25
+            ELSE 10 END"""
+
+  /** DuckDB mirror of the graft_subwords greedy loop for ONE word `w`
+    * (captured from an enclosing list_transform lambda): a fixed-depth
+    * fold over MAX_WORD dummy steps, state packed as pos·1000 + cnt·10 +
+    * oov (pos ≤ 25, cnt ≤ 24 — no field overlap). Each live step either
+    * advances pos by the longest matching piece or collapses the word to
+    * one [UNK] (cnt = 1, oov = 1, pos past end) — WordPiece whole-word
+    * UNK semantics; words over MAX_WORD chars short-circuit to [UNK].
+    * Generated from the SAME vocabulary constant the native expression
+    * compiles in. */
+  private def subwordFoldSql: String = {
+    val pieces = graft.expressions.SubwordStats.VOCAB
+    val L = pieces.map(p =>
+      s"CASE WHEN substr(w, CAST(a // 1000 AS INT), ${p.length}) = '$p' " +
+        s"THEN ${p.length} ELSE 0 END")
+      .mkString("greatest(", ", ", ")")
+    val mw = graft.expressions.SubwordStats.MAX_WORD
+    s"""CASE WHEN len(w) > $mw THEN (len(w) + 1) * 1000 + 11 ELSE
+          list_reduce(
+            list_concat([CAST(1000 AS BIGINT)],
+                        list_transform(range(1, ${mw + 1}), z -> CAST(0 AS BIGINT))),
+            (a, x) -> CASE
+              WHEN (a // 1000) > len(w) THEN a
+              WHEN $L = 0 THEN (len(w) + 1) * 1000 + 11
+              ELSE ((a // 1000) + $L) * 1000 + (((a // 10) % 100) + 1) * 10 + (a % 10)
+            END) END"""
+  }
+
   /** Percent-encoding normalization of the four RFC 3986 §2.3 unreserved
     * MARKS (`- . _ ~`, either hex case) — the one equivalence class where
     * `%7E` and `~` are THE SAME URL by the spec's own normalization rule
@@ -225,16 +263,52 @@ object Pipeline {
 
     // Weighted corpus mixture: per-source sampling rates applied by hash
     // bucket; output the per-source kept counts (the mixture recipe audit).
-    "q_data_mixture" -> ((s, d) => {
-      val rate = when(col("source").isin("src0", "src1", "src2", "src3", "src4"), 50)
-        .when(col("source").isin("src5", "src6", "src7", "src8", "src9"), 25)
-        .otherwise(10)
+    "q_data_mixture" -> ((s, d) =>
       Tables.documents(s, d)
-        .filter(pctBucket("mix#") < rate)
+        .filter(pctBucket("mix#") < mixRate)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_kept"))
-        .orderBy("source")
-    }),
+        .orderBy("source")),
+
+    // Subword-vocabulary coverage per language (VERDICT r16 next-round
+    // #5): training pipelines weight mixtures by tokenizer FERTILITY
+    // (subwords per word) and OOV rate per language, not whitespace
+    // counts — a language whose text shatters into 3x the subwords costs
+    // 3x the context budget per document. Segmentation is the WordPiece
+    // SERVE path — greedy longest-match against a declaration-time merge
+    // vocabulary — via the native codegen'd graft_subwords expression
+    // (expressions/GraftExpressions.scala): ONE narrow map stage over the
+    // pruned (doc_id, lang, source, text) scan, one lang-keyed exchange
+    // for the per-language aggregate; scan-bound at 100 TB exactly like
+    // q_quality_classifier. The mixture recipe's kept-count rides in the
+    // same aggregate (n_kept_mix, the q_data_mixture rule keyed by
+    // source), so the output IS the recipe audit: per language, how many
+    // docs the mix keeps and what they cost in subwords. The DuckDB
+    // oracle replays the greedy loop as a fixed-depth fold (MAX_WORD
+    // steps; each step consumes ≥1 char) over the same vocabulary,
+    // generated from the same Scala constant.
+    "q_vocab_coverage" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), col("source"), pctBucket("mix#").as("mb"),
+          call_function("graft_subwords", col("text")).as("sw"))
+        .select(col("lang"), col("source"), col("mb"),
+          element_at(col("sw"), 1).as("w"),
+          element_at(col("sw"), 2).as("sub"),
+          element_at(col("sw"), 3).as("oov"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("w")).as("n_words"),
+          sum(col("sub")).as("n_subwords"),
+          sum(col("oov")).as("n_oov"),
+          count(when(col("mb") < mixRate, 1)).as("n_kept_mix"))
+        .select(col("lang"), col("n_docs"), col("n_words"),
+          col("n_subwords"), col("n_oov"),
+          graft.Q.r4(col("n_oov").cast("double") / col("n_words"))
+            .as("oov_rate"),
+          graft.Q.r4(col("n_subwords").cast("double") / col("n_words"))
+            .as("fertility"),
+          col("n_kept_mix"))
+        .orderBy("lang")),
 
     // Length-distribution histogram: fixed-width buckets over n_chars.
     "q_histogram" -> ((s, d) =>
@@ -410,11 +484,33 @@ object Pipeline {
           FROM c GROUP BY canonical_url ORDER BY canonical_url""",
     "q_data_mixture" ->
       s"""SELECT source, count(*) AS n_kept FROM documents
-          WHERE ${pctBucketSql("mix#")} <
-                CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 50
-                     WHEN source IN ('src5','src6','src7','src8','src9') THEN 25
-                     ELSE 10 END
+          WHERE ${pctBucketSql("mix#")} < $mixRateSql
           GROUP BY source ORDER BY source""",
+    "q_vocab_coverage" ->
+      s"""WITH sw AS (SELECT doc_id, lang, source,
+                   ${pctBucketSql("mix#")} AS mb,
+                   string_split(text, ' ') AS ws FROM documents),
+            sts AS (SELECT doc_id, lang, source, mb,
+                    CAST(len(ws) AS BIGINT) AS n_words,
+                    list_transform(ws, w -> $subwordFoldSql) AS sts FROM sw),
+            per AS (SELECT doc_id, lang, source, mb, n_words,
+                    CAST(list_sum(list_transform(sts, st -> (st // 10) % 100))
+                         AS BIGINT) AS n_subwords,
+                    CAST(list_sum(list_transform(sts, st -> st % 10))
+                         AS BIGINT) AS n_oov
+                    FROM sts)
+          SELECT lang, count(*) AS n_docs,
+                 CAST(sum(n_words) AS BIGINT) AS n_words,
+                 CAST(sum(n_subwords) AS BIGINT) AS n_subwords,
+                 CAST(sum(n_oov) AS BIGINT) AS n_oov,
+                 ${graft.Q.r4Sql(
+                   "CAST(sum(n_oov) AS DOUBLE) / CAST(sum(n_words) AS DOUBLE)")}
+                   AS oov_rate,
+                 ${graft.Q.r4Sql(
+                   "CAST(sum(n_subwords) AS DOUBLE) / CAST(sum(n_words) AS DOUBLE)")}
+                   AS fertility,
+                 count(*) FILTER (WHERE mb < $mixRateSql) AS n_kept_mix
+          FROM per GROUP BY lang ORDER BY lang""",
     "q_histogram" ->
       """SELECT CAST(floor(n_chars / 100) * 100 AS BIGINT) AS bucket_lo,
                 count(*) AS n, min(n_chars) AS min_chars, max(n_chars) AS max_chars

@@ -140,6 +140,33 @@ class GraftExpressionsSpec extends SparkSpec {
     assert(!n.isNullAt(0) && n.getSeq[Long](0).isEmpty)
   }
 
+  test("graft_subwords: greedy longest-match, whole-word UNK, long-word and null edges") {
+    import graft.expressions.SubwordStats
+    def stats(text: String): Seq[Long] =
+      spark.sql(s"SELECT graft_subwords('$text')").head().getSeq[Long](0)
+    // greedy longest-match picks 'sort' (4) over 's' at position 0
+    assert(stats("sort") === Seq(1L, 1L, 0L))
+    // 'table' → ta + ble; 'customer' → cus + tom + er
+    assert(stats("table customer") === Seq(2L, 5L, 0L))
+    // single chars only: 'agg' → a+g+g
+    assert(stats("agg") === Seq(1L, 3L, 0L))
+    // 'dup' fails at 'p' (no single 'p'): the WHOLE word is one [UNK],
+    // not d+u+partial credit — WordPiece semantics
+    assert(stats("dup") === Seq(1L, 1L, 1L))
+    assert(stats("part the") === Seq(2L, 2L, 1L), "part is UNK, the is 1 piece")
+    // a word past MAX_WORD chars is [UNK] outright even if segmentable
+    val long = "a" * (SubwordStats.MAX_WORD + 1)
+    assert(stats(long) === Seq(1L, 1L, 1L))
+    assert(stats("a" * SubwordStats.MAX_WORD) ===
+      Seq(1L, SubwordStats.MAX_WORD.toLong, 0L), "at the cap it still segments")
+    // empty text splits to one empty word: 0 subwords, not OOV
+    assert(stats("") === Seq(1L, 0L, 0L))
+    // NULL → the documented zero triple
+    val n = spark.sql("SELECT graft_subwords(CAST(NULL AS STRING))")
+      .head().getSeq[Long](0)
+    assert(n === Seq(0L, 0L, 0L))
+  }
+
   test("expressions are SQL-callable via the extensions registry") {
     val r = spark.sql(
       "SELECT graft_md5h('key', 7) AS h, graft_cosine(array(1.0f,0.0f), array(1.0f,0.0f)) AS c")
