@@ -406,6 +406,43 @@ class StreamingStateSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("engine quality gate: a continuous view drops prob<=0.5 docs in-flight (VERDICT r16 #6)") {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    // The production shape the MemoryStream parity test above doesn't
+    // cover: the classifier runs INSIDE a continuous view over the
+    // emulated sharded source, with the keep/drop filter applied
+    // in-flight — dropped docs never reach the view table. The kept set
+    // must equal the oracle-checked batch query's keep=1 set exactly.
+    val root = tmpDir("kin-qgate")
+    val meta = tmpDir("kin-qgate-meta")
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+    ShardedLog.append(s"$root/s", 0,
+      docs.map(r => (r.getLong(0).toString,
+        s"${r.getLong(0)} ${r.getString(1)}")).toSeq)
+    val eng = new KinesisEngine(spark, meta)
+    eng.addEndpoint("ep", "r", url = root)
+    eng.createStream("qg_stream",
+      StructType(Seq(StructField("payload", StringType))))
+    eng.createContinuousView("qgate_keep_view", "qg_stream", df => {
+      val parsed = df.select(
+        split(col("payload"), " ", 2).getItem(0).cast("long").as("doc_id"),
+        split(col("payload"), " ", 2).getItem(1).as("text"))
+      graft.queries.TextAnalysis.qualityClassify(parsed, "doc_id", "text")
+        .filter(col("prob") > 0.5)
+    })
+    eng.consumeBackfill("ep", "s", "qg_stream", format = "text")
+    val kept = eng.viewTable("qgate_keep_view").collect()
+      .map(_.getLong(0)).toSet
+    val want = SparkEntry.queries("q_quality_classifier")(spark, sf0001)
+      .filter(col("keep") === 1).collect().map(_.getLong(0)).toSet
+    assert(kept === want,
+      "the in-flight gate must keep exactly the batch classifier's keep=1 set")
+    assert(want.nonEmpty && want.size < docs.length,
+      "fixture regime: the gate must both keep and drop docs, else vacuous")
+    eng.consumeEndAll()
+  }
+
   test("online content dedup: fingerprint + dropDuplicates in a continuous pipeline") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
