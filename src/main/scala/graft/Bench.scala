@@ -74,8 +74,22 @@ object BenchGuards {
         case _ => () // truncated fragment
       }
     }
-    // a flat pair at the payload's very head is unverifiable when the head
-    // may be cut — its name could be the tail of a longer one
+    // ANY structure at the payload's very head is unverifiable when the
+    // head may be cut — a flat pair's name OR a group's family name could
+    // be the tail of a longer one (review r17: the first hardening only
+    // dropped flat pairs; 'ity{batch:313}' from a cut 'similarity{…}'
+    // parsed under the bogus q_ity_* family)
+    if (!headIntact) {
+      grpRe.findAllMatchIn(payload).toSeq.headOption
+        .filter(_.start == 0).foreach { m =>
+          val fam = m.group(1)
+          m.group(2).split(",").foreach {
+            case pairRe(s, _) =>
+              out.remove(if (s == ".") s"q_$fam" else s"q_${fam}_$s")
+            case _ => ()
+          }
+        }
+    }
     val dropHead = !headIntact &&
       """^[a-z0-9_.]+:[0-9]+""".r.findFirstIn(payload).isDefined
     val flat = grpRe.replaceAllIn(payload, ",")
@@ -100,10 +114,14 @@ object BenchGuards {
     val re = """"(q_[a-z0-9_]+)":([0-9]+)[,}]""".r
     val flat = re.findAllMatchIn(unescaped)
       .map(m => m.group(1) -> m.group(2).toLong).toMap
-    // anchored to the queries_ms metric: the artifact now carries a SECOND
-    // grouped payload (spread_pct — iteration-spread percents, r17), whose
-    // values must never pollute the ms priors
-    val grp = """"queries_ms"(?:,"unit":"ms")?,"grp":"([^"]*)"""".r.findAllMatchIn(unescaped)
+    // the bare `"grp":"` anchor is deliberate (review r17): anchoring on
+    // the full `"queries_ms"` literal would lose the WHOLE prior map when
+    // truncation cuts inside that line's metric prefix, where the bare
+    // anchor still recovers every entry. The spread_pct line's payload
+    // rides under a DIFFERENT key (`"sp":"`) for exactly this reason — no
+    // possible cut of it leaves a `"grp":"` marker, so iteration-spread
+    // percents can never pollute the ms priors.
+    val grp = """"grp":"([^"]*)"""".r.findAllMatchIn(unescaped)
       .flatMap(m => decodeGrouped(m.group(1))).toMap
     flat ++ grp
   }
@@ -143,9 +161,16 @@ object BenchGuards {
   /** The newest single archived round's per-query times — the
     * [[commonVsPrior]] drift reference. (loadPrior's min-over-two is the
     * right BAND reference, but a min across rounds would understate
-    * round-over-round drift.) */
+    * round-over-round drift.) Honors SPARK_GRAFT_BENCH_PRIOR like
+    * loadPrior — a pinned reference must pin BOTH guards, or a run in a
+    * scratch directory computes cvp against whatever artifact happens to
+    * sit in CWD (review r17). */
   def loadNewestPrior(): Map[String, Long] =
-    newestArtifacts(1).headOption.map(parseArtifactFile).getOrElse(Map.empty)
+    sys.env.get("SPARK_GRAFT_BENCH_PRIOR") match {
+      case Some(p) => parseArtifactFile(p)
+      case None =>
+        newestArtifacts(1).headOption.map(parseArtifactFile).getOrElse(Map.empty)
+    }
 
   private def parseArtifactFile(p: String): Map[String, Long] =
     try parsePriorQueriesMs(
@@ -336,12 +361,13 @@ object Bench {
     // arrays above are the first casualty of the tail window; this line
     // carries the same run-cleanliness signal at 1-3 digits per query,
     // and sits just ABOVE queries_ms so under truncation it is sacrificed
-    // before any per-query ms entry. parsePriorQueriesMs is anchored to
-    // the queries_ms metric, so these percents can never pollute priors.
+    // before any per-query ms entry. The payload key is "sp", NOT "grp":
+    // parsePriorQueriesMs keys on the bare `"grp":"` marker (truncation-
+    // tolerant), and no cut of this line may leave one behind.
     val spct = spreads.collect { case (k, v) if v.size >= 2 && v.head > 0 =>
       k -> math.round((v(1) / v.head - 1.0) * 100)
     }
-    println(s"""{"metric":"spread_pct","grp":"${BenchGuards.encodeGrouped(spct)}","n":${spct.size}}""")
+    println(s"""{"metric":"spread_pct","sp":"${BenchGuards.encodeGrouped(spct)}","n":${spct.size}}""")
     // Per-query integer-ms map near the END of stdout, in the grouped
     // encoding (BenchGuards.encodeGrouped): the driver archives only the
     // last ~2000 characters, and at 102 queries the flat JSON map alone
@@ -382,7 +408,10 @@ object Bench {
               else None
     val cvpS = cvp.map { case (r, _) => f"$r%.3f" }.getOrElse("null")
     val cvpN = cvp.map(_._2).getOrElse(0)
-    println(f"""{"metric":"total_summary","total_s":$total%.3f,"n_queries":${timings.size},"n_errors":${errors.size},"n_suspect":${suspects.size},"n_prior":${prior.size},"spread_med":$med%.3f,"spread_p90":$p90%.3f,"cvp":$cvpS,"n_common":$cvpN,"rec_per_s":$rps,"sf":"$sfName"}""")
+    // key names compressed (n_susp/sp_med/sp_p90/n_com/rps): at 115
+    // queries the tail-zone headroom tripwire fired again — every byte
+    // of the ~2000-char window pays rent (BenchGuardSpec replays it)
+    println(f"""{"metric":"total_summary","total_s":$total%.3f,"n_queries":${timings.size},"n_errors":${errors.size},"n_susp":${suspects.size},"n_prior":${prior.size},"sp_med":$med%.3f,"sp_p90":$p90%.3f,"cvp":$cvpS,"n_com":$cvpN,"rps":$rps,"sf":"$sfName"}""")
     spark.stop()
   }
 }

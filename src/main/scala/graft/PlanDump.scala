@@ -75,17 +75,22 @@ object PlanDump {
          |(doc_id, pos) anti-join + collect/sort reassembly are GONE.
          |The removal side collapses to one row per AFFECTED doc
          |(collect_list of its removed window positions), and the cut is
-         |a narrow positional-filter projection after a left equi-join
-         |of the corpus scan against that (broadcastable) frame — clean
-         |docs take the null arm and keep their token array untouched.
-         |The plan below shows exactly TWO exchanges (wh frequency,
-         |per-doc removal positions) plus the output sort; the only
-         |Generate left is spanKeys' window posexplode. Measured at
-         |sf0.1: 470 ms vs 593 ms for the r16 shape on the same box
-         |(and the verdict's semi-join/union alternative measured
-         |1,169 ms — the lazy-localCheckpoint materialization of the
-         |removal set cost more than it saved; rejected). Identical
-         |oracle hash; exponent re-measured in the r17 rehearsal.""").stripMargin,
+         |a narrow projection after a left equi-join of the corpus scan
+         |against that (broadcastable) frame: array_except(positions,
+         |coverage) — hash-based, O(tokens + coverage) per row even for
+         |a fully-duplicated huge doc — then an ordered index transform;
+         |clean docs take the null arm and keep their token array
+         |untouched. The plan below shows exactly TWO exchanges (wh
+         |frequency, per-doc removal positions) plus the output sort;
+         |the only Generate left is spanKeys' window posexplode.
+         |Measured at sf0.1: 534 ms vs 593 ms for the r16 shape on the
+         |same box (a per-token array_contains variant measured 470 ms
+         |here but is O(tokens x coverage) — a straggler row on an
+         |exact copy of a large doc; the verdict's semi-join/union
+         |alternative measured 1,169 ms — the lazy-localCheckpoint
+         |materialization cost more than it saved; both rejected).
+         |Identical oracle hash; FLAT at 10x in the r17 rehearsal
+         |(339 -> 332 ms).""").stripMargin,
     "q_split_leakfree" ->
       ("""Design (r16): train/val/test assignment hashed from the near-dup
          |CLUSTER representative (q_dedup_cluster's min-label fixpoint,

@@ -51,20 +51,29 @@ object Tables {
     * production deployment would use, in file form. */
   def parquetRowCount(s: SparkSession, dir: String, name: String): Long = {
     val conf = s.sessionState.newHadoopConf()
+    parquetDataFiles(s, dir, name).map { st =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+
+  /** The DATA files of a test table's parquet directory (recursive,
+    * `_SUCCESS`/hidden files excluded) — the ONE definition of "the
+    * corpus's files", shared by [[parquetRowCount]] and the ANN index
+    * fingerprint so the two can't silently diverge (review r17). */
+  def parquetDataFiles(s: SparkSession, dir: String,
+                       name: String): Seq[org.apache.hadoop.fs.LocatedFileStatus] = {
+    val conf = s.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
-    val fs = root.getFileSystem(conf)
-    val it = fs.listFiles(root, true)
-    var n = 0L
+    val it = root.getFileSystem(conf).listFiles(root, true)
+    val buf = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.LocatedFileStatus]()
     while (it.hasNext) {
       val st = it.next()
       val nm = st.getPath.getName
-      if (st.isFile && !nm.startsWith("_") && !nm.startsWith(".")) {
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
-        try n += r.getRecordCount finally r.close()
-      }
+      if (st.isFile && !nm.startsWith("_") && !nm.startsWith(".")) buf += st
     }
-    n
+    buf.toSeq
   }
 
   def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")

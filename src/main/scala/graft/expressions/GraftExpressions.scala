@@ -332,6 +332,18 @@ object SubwordStats {
   val ZERO: ArrayData =
     new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(0L, 0L, 0L))
 
+  /** VOCAB indexed by first char, each bucket LONGEST-FIRST: the greedy
+    * step probes only pieces that can match at the position, and the
+    * first startsWith hit IS the longest match — ~10x less per-row work
+    * than scanning all pieces at every position (review r17). ASCII-only
+    * index is lossless: VOCAB is ASCII, so a non-ASCII position matches
+    * no piece either way. */
+  private val byFirst: Array[Array[String]] = {
+    val b = Array.fill(128)(List.empty[String])
+    VOCAB.foreach { p => val c = p.charAt(0).toInt; b(c) = p :: b(c) }
+    b.map(_.sortBy(-_.length).toArray)
+  }
+
   /** Words longer than this are [UNK] outright (WordPiece's
     * max_input_chars_per_word rule) — ALSO the bound that lets the DuckDB
     * oracle mirror the greedy loop as a fixed-depth fold: each step
@@ -355,12 +367,15 @@ object SubwordStats {
       else {
         var pos = 0; var cnt = 0L; var oov = false
         while (pos < w.length && !oov) {
+          val c = w.charAt(pos).toInt
           var best = 0
-          var i = 0
-          while (i < VOCAB.length) {
-            val p = VOCAB(i)
-            if (p.length > best && w.startsWith(p, pos)) best = p.length
-            i += 1
+          if (c < 128) {
+            val cand = byFirst(c)
+            var i = 0
+            while (best == 0 && i < cand.length) {
+              if (w.startsWith(cand(i), pos)) best = cand(i).length
+              i += 1
+            }
           }
           if (best == 0) oov = true
           else { pos += best; cnt += 1 }

@@ -323,19 +323,13 @@ object Similarity {
     * lifetime (VERDICT r16 what's-wrong #3); any rewrite changes the
     * listing (length or mtime), forcing a rebuild. Driver-side listing
     * only — no file contents read. */
-  private def corpusFingerprint(s: SparkSession, d: String): String = {
-    val conf = s.sessionState.newHadoopConf()
-    val root = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
-    val fs = root.getFileSystem(conf)
-    val it = fs.listFiles(root, true)
-    val parts = scala.collection.mutable.ArrayBuffer[String]()
-    while (it.hasNext) {
-      val st = it.next()
-      if (st.isFile)
-        parts += s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}"
-    }
-    parts.sorted.mkString(",")
-  }
+  private def corpusFingerprint(s: SparkSession, d: String): String =
+    // the file set is Tables.parquetDataFiles — the SAME definition the
+    // footer row count uses (review r17: two hand-kept walks had already
+    // diverged on `_SUCCESS` handling)
+    Tables.parquetDataFiles(s, d, "embeddings")
+      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString(",")
 
   private[graft] def annIndexDir(s: SparkSession, d: String): String = {
     indexCleanupHook

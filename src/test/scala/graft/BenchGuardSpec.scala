@@ -60,12 +60,13 @@ class BenchGuardSpec extends AnyFunSuite {
     val grpLine =
       s"""{"metric":"queries_ms","grp":"${BenchGuards.encodeGrouped(ms)}","n":${ms.size}}"""
     val summary =
-      """{"metric":"total_summary","total_s":29.745,"n_queries":102,"n_errors":0,"n_suspect":0,"n_prior":102,"spread_med":0.077,"spread_p90":0.243,"cvp":1.148,"n_common":75,"rec_per_s":18290.7,"sf":"sf0.1"}"""
+      """{"metric":"total_summary","total_s":29.745,"n_queries":102,"n_errors":0,"n_susp":0,"n_prior":102,"sp_med":0.077,"sp_p90":0.243,"cvp":1.148,"n_com":75,"rps":18290.7,"sf":"sf0.1"}"""
     // the r17 spread_pct line rides ABOVE queries_ms: sacrificial under
     // truncation, and its grouped percents must never parse as ms priors
+    // — its payload key is "sp", so no cut can leave a `"grp":"` marker
     val spct = names.zipWithIndex.map { case (n, i) => n -> ((i * 7) % 250).toLong }
     val spctLine =
-      s"""{"metric":"spread_pct","grp":"${BenchGuards.encodeGrouped(spct)}","n":${spct.size}}"""
+      s"""{"metric":"spread_pct","sp":"${BenchGuards.encodeGrouped(spct)}","n":${spct.size}}"""
     val sbtNoise = "[success] Total time: 182 s (03:02), completed Aug 14, 2026, 12:51:47 PM"
     // a suspect-HEAVY round: the band_suspects line prints BEFORE the
     // grp line (review r16 — it must be the sacrificial content, never
@@ -125,10 +126,33 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(loose === Map("q_cond_agg" -> 202L, "q_dedup_exact" -> 12L))
     // the default (intact head) keeps byte-identical behavior
     assert(BenchGuards.decodeGrouped(cut).get("q_ty_batch").contains(313L))
-    // a payload opening with a GROUP is safe either way — nothing flat at
-    // position 0 to drop
-    assert(BenchGuards.decodeGrouped("dedup{exact:12},topk:80", headIntact = false)
-      === Map("q_dedup_exact" -> 12L, "q_topk" -> 80L))
+    // a GROUP at position 0 is equally unverifiable: 'ity{…}' from a cut
+    // 'similarity{…}' must not parse under the bogus q_ity_* family
+    // (review r17 — the first hardening only covered flat pairs)
+    val cutGrp = "ity{batch:313,ivfpq:42},cond_agg:202"
+    val looseGrp = BenchGuards.decodeGrouped(cutGrp, headIntact = false)
+    assert(looseGrp === Map("q_cond_agg" -> 202L),
+      "head-cut group fragment must be dropped whole")
+    assert(BenchGuards.decodeGrouped(cutGrp).contains("q_ity_batch"),
+      "default intact-head keeps it (the caller vouches for the head)")
+    // only the POSITION-0 structure is dropped: the flat head goes, the
+    // non-head group survives
+    assert(BenchGuards.decodeGrouped("topk:80,dedup{exact:12}", headIntact = false)
+      === Map("q_dedup_exact" -> 12L))
+  }
+
+  test("priors survive a cut inside the queries_ms metric prefix; spread_pct can't pollute") {
+    // window starts INSIDE '{"metric":"queries_ms' — the bare "grp" anchor
+    // still recovers every entry (an anchor on the full metric literal
+    // would lose the whole map, review r17). The spread_pct line ahead of
+    // it was fully cut except its tail — its "sp" payload key leaves no
+    // "grp" marker, so its percents can never masquerade as ms priors.
+    val artifact =
+      """{"n": 17, "tail": "ct\",\"sp\":\"dedup{exact:7,minhash:3},topk:2\",\"n\":3}\n{\"metric\":\"queries_ms\",\"grp\":\"dedup{exact:12,minhash:34},topk:80\",\"n\":3}\n{\"metric\":\"total_summary\",\"total_s\":1.0}"""" + "}"
+    val cutHead = artifact.replace("""{\"metric\":\"queries_ms\",""", """ms\",""")
+    assert(BenchGuards.parsePriorQueriesMs(cutHead) ===
+      Map("q_dedup_exact" -> 12L, "q_dedup_minhash" -> 34L, "q_topk" -> 80L),
+      "every ms entry recovered; no spread percent leaked")
   }
 
   test("commonVsPrior: broad sub-3x drift is visible; disjoint or zero priors are not") {
