@@ -396,9 +396,6 @@ object Bench {
     // even under the harshest truncation.
     val rps = graft.queries.StreamingIngest.lastStats
       .map(st => f"""${st.recPerS}%.1f""").getOrElse("null")
-    // sf as the basename and total at ms precision: the full path and
-    // float tail spent ~30 window bytes saying nothing
-    val sfName = new java.io.File(sfDir).getName
     // Suite-level drift vs the NEWEST archived round (VERDICT r16 #1):
     // Σ current / Σ prior over common keys — the broad-drift signal the
     // per-query 3× band guard cannot see. `cvp` = ratio, `n_common` =
@@ -408,10 +405,16 @@ object Bench {
               else None
     val cvpS = cvp.map { case (r, _) => f"$r%.3f" }.getOrElse("null")
     val cvpN = cvp.map(_._2).getOrElse(0)
-    // key names compressed (n_susp/sp_med/sp_p90/n_com/rps): at 115
-    // queries the tail-zone headroom tripwire fired again — every byte
-    // of the ~2000-char window pays rent (BenchGuardSpec replays it)
-    println(f"""{"metric":"total_summary","total_s":$total%.3f,"n_queries":${timings.size},"n_errors":${errors.size},"n_susp":${suspects.size},"n_prior":${prior.size},"sp_med":$med%.3f,"sp_p90":$p90%.3f,"cvp":$cvpS,"n_com":$cvpN,"rps":$rps,"sf":"$sfName"}""")
+    // Trailer keys are COMPRESSED — every byte of the ~2000-char tail
+    // window pays rent, and the headroom tripwire fired at both the
+    // 113th and 117th query (BenchGuardSpec replays the window). Key
+    // map (also in README): t_s total seconds, n_q queries, n_err
+    // errors, n_su band suspects, n_pr usable priors, sm/s9 spread
+    // median/p90, cvp/nc drift ratio + common-set size vs the newest
+    // archive, rps ingest records/s. The sf is NOT repeated here: the
+    // driver records it in the artifact's own metadata fields (and the
+    // head-of-run "total" line carries the full sf dir).
+    println(f"""{"metric":"summary","t_s":$total%.3f,"n_q":${timings.size},"n_err":${errors.size},"n_su":${suspects.size},"n_pr":${prior.size},"sm":$med%.3f,"s9":$p90%.3f,"cvp":$cvpS,"nc":$cvpN,"rps":$rps}""")
     spark.stop()
   }
 }

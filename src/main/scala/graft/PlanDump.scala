@@ -29,7 +29,7 @@ object PlanDump {
     "q_similarity_batch",
     "q_dedup_spans", "q_dedup_spans_clean", "q_sample_stratified",
     "q_quality_classifier", "q_split_leakfree", "q_split_contam_audit",
-    "q_vocab_coverage")
+    "q_vocab_coverage", "q_decontam_clean", "q_mixture_budget")
 
   private val keep = Seq("Exchange", "HashAggregate", "BroadcastHashJoin",
     "BroadcastNestedLoopJoin", "CartesianProduct", "SortMergeJoin",
@@ -114,6 +114,29 @@ object PlanDump {
          |leak class; spec plants one and the audit reports exactly it).
          |The gate corpus audits CLEAN at sf0.01 — the empty result is
          |the assertion a lab wants, and the spec keeps it non-vacuous.""").stripMargin,
+    "q_decontam_clean" ->
+      ("""Design (r17): benchmark decontamination, REMOVAL form — the
+         |operation labs run before training, where q_decontam only
+         |FLAGS. Every training doc loses each 8-token window whose hash
+         |occurs in the pinned benchmark sample, then reassembles via
+         |the shared spanRemoval cut (array_except, O(tokens+coverage)
+         |per row). The benchmark span set is tiny and broadcast; the
+         |training side is one spanKeys projection + an 8-byte-hash
+         |equi-join. Catches SHIFTED benchmark passages the 5-token
+         |prefix substring probe needs alignment luck for, and keeps the
+         |uncontaminated remainder instead of dropping whole docs.
+         |Contamination is PLANTED (the q_pii_scrub pattern) so the
+         |removal path demonstrably fires at every SF.""").stripMargin,
+    "q_mixture_budget" ->
+      ("""Design (r17): the token-weighted mixture recipe — per source,
+         |docs and SUBWORDS kept by the mix rule plus each source's
+         |share of the final token budget (mixtures are specified in
+         |tokens; doc counts can't see a long-document source eating
+         |budget). One narrow graft_subwords map over the pruned scan,
+         |one source-keyed exchange of 4-long partials, and a single-
+         |partition window over the ~|sources| aggregate rows for the
+         |global total — re-scanning the corpus for a grand total would
+         |cost a second full pass.""").stripMargin,
     "q_sample_stratified" ->
       ("""Design (r16): exact per-group quota via rank<=Q, compiled to
          |WindowGroupLimit — each mapper pre-prunes to its local top-Q per

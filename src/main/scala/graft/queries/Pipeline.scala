@@ -310,6 +310,32 @@ object Pipeline {
           col("n_kept_mix"))
         .orderBy("lang")),
 
+    // Token-weighted mixture recipe (the budget sheet next to
+    // q_data_mixture's doc counts): per source, the docs and SUBWORDS the
+    // mix rule keeps, and each source's share of the final token budget —
+    // mixtures are specified in tokens, and a source of long documents
+    // eats budget q_data_mixture's doc counts can't see. One narrow
+    // graft_subwords map over the pruned scan, one source-keyed exchange
+    // (partials = 4 longs per mapper-source), then a single-partition
+    // window over the ~|sources| aggregate rows for the global kept-token
+    // total (19 rows here — recomputing the scan for a grand total, or a
+    // second aggregation job, would cost a corpus pass instead).
+    "q_mixture_budget" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"), (pctBucket("mix#") < mixRate).as("kept"),
+          element_at(call_function("graft_subwords", col("text")), 2).as("sub"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("kept"), 1)).as("n_kept"),
+          sum(col("sub")).as("subw_total"),
+          sum(when(col("kept"), col("sub")).otherwise(0L)).as("subw_kept"))
+        .withColumn("__tot", sum(col("subw_kept")).over(Window.partitionBy()))
+        .select(col("source"), col("n_docs"), col("n_kept"),
+          col("subw_total"), col("subw_kept"),
+          graft.Q.r4(col("subw_kept").cast("double") / col("__tot"))
+            .as("mix_share"))
+        .orderBy("source")),
+
     // Length-distribution histogram: fixed-width buckets over n_chars.
     "q_histogram" -> ((s, d) =>
       Tables.documents(s, d)
@@ -511,6 +537,27 @@ object Pipeline {
                    AS fertility,
                  count(*) FILTER (WHERE mb < $mixRateSql) AS n_kept_mix
           FROM per GROUP BY lang ORDER BY lang""",
+    "q_mixture_budget" ->
+      s"""WITH sw AS (SELECT source,
+                   ${pctBucketSql("mix#")} < $mixRateSql AS kept,
+                   string_split(text, ' ') AS ws FROM documents),
+            sts AS (SELECT source, kept,
+                    list_transform(ws, w -> $subwordFoldSql) AS sts FROM sw),
+            per AS (SELECT source, kept,
+                    CAST(list_sum(list_transform(sts, st -> (st // 10) % 100))
+                         AS BIGINT) AS sub
+                    FROM sts),
+            agg AS (SELECT source, count(*) AS n_docs,
+                    count(*) FILTER (WHERE kept) AS n_kept,
+                    CAST(sum(sub) AS BIGINT) AS subw_total,
+                    CAST(sum(CASE WHEN kept THEN sub ELSE 0 END) AS BIGINT)
+                      AS subw_kept
+                    FROM per GROUP BY source)
+          SELECT source, n_docs, n_kept, subw_total, subw_kept,
+                 ${graft.Q.r4Sql(
+                   "CAST(subw_kept AS DOUBLE) / CAST(sum(subw_kept) OVER () AS DOUBLE)")}
+                   AS mix_share
+          FROM agg ORDER BY source""",
     "q_histogram" ->
       """SELECT CAST(floor(n_chars / 100) * 100 AS BIGINT) AS bucket_lo,
                 count(*) AS n, min(n_chars) AS min_chars, max(n_chars) AS max_chars

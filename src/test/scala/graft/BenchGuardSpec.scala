@@ -60,7 +60,7 @@ class BenchGuardSpec extends AnyFunSuite {
     val grpLine =
       s"""{"metric":"queries_ms","grp":"${BenchGuards.encodeGrouped(ms)}","n":${ms.size}}"""
     val summary =
-      """{"metric":"total_summary","total_s":29.745,"n_queries":102,"n_errors":0,"n_susp":0,"n_prior":102,"sp_med":0.077,"sp_p90":0.243,"cvp":1.148,"n_com":75,"rps":18290.7,"sf":"sf0.1"}"""
+      """{"metric":"summary","t_s":29.745,"n_q":102,"n_err":0,"n_su":0,"n_pr":102,"sm":0.077,"s9":0.243,"cvp":1.148,"nc":75,"rps":18290.7}"""
     // the r17 spread_pct line rides ABOVE queries_ms: sacrificial under
     // truncation, and its grouped percents must never parse as ms priors
     // — its payload key is "sp", so no cut can leave a `"grp":"` marker

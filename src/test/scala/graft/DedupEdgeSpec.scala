@@ -205,6 +205,31 @@ class DedupEdgeSpec extends SparkSpec {
       "window accounting: 48 tokens -> 41 windows, frac = 1/41 r4")
   }
 
+  test("q_decontam_clean cuts exactly the planted benchmark span; bench docs excluded") {
+    import spark.implicits._
+    val d = tmpDir("decontam-clean")
+    Seq(
+      (0L, "orig zero words here and more of them now"),   // bench (0 % 97 == 0)
+      (3L, "three body tokens distinct from zero entirely kept"), // planted train (3 % 89 == 3)
+      (5L, "five body tokens unrelated to any benchmark document here")) // clean train
+      .toDF("doc_id", "text").coalesce(1)
+      .write.parquet(s"$d/documents.parquet")
+    val rows = Dedup.queries("q_decontam_clean")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.map(_._1).toSeq === Seq(3L, 5L),
+      "bench doc 0 is the eval artifact, not output")
+    val (_, n3, rem3, clean3) = rows(0)
+    // doc 3 carries the planted 8-token preamble; only the pure-preamble
+    // window matches bench (continuations differ), so EXACTLY those 8
+    // planted tokens go and the original body survives verbatim
+    assert(rem3 === 8L && n3 === 8L + 8L)
+    assert(clean3 === "three body tokens distinct from zero entirely kept")
+    val (_, _, rem5, clean5) = rows(1)
+    assert(rem5 === 0L && clean5 ===
+      "five body tokens unrelated to any benchmark document here",
+      "uncontaminated docs pass through untouched")
+  }
+
   test("q_dedup_spans_clean cuts exactly the shared passage, keeper stays intact") {
     import spark.implicits._
     val d = tmpDir("dedup-spans-clean")

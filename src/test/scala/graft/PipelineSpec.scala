@@ -203,6 +203,25 @@ class PipelineSpec extends SparkSpec {
       "scheme-less inputs come back visibly mangled, per the contract")
   }
 
+  test("q_mixture_budget: kept counts match q_data_mixture; shares sum to 1") {
+    val budget = Pipeline.queries("q_mixture_budget")(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+                 r.getLong(3), r.getLong(4), r.getDouble(5)))
+    val mixKept = Pipeline.queries("q_data_mixture")(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    budget.foreach { case (src, nDocs, nKept, subwTotal, subwKept, share) =>
+      assert(nKept === mixKept.getOrElse(src, 0L),
+        s"$src: budget and recipe must agree on kept docs")
+      assert(nKept <= nDocs && subwKept <= subwTotal && share >= 0.0)
+    }
+    // every source appears (even all-dropped ones would, with n_kept=0)
+    val total = Tables.documents(spark, sf0001).select("source").distinct().count()
+    assert(budget.length.toLong === total)
+    // shares partition the kept-token budget (r4 rounding slack)
+    val sum = budget.map(_._6).sum
+    assert(math.abs(sum - 1.0) < 0.01, s"shares sum to $sum")
+  }
+
   test("mixture rates follow the per-source recipe") {
     val kept = Pipeline.queries("q_data_mixture")(spark, sf0001)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
