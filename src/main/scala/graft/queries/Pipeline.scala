@@ -336,6 +336,29 @@ object Pipeline {
             .as("mix_share"))
         .orderBy("source")),
 
+    // Sequence packing by SUBWORD budget (the q_seq_pack semantics with
+    // the unit training actually bins by): concatenate the doc stream in
+    // doc order per language and cut every 512 SUBWORDS — a doc's bin is
+    // its subword start-offset div 512. Whitespace packing (q_seq_pack,
+    // TextAnalysis.scala) misbins high-fertility text: a language at
+    // fertility 2.4 overflows a "256-word" bin at ~107 real context
+    // tokens. Same plan shape — one narrow graft_subwords map, then the
+    // per-language prefix-sum window (the sequential dependency is
+    // inherent to packing; the partition key is the scale lever, and at
+    // 100 TB the key becomes (lang, shard) exactly as q_seq_pack notes).
+    "q_seq_pack_subword" -> ((s, d) => {
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          element_at(call_function("graft_subwords", col("text")), 2)
+            .as("n_subwords"))
+        .withColumn("__cum", coalesce(sum(col("n_subwords")).over(w), lit(0L)))
+        .withColumn("bin", expr("__cum div 512")) // exact long division
+        .drop("__cum")
+        .orderBy("doc_id")
+    }),
+
     // Length-distribution histogram: fixed-width buckets over n_chars.
     "q_histogram" -> ((s, d) =>
       Tables.documents(s, d)
@@ -558,6 +581,20 @@ object Pipeline {
                    "CAST(subw_kept AS DOUBLE) / CAST(sum(subw_kept) OVER () AS DOUBLE)")}
                    AS mix_share
           FROM agg ORDER BY source""",
+    "q_seq_pack_subword" ->
+      s"""WITH sw AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
+                      FROM documents),
+            per AS (SELECT doc_id, lang,
+                    CAST(list_sum(list_transform(
+                           list_transform(ws, w -> $subwordFoldSql),
+                           st -> (st // 10) % 100)) AS BIGINT) AS n_subwords
+                    FROM sw)
+          SELECT doc_id, lang, n_subwords,
+                 CAST(COALESCE(SUM(n_subwords) OVER (
+                     PARTITION BY lang ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   // 512 AS BIGINT) AS bin
+          FROM per ORDER BY doc_id""",
     "q_histogram" ->
       """SELECT CAST(floor(n_chars / 100) * 100 AS BIGINT) AS bucket_lo,
                 count(*) AS n, min(n_chars) AS min_chars, max(n_chars) AS max_chars

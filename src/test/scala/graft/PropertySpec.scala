@@ -88,6 +88,39 @@ class PropertySpec extends AnyFunSuite {
     assert(e2.getMessage.contains("GRAFTLG3"))
   }
 
+  test("subword stats equal an index-free greedy reference for arbitrary text") {
+    import graft.expressions.SubwordStats
+    // words over the corpus alphabet PLUS letters outside it (p/q/v/x/z
+    // force OOV paths) and lengths straddling MAX_WORD
+    val wordGen = for {
+      n <- Gen.choose(0, SubwordStats.MAX_WORD + 4)
+      cs <- Gen.listOfN(n, Gen.alphaLowerChar)
+    } yield cs.mkString
+    val textGen = Gen.listOf(wordGen).map(_.mkString(" "))
+    check("subwords-greedy",
+      Prop.forAll(textGen) { text =>
+        // independent reference: the naive full-vocabulary max scan the
+        // first-char-indexed production loop must agree with exactly
+        var nw = 0L; var ns = 0L; var no = 0L
+        text.split(" ", -1).foreach { w =>
+          nw += 1
+          if (w.length > SubwordStats.MAX_WORD) { ns += 1; no += 1 }
+          else {
+            var pos = 0; var cnt = 0L; var oov = false
+            while (pos < w.length && !oov) {
+              val best = SubwordStats.VOCAB
+                .filter(p => w.startsWith(p, pos)).map(_.length)
+                .foldLeft(0)(math.max)
+              if (best == 0) oov = true else { pos += best; cnt += 1 }
+            }
+            if (oov) { ns += 1; no += 1 } else ns += cnt
+          }
+        }
+        SubwordStats.compute(UTF8String.fromString(text)).toLongArray.toSeq ===
+          Seq(nw, ns, no)
+      })
+  }
+
   test("md5 prefix hash stays within [0, 16^n) for any string") {
     check("md5h-range",
       Prop.forAll(Gen.asciiPrintableStr, Gen.choose(1, 15)) { (s, n) =>
