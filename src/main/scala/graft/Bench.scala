@@ -63,36 +63,40 @@ object BenchGuards {
     * through an intact `"grp":"` prefix, so it keeps the default
     * (review r16 → hardened per ADVICE r16 #3). */
   def decodeGrouped(payload: String, headIntact: Boolean = true): Map[String, Long] = {
+    // Sanitize an untrusted head BEFORE decoding (review r17 ×2). A head
+    // cut can land in three places, each leaving a different poison:
+    //  - inside a group BODY: bare interior pairs then '}' — they would
+    //    decode as bogus top-level families. Signature: a '}' precedes
+    //    any '{'; everything through that '}' belongs to the orphaned
+    //    group, so drop it — the remainder starts at a clean boundary.
+    //  - inside a group's family NAME ('ity{…}' from 'similarity{…}'):
+    //    the position-0 group is skipped below.
+    //  - inside a flat pair's NAME ('ty_batch:313'): the position-0 flat
+    //    pair is skipped below.
+    val (p, trustHead) =
+      if (headIntact) (payload, true)
+      else {
+        val ob = payload.indexOf('{'); val cb = payload.indexOf('}')
+        if (cb >= 0 && (ob < 0 || cb < ob))
+          (payload.substring(cb + 1).dropWhile(_ == ','), true)
+        else (payload, false)
+      }
     val out = scala.collection.mutable.LinkedHashMap[String, Long]()
     val grpRe = """([a-z0-9_]+)\{([^}]*)\}""".r
     val pairRe = """^([a-z0-9_.]+):([0-9]+)$""".r
-    grpRe.findAllMatchIn(payload).foreach { m =>
-      val fam = m.group(1)
-      m.group(2).split(",").foreach {
-        case pairRe(s, v) =>
-          out(if (s == ".") s"q_$fam" else s"q_${fam}_$s") = v.toLong
-        case _ => () // truncated fragment
+    grpRe.findAllMatchIn(p).foreach { m =>
+      if (trustHead || m.start > 0) {
+        val fam = m.group(1)
+        m.group(2).split(",").foreach {
+          case pairRe(s, v) =>
+            out(if (s == ".") s"q_$fam" else s"q_${fam}_$s") = v.toLong
+          case _ => () // truncated fragment
+        }
       }
     }
-    // ANY structure at the payload's very head is unverifiable when the
-    // head may be cut — a flat pair's name OR a group's family name could
-    // be the tail of a longer one (review r17: the first hardening only
-    // dropped flat pairs; 'ity{batch:313}' from a cut 'similarity{…}'
-    // parsed under the bogus q_ity_* family)
-    if (!headIntact) {
-      grpRe.findAllMatchIn(payload).toSeq.headOption
-        .filter(_.start == 0).foreach { m =>
-          val fam = m.group(1)
-          m.group(2).split(",").foreach {
-            case pairRe(s, _) =>
-              out.remove(if (s == ".") s"q_$fam" else s"q_${fam}_$s")
-            case _ => ()
-          }
-        }
-    }
-    val dropHead = !headIntact &&
-      """^[a-z0-9_.]+:[0-9]+""".r.findFirstIn(payload).isDefined
-    val flat = grpRe.replaceAllIn(payload, ",")
+    val dropHead = !trustHead &&
+      """^[a-z0-9_.]+:[0-9]+""".r.findFirstIn(p).isDefined
+    val flat = grpRe.replaceAllIn(p, ",")
     var first = true
     """(?:^|,)([a-z0-9_]+):([0-9]+)(?=,|$)""".r.findAllMatchIn(flat).foreach { m =>
       val atHead = m.start == 0 && first

@@ -346,18 +346,12 @@ object Pipeline {
     // per-language prefix-sum window (the sequential dependency is
     // inherent to packing; the partition key is the scale lever, and at
     // 100 TB the key becomes (lang, shard) exactly as q_seq_pack notes).
-    "q_seq_pack_subword" -> ((s, d) => {
-      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      Tables.documents(s, d)
+    "q_seq_pack_subword" -> ((s, d) =>
+      TextAnalysis.seqPack(Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
           element_at(call_function("graft_subwords", col("text")), 2)
-            .as("n_subwords"))
-        .withColumn("__cum", coalesce(sum(col("n_subwords")).over(w), lit(0L)))
-        .withColumn("bin", expr("__cum div 512")) // exact long division
-        .drop("__cum")
-        .orderBy("doc_id")
-    }),
+            .as("n_subwords")),
+        "n_subwords", budget = 512)),
 
     // Length-distribution histogram: fixed-width buckets over n_chars.
     "q_histogram" -> ((s, d) =>

@@ -80,6 +80,24 @@ object TextAnalysis {
           .as("prob"))
       .withColumn("keep", (col("prob") > 0.5).cast("int"))
 
+  /** The packing prefix-sum shared by q_seq_pack (word counts) and
+    * Pipeline's q_seq_pack_subword (subword counts): per-language running
+    * total of `countCol` over doc order, bin = offset div budget. The
+    * sequential dependency is inherent to packing; the partition key is
+    * the scale lever — at 100 TB pack per (lang, shard) to bound any one
+    * window partition (change it HERE, both packers follow). */
+  private[queries] def seqPack(perDoc: DataFrame, countCol: String,
+                               budget: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    perDoc
+      .withColumn("__cum", coalesce(sum(col(countCol)).over(w), lit(0L)))
+      .withColumn("bin", expr(s"__cum div $budget")) // exact long division
+      .drop("__cum")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Qf] = Map(
     // Token counting: whitespace tokens + a BPE-ish regex tokenizer.
     // STAGING PATTERN (all per-row scalar pipelines here): alias the
@@ -265,17 +283,11 @@ object TextAnalysis {
     // languages; at 100 TB the same query packs per (lang, shard) to
     // bound any one window partition — the sequential dependency is
     // inherent to packing, the partition key is the scale lever.
-    "q_seq_pack" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("lang")).orderBy(col("doc_id"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-      Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), size(toks).cast("long").as("n_tokens"))
-        .withColumn("__cum", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-        .withColumn("bin", expr("__cum div 256")) // exact long division
-        .drop("__cum")
-        .orderBy("doc_id")
-    }),
+    "q_seq_pack" -> ((s, d) =>
+      seqPack(Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+                size(toks).cast("long").as("n_tokens")),
+        "n_tokens", budget = 256)),
 
     // Repetition filter (Gopher-style quality rule): fraction of
     // duplicated 3-gram shingles within each document — natural-language

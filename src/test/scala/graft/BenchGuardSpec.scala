@@ -139,6 +139,13 @@ class BenchGuardSpec extends AnyFunSuite {
     // non-head group survives
     assert(BenchGuards.decodeGrouped("topk:80,dedup{exact:12}", headIntact = false)
       === Map("q_dedup_exact" -> 12L))
+    // a cut inside a group BODY leaves bare interior pairs then '}' —
+    // they must not decode as bogus top-level families (review r17 #2):
+    // everything through the orphaned '}' goes, the rest is boundary-clean
+    val cutBody = "3,ivfpq:42,lsh_multi:97,topk:95},cond_agg:202,dedup{exact:12}"
+    assert(BenchGuards.decodeGrouped(cutBody, headIntact = false)
+      === Map("q_cond_agg" -> 202L, "q_dedup_exact" -> 12L),
+      "orphaned group-body pairs must be dropped whole")
   }
 
   test("priors survive a cut inside the queries_ms metric prefix; spread_pct can't pollute") {
