@@ -443,6 +443,50 @@ class StreamingStateSpec extends SparkSpec {
     eng.consumeEndAll()
   }
 
+  test("streaming vocab audit: per-language subword totals as a continuous view") {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    // graft_subwords is a pure projection, so the per-language token-cost
+    // audit (q_vocab_coverage's core) runs as an ordinary update-mode CV:
+    // per-lang running doc/word/subword/OOV totals over the emulated
+    // source must equal the batch aggregate after the drain.
+    val root = tmpDir("kin-vocab")
+    val meta = tmpDir("kin-vocab-meta")
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "lang", "text").collect()
+    ShardedLog.append(s"$root/s", 0,
+      docs.map(r => (r.getLong(0).toString,
+        s"${r.getString(1)} ${r.getString(2)}")).toSeq)
+    val eng = new KinesisEngine(spark, meta)
+    eng.addEndpoint("ep", "r", url = root)
+    eng.createStream("vc_stream",
+      StructType(Seq(StructField("payload", StringType))))
+    eng.createContinuousView("vocab_audit_view", "vc_stream", df =>
+      df.select(
+          split(col("payload"), " ", 2).getItem(0).as("lang"),
+          call_function("graft_subwords",
+            split(col("payload"), " ", 2).getItem(1)).as("sw"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(element_at(col("sw"), 1)).as("n_words"),
+          sum(element_at(col("sw"), 2)).as("n_subwords"),
+          sum(element_at(col("sw"), 3)).as("n_oov")))
+    eng.consumeBackfill("ep", "s", "vc_stream", format = "text")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val got = eng.viewTable("vocab_audit_view").collect().map(key).sortBy(_._1).toSeq
+    val want = Tables.documents(spark, sf0001)
+      .select(col("lang"), call_function("graft_subwords", col("text")).as("sw"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(element_at(col("sw"), 1)).as("n_words"),
+        sum(element_at(col("sw"), 2)).as("n_subwords"),
+        sum(element_at(col("sw"), 3)).as("n_oov"))
+      .collect().map(key).sortBy(_._1).toSeq
+    assert(got === want,
+      "the continuously-maintained vocab audit must equal the batch aggregate")
+    eng.consumeEndAll()
+  }
+
   test("online content dedup: fingerprint + dropDuplicates in a continuous pipeline") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
