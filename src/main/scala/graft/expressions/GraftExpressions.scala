@@ -311,6 +311,67 @@ case class MinHash(child: Expression, a: Long, b: Long) extends UnaryExpression 
     copy(child = newChild)
 }
 
+object SegmentJoin {
+  private val SPACE = UTF8String.fromString(" ")
+
+  /** Non-overlapping k-token segments of a space-tokenized text, each
+    * re-joined with single spaces — value-identical to
+    * `transform(sequence(0, ceil(n/k)-1), i -> array_join(slice(ws,
+    * i·k+1, k), ' '))` over `ws = split(text, ' ')` (and to the DuckDB
+    * range/list_slice/array_to_string chain): split keeps trailing
+    * empties (limit −1), so even "" yields ONE empty segment. */
+  def compute(s: UTF8String, k: Int): ArrayData = {
+    val toks = s.split(SPACE, -1)
+    val n = toks.length
+    val m = (n + k - 1) / k
+    val out = new Array[AnyRef](m)
+    var i = 0
+    while (i < m) {
+      val from = i * k
+      val len = math.min(k, n - from)
+      val seg = new Array[UTF8String](len)
+      System.arraycopy(toks, from, seg, 0, len)
+      out(i) = UTF8String.concatWs(SPACE, seg: _*)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** `graft_segments(text, k)`: fused tokenize → fixed-width k-token
+  * segmentation → per-segment re-join, one codegen'd loop per row —
+  * replaces q_dedup_lines' interpreted transform/sequence/slice/
+  * array_join lambda tree. `k` must be a positive foldable literal
+  * (segment width is a query-shape parameter, like graft_spanhashes'
+  * window). NULL text → empty array. */
+case class SegmentJoin(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"graft_segments: segment width must be >= 1, got $k")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_segments"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    child.eval(input) match {
+      case null => ShingleHashes.EMPTY
+      case s => SegmentJoin.compute(s.asInstanceOf[UTF8String], k)
+    }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(
+      code = childGen.code +
+        code"""
+        $javaType ${ev.value} = ${childGen.isNull}
+          ? graft.expressions.ShingleHashes.EMPTY()
+          : graft.expressions.SegmentJoin.compute(${childGen.value}, $k);""",
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SegmentJoin =
+    copy(child = newChild)
+}
+
 object SubwordStats {
   /** Declaration-time merge-table vocabulary for the WordPiece SERVE path
     * (greedy longest-match segmentation — Wu et al. 2016 §3.1's decode
@@ -698,6 +759,10 @@ object GraftFunctions {
     ("graft_spanhashes", classOf[SpanHashes].getName, {
       case Seq(c, k) => SpanHashes(c, k.eval().asInstanceOf[Number].intValue())
       case _ => throw new IllegalArgumentException("graft_spanhashes(text, k)")
+    }),
+    ("graft_segments", classOf[SegmentJoin].getName, {
+      case Seq(c, k) => SegmentJoin(c, k.eval().asInstanceOf[Number].intValue())
+      case _ => throw new IllegalArgumentException("graft_segments(text, k)")
     }),
     ("graft_subwords", classOf[SubwordStats].getName, {
       case Seq(c) => SubwordStats(c)

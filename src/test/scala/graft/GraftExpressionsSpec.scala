@@ -140,6 +140,31 @@ class GraftExpressionsSpec extends SparkSpec {
     assert(!n.isNullAt(0) && n.getSeq[Long](0).isEmpty)
   }
 
+  test("graft_segments equals the interpreted transform/slice/array_join chain") {
+    import spark.implicits._
+    val df = Seq(
+      "a b c d e f g h i j",            // 10 tokens → segments of 8 + 2
+      "one two three",                   // under one segment
+      "x",                               // single token
+      "",                                // empty text → ONE empty segment
+      (1 to 16).map(i => s"t$i").mkString(" "), // exact multiple
+      "a  b")                            // double space → empty middle token
+      .toDF("text")
+      .withColumn("ws", split(col("text"), " "))
+    val rows = df.select(
+      call_function("graft_segments", col("text"), lit(8)).as("fused"),
+      expr("transform(sequence(0, cast(ceil(size(ws)/8.0) as int) - 1)," +
+        " i -> array_join(slice(ws, i*8+1, 8), ' '))").as("chain"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) === r.getSeq[String](1))
+    }
+    // k is honored: width 3 over 7 tokens → 3 segments
+    val segs3 = spark.sql("SELECT graft_segments('a b c d e f g', 3)")
+      .head().getSeq[String](0)
+    assert(segs3 === Seq("a b c", "d e f", "g"))
+  }
+
   test("graft_subwords: greedy longest-match, whole-word UNK, long-word and null edges") {
     import graft.expressions.SubwordStats
     def stats(text: String): Seq[Long] =
