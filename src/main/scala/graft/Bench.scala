@@ -31,13 +31,16 @@ object BenchGuards {
     * (`cond_agg:202`), a family with several prints once
     * (`dedup{exact:12,minhash:34,…}`, `.` = the bare family name, e.g.
     * `dedup{.:55}` → q_dedup). Families and subs sort alphabetically so
-    * round-over-round diffs line up. */
-  def encodeGrouped(ms: Iterable[(String, Long)]): String = {
+    * round-over-round diffs line up. `radix = 36` (the artifact's
+    * setting since r17's 120th query — the marker key `g36` selects the
+    * decode radix) shaves ~25% of the digit bytes on top: `2742` →
+    * `245`. */
+  def encodeGrouped(ms: Iterable[(String, Long)], radix: Int = 10): String = {
     val fams = ms.toSeq.map { case (k, v) =>
       val rest = k.stripPrefix("q_")
       val fam = rest.takeWhile(_ != '_')
       val sub = if (rest.length > fam.length) rest.substring(fam.length + 1) else "."
-      (fam, sub, v)
+      (fam, sub, java.lang.Long.toString(v, radix))
     }.groupBy(_._1)
     fams.toSeq.sortBy(_._1).map { case (fam, entries) =>
       if (entries.size == 1) {
@@ -62,7 +65,8 @@ object BenchGuards {
     * place a head cut can leave one). parsePriorQueriesMs reaches this
     * through an intact `"grp":"` prefix, so it keeps the default
     * (review r16 → hardened per ADVICE r16 #3). */
-  def decodeGrouped(payload: String, headIntact: Boolean = true): Map[String, Long] = {
+  def decodeGrouped(payload: String, headIntact: Boolean = true,
+                    radix: Int = 10): Map[String, Long] = {
     // Sanitize an untrusted head BEFORE decoding (review r17 ×2). A head
     // cut can land in three places, each leaving a different poison:
     //  - inside a group BODY: bare interior pairs then '}' — they would
@@ -82,25 +86,31 @@ object BenchGuards {
         else (payload, false)
       }
     val out = scala.collection.mutable.LinkedHashMap[String, Long]()
+    // value chars cover radix 36 ([0-9a-z]); the ':' separator keeps
+    // name/value unambiguous, and parse uses the caller's radix
     val grpRe = """([a-z0-9_]+)\{([^}]*)\}""".r
-    val pairRe = """^([a-z0-9_.]+):([0-9]+)$""".r
+    val pairRe = """^([a-z0-9_.]+):([0-9a-z]+)$""".r
+    def parse(v: String): Option[Long] =
+      try Some(java.lang.Long.parseLong(v, radix)) catch { case _: Throwable => None }
     grpRe.findAllMatchIn(p).foreach { m =>
       if (trustHead || m.start > 0) {
         val fam = m.group(1)
         m.group(2).split(",").foreach {
-          case pairRe(s, v) =>
-            out(if (s == ".") s"q_$fam" else s"q_${fam}_$s") = v.toLong
+          case pairRe(s, v) => parse(v).foreach { n =>
+            out(if (s == ".") s"q_$fam" else s"q_${fam}_$s") = n
+          }
           case _ => () // truncated fragment
         }
       }
     }
     val dropHead = !trustHead &&
-      """^[a-z0-9_.]+:[0-9]+""".r.findFirstIn(p).isDefined
+      """^[a-z0-9_.]+:[0-9a-z]+(?=,|\{|$)""".r.findFirstIn(p).isDefined
     val flat = grpRe.replaceAllIn(p, ",")
     var first = true
-    """(?:^|,)([a-z0-9_]+):([0-9]+)(?=,|$)""".r.findAllMatchIn(flat).foreach { m =>
+    """(?:^|,)([a-z0-9_]+):([0-9a-z]+)(?=,|$)""".r.findAllMatchIn(flat).foreach { m =>
       val atHead = m.start == 0 && first
-      if (!(dropHead && atHead)) out(s"q_${m.group(1)}") = m.group(2).toLong
+      if (!(dropHead && atHead))
+        parse(m.group(2)).foreach(out(s"q_${m.group(1)}") = _)
       first = false
     }
     out.toMap
@@ -127,7 +137,11 @@ object BenchGuards {
     // percents can never pollute the ms priors.
     val grp = """"grp":"([^"]*)"""".r.findAllMatchIn(unescaped)
       .flatMap(m => decodeGrouped(m.group(1))).toMap
-    flat ++ grp
+    // r17 (120th query): the payload marker doubles as the radix selector
+    // — `"g36":"` payloads carry base-36 values (~25% fewer digit bytes)
+    val g36 = """"g36":"([^"]*)"""".r.findAllMatchIn(unescaped)
+      .flatMap(m => decodeGrouped(m.group(1), radix = 36)).toMap
+    flat ++ grp ++ g36
   }
 
   /** Suite-level drift ratio vs a single prior artifact (VERDICT r16 #1):
@@ -371,7 +385,7 @@ object Bench {
     val spct = spreads.collect { case (k, v) if v.size >= 2 && v.head > 0 =>
       k -> math.round((v(1) / v.head - 1.0) * 100)
     }
-    println(s"""{"metric":"spread_pct","sp":"${BenchGuards.encodeGrouped(spct)}","n":${spct.size}}""")
+    println(s"""{"metric":"spread_pct","sp":"${BenchGuards.encodeGrouped(spct, radix = 36)}","n":${spct.size}}""")
     // Per-query integer-ms map near the END of stdout, in the grouped
     // encoding (BenchGuards.encodeGrouped): the driver archives only the
     // last ~2000 characters, and at 102 queries the flat JSON map alone
@@ -380,11 +394,14 @@ object Bench {
     // window with headroom. `n` sits at the END of the line so a
     // truncated head is detectable (entries recovered < n).
     val qms = BenchGuards.encodeGrouped(
-      timings.map { case (k, v) => k -> math.round(v * 1000) })
-    // no "unit" key: the metric name already says ms, and at 113 queries
-    // every byte of the window pays rent (the BenchGuardSpec headroom
-    // tripwire fired at the 113th query — this reclaim re-armed it)
-    println(s"""{"metric":"queries_ms","grp":"$qms","n":${timings.size}}""")
+      timings.map { case (k, v) => k -> math.round(v * 1000) }, radix = 36)
+    // no "unit" key, and values in base 36 under the g36 marker (the
+    // decode-radix selector): the metric name already says ms, and every
+    // byte of the window pays rent — the BenchGuardSpec headroom
+    // tripwire fired at queries 113 (reclaimed the unit key), 117
+    // (compressed the trailer keys) and 120 (this radix switch, ~25% of
+    // the digit bytes)
+    println(s"""{"metric":"queries_ms","g36":"$qms","n":${timings.size}}""")
     // Aggregate stability stats INSIDE the tail-safe trailer: the median
     // and p90 of (second_best/best - 1) over all queries summarize run
     // cleanliness in a few bytes even when iter_spread_ms is truncated.

@@ -43,6 +43,12 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(enc.contains("dedup{.:55,exact:12,minhash:34}"))
     assert(enc.contains("cond_agg:202"))
     assert(enc.contains("topk:80"))
+    // base-36 (the g36 artifact marker's radix) round-trips the same map
+    // with strictly fewer digit bytes
+    val enc36 = BenchGuards.encodeGrouped(ms, radix = 36)
+    assert(BenchGuards.decodeGrouped(enc36, radix = 36) === ms)
+    assert(enc36.contains("cond_agg:5m") && enc36.contains("topk:28"))
+    assert(enc36.length < enc.length)
   }
 
   test("full declared inventory + trailers fit the driver's 2000-char tail window") {
@@ -58,7 +64,7 @@ class BenchGuardSpec extends AnyFunSuite {
     // worst-ish-case digits: mostly 3-4 digit ms values
     val ms = names.zipWithIndex.map { case (n, i) => n -> (100L + (i * 37) % 1900) }
     val grpLine =
-      s"""{"metric":"queries_ms","grp":"${BenchGuards.encodeGrouped(ms)}","n":${ms.size}}"""
+      s"""{"metric":"queries_ms","g36":"${BenchGuards.encodeGrouped(ms, radix = 36)}","n":${ms.size}}"""
     val summary =
       """{"metric":"summary","t_s":29.745,"n_q":102,"n_err":0,"n_su":0,"n_pr":102,"sm":0.077,"s9":0.243,"cvp":1.148,"nc":75,"rps":18290.7}"""
     // the r17 spread_pct line rides ABOVE queries_ms: sacrificial under
@@ -66,7 +72,7 @@ class BenchGuardSpec extends AnyFunSuite {
     // — its payload key is "sp", so no cut can leave a `"grp":"` marker
     val spct = names.zipWithIndex.map { case (n, i) => n -> ((i * 7) % 250).toLong }
     val spctLine =
-      s"""{"metric":"spread_pct","sp":"${BenchGuards.encodeGrouped(spct)}","n":${spct.size}}"""
+      s"""{"metric":"spread_pct","sp":"${BenchGuards.encodeGrouped(spct, radix = 36)}","n":${spct.size}}"""
     val sbtNoise = "[success] Total time: 182 s (03:02), completed Aug 14, 2026, 12:51:47 PM"
     // a suspect-HEAVY round: the band_suspects line prints BEFORE the
     // grp line (review r16 — it must be the sacrificial content, never

@@ -205,6 +205,18 @@ class DedupEdgeSpec extends SparkSpec {
       "window accounting: 48 tokens -> 41 windows, frac = 1/41 r4")
   }
 
+  test("prebuilt label table: indexed split and audit equal the in-query twins") {
+    // the serve-only queries read the once-built label table; their
+    // results must be row-identical to the in-query propagation's
+    def rows(q: String) = SparkEntry.queries(q)(spark, sf0001)
+      .collect().map(_.toString).toSeq
+    assert(rows("q_split_leakfree_indexed") === rows("q_split_leakfree"))
+    assert(rows("q_split_contam_audit_indexed") === rows("q_split_contam_audit"))
+    // and the memo actually hits: a second call returns the same dir
+    val d1 = Dedup.splitLabelDir(spark, sf0001)
+    assert(Dedup.splitLabelDir(spark, sf0001) === d1)
+  }
+
   test("q_decontam_clean cuts exactly the planted benchmark span; bench docs excluded") {
     import spark.implicits._
     val d = tmpDir("decontam-clean")
