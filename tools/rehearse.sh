@@ -22,7 +22,7 @@ for d in /root/testdata/sf0.1 "$FULL10"; do
     tail -20 "/tmp/rehearse_$(basename "$d").log" >&2
     exit 1
   fi
-  grep '"metric":"total_summary"' "/tmp/rehearse_$(basename "$d").log"
+  grep '"metric":"summary"' "/tmp/rehearse_$(basename "$d").log"
 done
 
 echo "== correctness at 10x =="
