@@ -21,6 +21,29 @@ object BenchGuards {
   def outOfBand(minSec: Double, priorMs: Long): Boolean =
     minSec * 1000.0 > 3.0 * priorMs && minSec > 0.25
 
+  /** Append-only token dictionary for the grouped encoding (r18, VERDICT
+    * r17 what's-wrong #2): the 120-query zone left only ~90 bytes of the
+    * 1950-byte tripwire headroom, and name bytes — not digit bytes — are
+    * where the remaining weight sits (fam 362 + sub 713 bytes at the
+    * 125-query projection). Each `_`-separated name token below encodes
+    * as ONE uppercase letter (~420 bytes back; zone 1934 → ~1510 at 125
+    * queries). Uppercase is unambiguous: plain names and base-36 values
+    * are both lowercase. Applied only under the base-36 artifact setting
+    * (the `g36` marker selects BOTH the radix and this dictionary);
+    * decode expands codes unconditionally, so r16/r17 payloads — which
+    * contain no uppercase — parse unchanged. APPEND new tokens only:
+    * renaming or removing a letter would mis-expand archived artifacts. */
+  private[graft] val tokenDict: Seq[(String, String)] = Seq(
+    "similarity" -> "S", "dedup" -> "D", "window" -> "W", "indexed" -> "X",
+    "sketch" -> "K", "ivfpq" -> "Q", "funcs" -> "F", "join" -> "J",
+    "distinct" -> "T", "split" -> "P", "multi" -> "M", "contam" -> "C")
+  private val encTok = tokenDict.toMap
+  private val decTok = tokenDict.map(_.swap).toMap
+  private def encName(n: String): String =
+    n.split("_", -1).map(t => encTok.getOrElse(t, t)).mkString("_")
+  private def decName(n: String): String =
+    n.split("_", -1).map(t => decTok.getOrElse(t, t)).mkString("_")
+
   /** Compact grouped encoding of the per-query ms map for the artifact
     * tail. The driver archives only the LAST ~2000 chars of Bench stdout;
     * at 102 queries the flat `"q_name":ms` JSON map is ~2.2 KB by itself,
@@ -33,14 +56,15 @@ object BenchGuards {
     * `dedup{.:55}` → q_dedup). Families and subs sort alphabetically so
     * round-over-round diffs line up. `radix = 36` (the artifact's
     * setting since r17's 120th query — the marker key `g36` selects the
-    * decode radix) shaves ~25% of the digit bytes on top: `2742` →
-    * `245`. */
+    * decode radix) shaves ~25% of the digit bytes on top (`2742` →
+    * `245`) and since r18 also engages [[tokenDict]]. */
   def encodeGrouped(ms: Iterable[(String, Long)], radix: Int = 10): String = {
+    val nm: String => String = if (radix == 36) encName else identity
     val fams = ms.toSeq.map { case (k, v) =>
       val rest = k.stripPrefix("q_")
       val fam = rest.takeWhile(_ != '_')
       val sub = if (rest.length > fam.length) rest.substring(fam.length + 1) else "."
-      (fam, sub, java.lang.Long.toString(v, radix))
+      (nm(fam), if (sub == ".") sub else nm(sub), java.lang.Long.toString(v, radix))
     }.groupBy(_._1)
     fams.toSeq.sortBy(_._1).map { case (fam, entries) =>
       if (entries.size == 1) {
@@ -87,30 +111,32 @@ object BenchGuards {
       }
     val out = scala.collection.mutable.LinkedHashMap[String, Long]()
     // value chars cover radix 36 ([0-9a-z]); the ':' separator keeps
-    // name/value unambiguous, and parse uses the caller's radix
-    val grpRe = """([a-z0-9_]+)\{([^}]*)\}""".r
-    val pairRe = """^([a-z0-9_.]+):([0-9a-z]+)$""".r
+    // name/value unambiguous, and parse uses the caller's radix. Name
+    // classes admit uppercase — the r18 [[tokenDict]] codes — and decName
+    // expands them unconditionally (plain lowercase names pass through).
+    val grpRe = """([A-Za-z0-9_]+)\{([^}]*)\}""".r
+    val pairRe = """^([A-Za-z0-9_.]+):([0-9a-z]+)$""".r
     def parse(v: String): Option[Long] =
       try Some(java.lang.Long.parseLong(v, radix)) catch { case _: Throwable => None }
     grpRe.findAllMatchIn(p).foreach { m =>
       if (trustHead || m.start > 0) {
-        val fam = m.group(1)
+        val fam = decName(m.group(1))
         m.group(2).split(",").foreach {
           case pairRe(s, v) => parse(v).foreach { n =>
-            out(if (s == ".") s"q_$fam" else s"q_${fam}_$s") = n
+            out(if (s == ".") s"q_$fam" else s"q_${fam}_${decName(s)}") = n
           }
           case _ => () // truncated fragment
         }
       }
     }
     val dropHead = !trustHead &&
-      """^[a-z0-9_.]+:[0-9a-z]+(?=,|\{|$)""".r.findFirstIn(p).isDefined
+      """^[A-Za-z0-9_.]+:[0-9a-z]+(?=,|\{|$)""".r.findFirstIn(p).isDefined
     val flat = grpRe.replaceAllIn(p, ",")
     var first = true
-    """(?:^|,)([a-z0-9_]+):([0-9a-z]+)(?=,|$)""".r.findAllMatchIn(flat).foreach { m =>
+    """(?:^|,)([A-Za-z0-9_]+):([0-9a-z]+)(?=,|$)""".r.findAllMatchIn(flat).foreach { m =>
       val atHead = m.start == 0 && first
       if (!(dropHead && atHead))
-        parse(m.group(2)).foreach(out(s"q_${m.group(1)}") = _)
+        parse(m.group(2)).foreach(out(s"q_${decName(m.group(1))}") = _)
       first = false
     }
     out.toMap
@@ -161,6 +187,40 @@ object BenchGuards {
     }
   }
 
+  /** Per-FAMILY drift ratios vs the same prior (VERDICT r17 optional #8):
+    * [[commonVsPrior]] over the keys of each query family (the first
+    * `_`-token after `q_`), reported only for families with ≥ `minN`
+    * common keys — the broad-drift signal localized to a family, so the
+    * next cvp excursion names its neighborhood without anyone having to
+    * grep per-query payloads. Sorted by family for stable diffs. */
+  def famCvp(cur: Map[String, Long], prior: Map[String, Long],
+             minN: Int = 6): Seq[(String, Double, Int)] = {
+    (cur.keySet & prior.keySet).filter(k => prior(k) > 0)
+      .groupBy(k => k.stripPrefix("q_").takeWhile(_ != '_')).toSeq
+      .collect { case (fam, ks) if ks.size >= minN =>
+        val p = ks.toSeq.map(prior).sum.toDouble
+        (fam, ks.toSeq.map(cur).sum / p, ks.size)
+      }.filter(_._2 > 0).sortBy(_._1)
+  }
+
+  /** The round currently being BUILT, inferred from VERDICT.md's header
+    * (`# VERDICT — round N` → the build in flight is N+1). Used to keep
+    * the cvp drift prior strictly OLDER than the in-flight round: once
+    * the driver archives BENCH_r{N}.json, any same-round rerun
+    * (rehearsal, judge verification) would otherwise band its drift
+    * against the round's OWN earlier recording and understate exactly
+    * the round-over-round drift the cvp field exists to surface
+    * (ADVICE r17 #2). None when no verdict exists (round 1) — no
+    * exclusion, the pre-r18 behavior. */
+  private[graft] def inFlightRound(path: String = "VERDICT.md"): Option[Int] =
+    try {
+      val src = scala.io.Source.fromFile(path)
+      try """round (\d+)""".r
+        .findFirstMatchIn(src.getLines().take(3).mkString(" "))
+        .map(_.group(1).toInt + 1)
+      finally src.close()
+    } catch { case _: Throwable => None }
+
   /** Prior reference: SPARK_GRAFT_BENCH_PRIOR (explicit path) or the per-
     * query MIN over the two highest-numbered BENCH_r*.json artifacts in
     * the working directory (review r15: a single-artifact reference is
@@ -176,18 +236,22 @@ object BenchGuards {
     }
   }
 
-  /** The newest single archived round's per-query times — the
+  /** The newest archived PRIOR round's per-query times — the
     * [[commonVsPrior]] drift reference. (loadPrior's min-over-two is the
     * right BAND reference, but a min across rounds would understate
     * round-over-round drift.) Honors SPARK_GRAFT_BENCH_PRIOR like
     * loadPrior — a pinned reference must pin BOTH guards, or a run in a
     * scratch directory computes cvp against whatever artifact happens to
-    * sit in CWD (review r17). */
+    * sit in CWD (review r17). Artifacts of the in-flight round (its own
+    * BENCH_r{N}.json, present during same-round reruns) are excluded via
+    * [[inFlightRound]] so cvp always measures ROUND-over-round drift,
+    * never a round against its own earlier recording (ADVICE r17 #2). */
   def loadNewestPrior(): Map[String, Long] =
     sys.env.get("SPARK_GRAFT_BENCH_PRIOR") match {
       case Some(p) => parseArtifactFile(p)
       case None =>
-        newestArtifacts(1).headOption.map(parseArtifactFile).getOrElse(Map.empty)
+        newestArtifacts(1, below = inFlightRound())
+          .headOption.map(parseArtifactFile).getOrElse(Map.empty)
     }
 
   private def parseArtifactFile(p: String): Map[String, Long] =
@@ -195,9 +259,13 @@ object BenchGuards {
       new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))))
     catch { case _: Throwable => Map.empty }
 
-  private def newestArtifacts(n: Int): Seq[String] =
-    Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+  /** Newest n BENCH_r*.json paths; `below` (exclusive) drops artifacts
+    * of the in-flight round and later — see [[loadNewestPrior]]. */
+  private[graft] def newestArtifacts(n: Int, below: Option[Int] = None,
+                                     dir: String = "."): Seq[String] =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
       .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+      .filter(f => below.forall(f.getName.replaceAll("\\D", "").toInt < _))
       .sortBy(f => -f.getName.replaceAll("\\D", "").toInt)
       .take(n).map(_.getPath).toSeq
 
@@ -353,9 +421,9 @@ object Bench {
     }.mkString("{", ",", "}")
     println(s"""{"metric":"iter_spread_ms","queries":$sprd}""")
     // Ingest throughput + phase split BEFORE queries_ms (r16: the zone
-    // budget moved) — rec_per_s is duplicated in the total_summary
-    // trailer, so if the ~2000-char tail window cuts anything, this line
-    // is the sacrificial head. q_stream_ingest's wall-clock is
+    // budget moved) — records/s is duplicated in the `summary` trailer
+    // (its `rps` key), so if the ~2000-char tail window cuts anything,
+    // this line is the sacrificial head. q_stream_ingest's wall-clock is
     // trigger-wait dominated under contention, so records/s and the
     // seed/run/stop decomposition are the comparable numbers.
     graft.queries.StreamingIngest.lastStats.foreach { st =>
@@ -366,8 +434,9 @@ object Bench {
     // after settle+retries — re-measure before trusting it". Printed
     // only when non-empty, and deliberately OUTSIDE the tail-safe zone
     // (review r16): a suspect-heavy round must sacrifice suspect DETAIL
-    // to truncation, never per-query entries — n_suspect still rides in
-    // the trailer, so the fact of contamination always survives.
+    // to truncation, never per-query entries — the suspect count still
+    // rides in the `summary` trailer as `n_su`, so the fact of
+    // contamination always survives.
     if (suspects.nonEmpty) {
       val susp = suspects.map { case (k, (ms, pms)) =>
         "\"" + k + "\":{\"ms\":" + ms + ",\"prior_ms\":" + pms + "}"
@@ -422,20 +491,32 @@ object Bench {
     // per-query 3× band guard cannot see. `cvp` = ratio, `n_common` =
     // overlap size; null/0 when no prior artifact parses.
     val curMs = timings.map { case (k, v) => k -> math.round(v * 1000) }.toMap
-    val cvp = if (guards) BenchGuards.commonVsPrior(curMs, BenchGuards.loadNewestPrior())
-              else None
+    val newestPrior = if (guards) BenchGuards.loadNewestPrior() else Map.empty[String, Long]
+    val cvp = BenchGuards.commonVsPrior(curMs, newestPrior)
     val cvpS = cvp.map { case (r, _) => f"$r%.3f" }.getOrElse("null")
     val cvpN = cvp.map(_._2).getOrElse(0)
+    // Per-family drift vs the same prior (r17 optional #8): families with
+    // ≥6 common queries, names run through the encode dictionary (D =
+    // dedup, S = similarity, … — BenchGuards.tokenDict) so the whole
+    // field costs a handful of trailer bytes while localizing the next
+    // cvp excursion to a family. Empty string when no prior parses.
+    val fcv = BenchGuards.famCvp(curMs, newestPrior)
+      .map { case (fam, r, _) =>
+        val code = BenchGuards.tokenDict.toMap.getOrElse(fam, fam)
+        f"$code:$r%.2f"
+      }.mkString(",")
     // Trailer keys are COMPRESSED — every byte of the ~2000-char tail
     // window pays rent, and the headroom tripwire fired at both the
     // 113th and 117th query (BenchGuardSpec replays the window). Key
     // map (also in README): t_s total seconds, n_q queries, n_err
     // errors, n_su band suspects, n_pr usable priors, sm/s9 spread
     // median/p90, cvp/nc drift ratio + common-set size vs the newest
-    // archive, rps ingest records/s. The sf is NOT repeated here: the
-    // driver records it in the artifact's own metadata fields (and the
-    // head-of-run "total" line carries the full sf dir).
-    println(f"""{"metric":"summary","t_s":$total%.3f,"n_q":${timings.size},"n_err":${errors.size},"n_su":${suspects.size},"n_pr":${prior.size},"sm":$med%.3f,"s9":$p90%.3f,"cvp":$cvpS,"nc":$cvpN,"rps":$rps}""")
+    // PRIOR-round archive, fcv the same ratio per ≥6-query family
+    // (dictionary-coded names), rps ingest records/s. The sf is NOT
+    // repeated here: the driver records it in the artifact's own
+    // metadata fields (and the head-of-run "total" line carries the
+    // full sf dir).
+    println(f"""{"metric":"summary","t_s":$total%.3f,"n_q":${timings.size},"n_err":${errors.size},"n_su":${suspects.size},"n_pr":${prior.size},"sm":$med%.3f,"s9":$p90%.3f,"cvp":$cvpS,"nc":$cvpN,"fcv":"$fcv","rps":$rps}""")
     spark.stop()
   }
 }

@@ -30,7 +30,9 @@ object PlanDump {
     "q_dedup_spans", "q_dedup_spans_clean", "q_sample_stratified",
     "q_quality_classifier", "q_split_leakfree", "q_split_contam_audit",
     "q_vocab_coverage", "q_decontam_clean", "q_mixture_budget",
-    "q_split_leakfree_indexed", "q_split_contam_audit_indexed")
+    "q_split_leakfree_indexed", "q_split_contam_audit_indexed",
+    "q_dedup_spans_indexed", "q_split_contam_audit_spanindexed",
+    "q_media_phash")
 
   private val keep = Seq("Exchange", "HashAggregate", "BroadcastHashJoin",
     "BroadcastNestedLoopJoin", "CartesianProduct", "SortMergeJoin",
@@ -127,6 +129,46 @@ object PlanDump {
          |are the in-query twins' — the recursive reachability CTE
          |re-derives the stored labels, so build correctness stays
          |oracle-covered exactly like the ANN indexed family.""").stripMargin,
+    "q_dedup_spans_indexed" ->
+      ("""Design (r18, VERDICT r17 next-round #1): the build/query split
+         |applied to the window-hash projection itself. spanKeys — an md5
+         |per token plus the rolling fold, corpus-proportional — was
+         |recomputed inside every spans-family query; the (doc_id, p, wh)
+         |rows are a property of the corpus snapshot, so they materialize
+         |once (Dedup.spanIndexDir via graft.Prebuilt: fingerprint-keyed
+         |memo, JVM-exit sweep — the label-table/ANN machinery) and the
+         |stats plan reads parquet instead of rehashing. K = 8 is the
+         |family-wide width, so ONE index serves the dedup stats and the
+         |contamination audit. At 100 TB the table is written BUCKETED BY
+         |wh, which also removes the frequency aggregate's exchange; the
+         |oracle re-derives every index row via the in-query twin's SQL.""").stripMargin,
+    "q_split_contam_audit_spanindexed" ->
+      ("""Design (r18): the fully-indexed audit — prebuilt near-dup labels
+         |(r17) AND the prebuilt span index (r18). q_split_contam_audit_
+         |indexed still paid the corpus-wide window-hash recompute (its
+         |one corpus-proportional stage, exp 0.40); with both tables
+         |materialized the pre-eval trust check is serve-only: equi-joins
+         |and aggregates over parquet, nothing corpus-proportional but
+         |the index scan. This is the shape a lab runs before EVERY eval,
+         |amortizing both one-time builds across every audit on the
+         |snapshot. Oracle = the full in-query audit SQL (both builds
+         |correctness-covered).""").stripMargin,
+    "q_media_phash" ->
+      ("""Design (r18, VERDICT r17 next-round #5): image near-dup by
+         |perceptual hash — aHash over an 8x8 nearest-neighbor luma grid,
+         |all-integer thresholding (lum*64 > total) so the closed-form
+         |oracle is exact. The hash is a REAL raster walk over decoded
+         |PPM bytes (Multimodal.aHashPpm via the shared ppmHeader parse);
+         |the plant is a REAL 2x nearest-neighbor upscale re-encode whose
+         |every byte differs but whose hash provably matches (the
+         |floor(floor(2a)/2) = floor(a) sampling identity — the oracle
+         |replays the full twin chain independently instead of assuming
+         |it). Plan: generate -> hash is a narrow per-row batch map (zero
+         |shuffles, the decode family's shape), then the q_dedup_exact
+         |hash-groupBy on the signature. Linear at 100 TB: swap the
+         |generator for a parquet binary-column scan, plan unchanged;
+         |refusal rows (audio, truncated, compressed) drop in the map,
+         |never fake a signature.""").stripMargin,
     "q_decontam_clean" ->
       ("""Design (r17): benchmark decontamination, REMOVAL form — the
          |operation labs run before training, where q_decontam only

@@ -105,12 +105,14 @@ object Multimodal {
       nullable = false),
     StructField("checksum", LongType, nullable = false)))
 
-  /** PPM "P6" decode: whitespace/comment-tolerant header (the netpbm
-    * grammar: `P6 <w> <h> <maxval>` with `#` comments), then w·h·3 raw
-    * bytes, 1 byte per sample (maxval ≤ 255). Returns (w, h, mean R/G/B
-    * normalized by maxval); None on any malformation — decode is
+  /** PPM "P6" header parse shared by [[decodePpm]], [[aHashPpm]] and
+    * [[upscalePpm2x]] (r18): whitespace/comment-tolerant header (the
+    * netpbm grammar: `P6 <w> <h> <maxval>` with `#` comments) followed by
+    * w·h·3 raw bytes, 1 byte per sample (maxval ≤ 255). Returns (w, h,
+    * maxval, rasterOffset) only when the payload actually CONTAINS the
+    * declared raster; None on any malformation — decode is
     * poison-tolerant like the ingest parser, never throwing on bytes. */
-  private[graft] def decodePpm(b: Array[Byte]): Option[(Int, Int, Array[Double])] = {
+  private[graft] def ppmHeader(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
     if (b.length < 2 || b(0) != 'P' || b(1) != '6') return None
     var i = 2
     def skipWs(): Unit = {
@@ -136,10 +138,16 @@ object Multimodal {
       if w > 0 && h > 0 && maxval > 0 && maxval <= 255
       // exactly ONE whitespace byte separates maxval from raster data
       if i < b.length && { i += 1; b.length - i >= w.toLong * h * 3 }
-    } yield {
+    } yield (w, h, maxval, i)
+  }
+
+  /** PPM "P6" decode via [[ppmHeader]]: (w, h, mean R/G/B normalized by
+    * maxval); None on any malformation. */
+  private[graft] def decodePpm(b: Array[Byte]): Option[(Int, Int, Array[Double])] =
+    ppmHeader(b).map { case (w, h, maxval, off) =>
       var r = 0.0; var g = 0.0; var bl = 0.0
-      var p = i
-      val end = i + w * h * 3
+      var p = off
+      val end = off + w * h * 3
       while (p < end) {
         r += (b(p) & 0xff); g += (b(p + 1) & 0xff); bl += (b(p + 2) & 0xff)
         p += 3
@@ -147,6 +155,116 @@ object Multimodal {
       val n = w.toDouble * h * maxval
       (w, h, Array(r / n, g / n, bl / n))
     }
+
+  /** 64-bit average hash (aHash) of a PPM P6 payload, as a 16-hex-char
+    * signature — the perceptual image fingerprint the image near-dup
+    * query groups on. Grid cell (gx, gy), gx,gy ∈ [0,8), samples the
+    * source pixel (⌊gx·w/8⌋, ⌊gy·h/8⌋) — nearest-neighbor downscale to
+    * an 8×8 luma grid; the cell's bit (index gy·8+gx, MSB-first within
+    * each hex nibble) is set when its integer luma sum R+G+B strictly
+    * exceeds the grid mean, compared all-integer (lum·64 > Σ lums) so
+    * Spark and the closed-form DuckDB oracle agree exactly. Key
+    * robustness property (spec-pinned, planted in q_media_phash):
+    * ⌊⌊2a⌋/2⌋ = ⌊a⌋, so a pixel-doubled upscale samples the IDENTICAL
+    * source pixels and hashes identically by construction — a rescaled
+    * copy of an image is caught where exact byte dedup can't. None when
+    * the payload isn't decodable PPM. */
+  private[graft] def aHashPpm(b: Array[Byte]): Option[String] =
+    ppmHeader(b).map { case (w, h, _, off) =>
+      val sums = new Array[Long](64)
+      var k = 0
+      while (k < 64) {
+        // Long math: (k%8)·w overflows Int at w ≳ 3·10⁸ (the header cap
+        // is 9 digits; the raster-presence check bounds w·h but not w)
+        val x = ((k % 8).toLong * w / 8).toInt
+        val y = ((k / 8).toLong * h / 8).toInt
+        val p = off + (y * w + x) * 3
+        sums(k) = (b(p) & 0xff) + (b(p + 1) & 0xff) + (b(p + 2) & 0xff)
+        k += 1
+      }
+      val total = sums.sum
+      val sb = new java.lang.StringBuilder(16)
+      var j = 0
+      while (j < 16) {
+        var v = 0
+        var t = 0
+        while (t < 4) {
+          v = (v << 1) | (if (sums(4 * j + t) * 64 > total) 1 else 0)
+          t += 1
+        }
+        sb.append("0123456789abcdef".charAt(v))
+        j += 1
+      }
+      sb.toString
+    }
+
+  /** REAL 2× nearest-neighbor upscale of a PPM P6 payload — parses the
+    * header, re-encodes a 2w×2h raster where each source pixel is copied
+    * into a 2×2 block. The production "resize" operator this family
+    * stubs elsewhere, implementable here because PPM needs only byte
+    * arithmetic; also the q_media_phash plant: the upscaled twin must
+    * hash identically (see [[aHashPpm]]). None for non-PPM/malformed
+    * payloads or rasters whose doubling would not fit a JVM array. */
+  private[graft] def upscalePpm2x(b: Array[Byte]): Option[Array[Byte]] =
+    ppmHeader(b).filter { case (w, h, _, _) =>
+      w.toLong * h * 12 < Int.MaxValue - 32
+    }.map { case (w, h, maxval, off) =>
+      val w2 = w * 2; val h2 = h * 2
+      val header = s"P6\n$w2 $h2\n$maxval\n".getBytes("US-ASCII")
+      val out = new Array[Byte](w2 * h2 * 3)
+      var y2 = 0
+      while (y2 < h2) {
+        var x2 = 0
+        while (x2 < w2) {
+          val src = off + ((y2 / 2) * w + (x2 / 2)) * 3
+          val dst = (y2 * w2 + x2) * 3
+          out(dst) = b(src); out(dst + 1) = b(src + 1); out(dst + 2) = b(src + 2)
+          x2 += 1
+        }
+        y2 += 1
+      }
+      header ++ out
+    }
+
+  /** (media_id, phash) over a binary media frame — the same partition-
+    * local batch-map shape as [[decodeMedia]] (no shuffle, bounded
+    * batches); rows whose payload isn't decodable PPM (audio, truncated
+    * rasters, compressed formats) are dropped rather than faked. */
+  def phashPpm(df: DataFrame, batchSize: Int = 64): DataFrame = {
+    val enc = RowEncoder.encoderFor(StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("phash", StringType, nullable = false))))
+    df.select("media_id", "kind", "payload")
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.flatMap { r =>
+            val payload = Option(r.get(2)).map(_.asInstanceOf[Array[Byte]])
+              .getOrElse(Array.emptyByteArray)
+            // never-throw contract: a hasher defect drops the row, not the task
+            (try aHashPpm(payload) catch { case _: Exception => None })
+              .map(hx => Row(r.getLong(0), hx))
+          }
+        }
+      }(enc)
+  }
+
+  /** Pixel-doubled TWINS of every decodable-PPM row: (media_id + offset,
+    * kind, upscaled payload); non-PPM rows drop. The q_media_phash plant
+    * — a rescaled duplicate whose bytes differ everywhere but whose
+    * perceptual hash provably matches. Same narrow batch-map shape. */
+  def upscaledTwins(df: DataFrame, offset: Long, batchSize: Int = 64): DataFrame = {
+    val enc = RowEncoder.encoderFor(StructType(MEDIA_SCHEMA.take(3)))
+    df.select("media_id", "kind", "payload")
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.flatMap { r =>
+            val payload = Option(r.get(2)).map(_.asInstanceOf[Array[Byte]])
+              .getOrElse(Array.emptyByteArray)
+            (try upscalePpm2x(payload) catch { case _: Exception => None })
+              .map(p2 => Row(r.getLong(0) + offset, r.getString(1), p2))
+          }
+        }
+      }(enc)
   }
 
   /** RIFF/WAVE PCM-16 decode: chunk walk (`fmt ` then `data`), 16-bit LE

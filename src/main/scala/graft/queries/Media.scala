@@ -56,8 +56,41 @@ object Media {
         when(col("format") === "ppm", r6(element_at(col("features"), 3)))
           .as("f2"))
         .orderBy("media_id")
+    }),
+
+    // Image near-dup via perceptual hash (r18, VERDICT r17 next-round
+    // #5): a multimodal corpus dedups images by aHash — downscale to an
+    // 8×8 luma grid, threshold each cell against the grid mean, 64-bit
+    // signature — because byte-exact dedup misses RESIZED copies. The
+    // plant: every doc_id % 9 == 0 image gains a REAL 2× nearest-
+    // neighbor upscaled twin ([[Multimodal.upscalePpm2x]] re-encodes the
+    // bytes), whose every byte differs from the original's but whose
+    // hash provably matches (⌊⌊2a⌋/2⌋ = ⌊a⌋ — the sampling identity
+    // [[Multimodal.aHashPpm]] documents); the truncated-raster third of
+    // the corpus and the audio rows are refused by the decoder, not
+    // faked. Shape: generate → hash is a narrow per-row map (zero
+    // shuffles), then the q_dedup_exact hash-groupBy on the 64-bit
+    // signature — identical payloads co-locate regardless of cluster
+    // size. Linear at 100 TB; production reads a parquet binary column
+    // instead of the generator and the plan is unchanged. Tiny synthetic
+    // rasters (w ≤ 8) also collide ACROSS ids — chance clusters the
+    // closed-form oracle reproduces exactly.
+    "q_media_phash" -> ((s, d) => {
+      val ids = Tables.documents(s, d).select(col("doc_id"))
+      val media = Multimodal.syntheticMedia(ids)
+      val twins = Multimodal.upscaledTwins(
+        media.filter(col("media_id") % 9 === 0), twinOffset)
+      Multimodal.phashPpm(media.unionByName(twins))
+        .groupBy("phash")
+        .agg(count(lit(1)).as("n_imgs"), min(col("media_id")).as("keeper"))
+        .filter(col("n_imgs") >= 2)
+        .orderBy("phash")
     })
   )
+
+  /** Twin-id offset for q_media_phash's planted upscaled copies — far
+    * above any real doc_id, shared verbatim with the oracle. */
+  private val twinOffset = 1000000000000L
 
   // Closed-form mirror of generator + decoder. PPM channel mean: raster
   // byte = (id·31 + p·7 + c·11) mod 256, mean over p of byte / 255.
@@ -124,6 +157,48 @@ object Media {
           SELECT * FROM (SELECT * FROM ppm UNION ALL
                          SELECT * FROM wav UNION ALL
                          SELECT * FROM opq)
-          ORDER BY media_id"""
+          ORDER BY media_id""",
+    // Closed-form aHash mirror: integer luma sum at source pixel p of
+    // image id is Σ_{c∈{0,11,22}} (id·31 + p·7 + c) mod 256; grid cell
+    // k (gx = k%8, gy = k//8) samples pixel (⌊gx·w/8⌋, ⌊gy·h/8⌋). The
+    // TWIN branch replays the full upscale chain independently — grid
+    // sample on the 2w×2h raster, then the pixel the doubling copied
+    // from — rather than assuming the hash-equality identity the Spark
+    // side's plant relies on, so the identity is oracle-CHECKED, not
+    // asserted. All-integer comparisons (lum·64 > Σ), exact both sides.
+    "q_media_phash" -> {
+      def lum(p: String) =
+        s"((id*31 + ($p)*7) % 256 + (id*31 + ($p)*7 + 11) % 256" +
+          s" + (id*31 + ($p)*7 + 22) % 256)"
+      val pOrig = "(((k // 8) * h) // 8) * w + (((k % 8) * w) // 8)"
+      val pTwin = "((((k // 8) * (2*h)) // 8) // 2) * w" +
+        " + ((((k % 8) * (2*w)) // 8) // 2)"
+      s"""WITH imgs AS (
+            SELECT doc_id AS media_id, doc_id AS id,
+                   2 + doc_id % 7 AS w, 1 + doc_id % 5 AS h, 0 AS up
+            FROM documents WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT doc_id + $twinOffset, doc_id,
+                   2 + doc_id % 7, 1 + doc_id % 5, 1
+            FROM documents WHERE doc_id % 9 = 0),
+          ls AS (SELECT media_id,
+                   list_transform(range(0, 64), k ->
+                     CASE WHEN up = 0 THEN ${lum(pOrig)}
+                          ELSE ${lum(pTwin)} END) AS sums
+                 FROM imgs),
+          tot AS (SELECT media_id, sums, list_sum(sums) AS total FROM ls),
+          bits AS (SELECT media_id,
+                   list_transform(sums, v ->
+                     CASE WHEN v * 64 > total THEN 1 ELSE 0 END) AS bs
+                 FROM tot),
+          ph AS (SELECT media_id,
+                   array_to_string(list_transform(range(0, 16), j ->
+                     substr('0123456789abcdef',
+                       CAST(bs[4*j+1]*8 + bs[4*j+2]*4 + bs[4*j+3]*2
+                            + bs[4*j+4] + 1 AS INT), 1)), '') AS phash
+                 FROM bits)
+          SELECT phash, count(*) AS n_imgs, min(media_id) AS keeper
+          FROM ph GROUP BY phash HAVING count(*) >= 2 ORDER BY phash"""
+    }
   )
 }

@@ -55,18 +55,21 @@ class BenchGuardSpec extends AnyFunSuite {
     // BENCH_r15 head-truncated 27 of 102 per-query entries because the
     // flat map outgrew the driver's ~2000-char stdout tail capture (r15
     // verdict #1). This test replays Bench's EXACT tail-zone lines over
-    // the REAL declared query inventory, takes the last 2000 chars the
-    // way the driver does, and requires every entry to survive — so any
-    // future query addition that would overflow the window fails HERE,
-    // not in the next round's artifact.
-    val names = SparkEntry.queries.keys.toSeq.sorted
-    assert(names.size >= 100, "inventory sanity")
+    // the REAL declared query inventory — PROJECTED to 125 queries
+    // (VERDICT r17 #2: the next ~5 additions must already fit) — takes
+    // the last 2000 chars the way the driver does, and requires every
+    // entry to survive — so any future query addition that would
+    // overflow the window fails HERE, not in the next round's artifact.
+    val pad = (1 to 5).map(i => s"q_similarity_projected_pad$i")
+      .take(125 - SparkEntry.queries.size)
+    val names = (SparkEntry.queries.keys.toSeq ++ pad).sorted
+    assert(names.size >= 125, "inventory projection sanity")
     // worst-ish-case digits: mostly 3-4 digit ms values
     val ms = names.zipWithIndex.map { case (n, i) => n -> (100L + (i * 37) % 1900) }
     val grpLine =
       s"""{"metric":"queries_ms","g36":"${BenchGuards.encodeGrouped(ms, radix = 36)}","n":${ms.size}}"""
     val summary =
-      """{"metric":"summary","t_s":29.745,"n_q":102,"n_err":0,"n_su":0,"n_pr":102,"sm":0.077,"s9":0.243,"cvp":1.148,"nc":75,"rps":18290.7}"""
+      """{"metric":"summary","t_s":29.745,"n_q":102,"n_err":0,"n_su":0,"n_pr":102,"sm":0.077,"s9":0.243,"cvp":1.148,"nc":75,"fcv":"D:1.07,J:0.98,S:1.01,W:1.00,agg:1.02,text:0.99","rps":18290.7}"""
     // the r17 spread_pct line rides ABOVE queries_ms: sacrificial under
     // truncation, and its grouped percents must never parse as ms priors
     // — its payload key is "sp", so no cut can leave a `"grp":"` marker
@@ -166,6 +169,77 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(BenchGuards.parsePriorQueriesMs(cutHead) ===
       Map("q_dedup_exact" -> 12L, "q_dedup_minhash" -> 34L, "q_topk" -> 80L),
       "every ms entry recovered; no spread percent leaked")
+  }
+
+  test("token dictionary engages at radix 36, round-trips, leaves old payloads intact") {
+    // r18 zone reclaim (VERDICT r17 #2): the 120-query tail zone was 90
+    // bytes from the tripwire; name tokens encode as uppercase letters
+    // under the g36 setting and decode expands them unconditionally
+    val ms = Map(
+      "q_similarity_ivfpq_rindexed" -> 648L, "q_similarity_lsh_multi" -> 97L,
+      "q_dedup_spans_indexed" -> 120L, "q_dedup_exact" -> 12L,
+      "q_split_contam_audit" -> 2847L, "q_split_leakfree" -> 2134L,
+      "q_window_frame" -> 55L, "q_json_funcs" -> 40L, "q_topk" -> 80L)
+    val enc36 = BenchGuards.encodeGrouped(ms, radix = 36)
+    // family AND sub tokens compress; non-dict tokens pass through;
+    // single-entry families print flat with the same token coding
+    assert(enc36.contains("S{"), "similarity family must encode as S")
+    assert(enc36.contains("Q_rindexed"), "ivfpq sub-token must encode as Q")
+    assert(enc36.contains("spans_X:"), "indexed sub-token must encode as X")
+    assert(enc36.contains("P{C_audit:"), "split family + contam token")
+    assert(enc36.contains("W_frame:") && enc36.contains("json_F:"),
+      "flat single-entry names token-compress too")
+    assert(enc36.contains("topk:"), "plain names stay plain")
+    assert(BenchGuards.decodeGrouped(enc36, radix = 36) === ms)
+    // radix 10 (the r16 `grp` marker's setting) stays dictionary-free so
+    // archived decimal payloads remain byte-comparable
+    val enc10 = BenchGuards.encodeGrouped(ms)
+    assert(enc10.contains("similarity{") && !enc10.contains("S{"))
+    assert(BenchGuards.decodeGrouped(enc10) === ms)
+    // pre-r18 base-36 payload (no uppercase anywhere) decodes unchanged
+    assert(BenchGuards.decodeGrouped("dedup{exact:c,minhash:y},topk:28", radix = 36)
+      === Map("q_dedup_exact" -> 12L, "q_dedup_minhash" -> 34L, "q_topk" -> 80L))
+    // the dictionary must be append-only with unique single-UPPERCASE codes
+    val codes = BenchGuards.tokenDict.map(_._2)
+    assert(codes.distinct === codes)
+    assert(codes.forall(c => c.length == 1 && c.head.isUpper))
+    assert(BenchGuards.tokenDict.map(_._1).distinct.size === codes.size)
+  }
+
+  test("famCvp localizes drift to families with enough common queries") {
+    val prior = (1 to 8).map(i => s"q_dedup_x$i" -> 100L).toMap ++
+      (1 to 8).map(i => s"q_join_y$i" -> 200L).toMap ++
+      Map("q_topk" -> 50L, "q_dedup_zero" -> 0L)
+    val cur = prior.map { case (k, v) => k -> (if (k.startsWith("q_dedup")) v * 3 / 2 else v) }
+    val fams = BenchGuards.famCvp(cur, prior, minN = 6)
+    assert(fams.map(_._1) === Seq("dedup", "join"), "small families and 0-priors excluded")
+    val byFam = fams.map(f => f._1 -> f._2).toMap
+    assert(math.abs(byFam("dedup") - 1.5) < 1e-9)
+    assert(math.abs(byFam("join") - 1.0) < 1e-9)
+    assert(fams.find(_._1 == "dedup").get._3 === 8, "0-ms prior key excluded from count")
+  }
+
+  test("cvp prior excludes the in-flight round's own artifact (ADVICE r17 #2)") {
+    // inFlightRound parses the verdict header: building round = judged + 1
+    val dir = java.nio.file.Files.createTempDirectory("bench_guard_spec")
+    val verdict = dir.resolve("VERDICT.md")
+    java.nio.file.Files.write(verdict, "# VERDICT — round 17\n\nbody".getBytes)
+    assert(BenchGuards.inFlightRound(verdict.toString) === Some(18))
+    assert(BenchGuards.inFlightRound(dir.resolve("missing.md").toString) === None)
+    // newestArtifacts(below = in-flight) skips the same-round recording:
+    // a rehearsal rerun after BENCH_r18.json lands must band drift
+    // against r17, not against round 18's own earlier artifact
+    Seq(16, 17, 18).foreach { r =>
+      java.nio.file.Files.write(dir.resolve(s"BENCH_r$r.json"), "{}".getBytes)
+    }
+    def base(ps: Seq[String]) = ps.map(p => new java.io.File(p).getName)
+    assert(base(BenchGuards.newestArtifacts(1, below = Some(18), dir = dir.toString))
+      === Seq("BENCH_r17.json"))
+    assert(base(BenchGuards.newestArtifacts(1, below = None, dir = dir.toString))
+      === Seq("BENCH_r18.json"))
+    assert(base(BenchGuards.newestArtifacts(2, below = Some(18), dir = dir.toString))
+      === Seq("BENCH_r17.json", "BENCH_r16.json"))
+    dir.toFile.listFiles.foreach(_.delete()); dir.toFile.delete()
   }
 
   test("commonVsPrior: broad sub-3x drift is visible; disjoint or zero priors are not") {

@@ -217,6 +217,21 @@ class DedupEdgeSpec extends SparkSpec {
     assert(Dedup.splitLabelDir(spark, sf0001) === d1)
   }
 
+  test("prebuilt span index: indexed spans stats and fully-indexed audit equal in-query twins") {
+    // r18 (VERDICT r17 next-round #1): the (doc_id, p, wh) window-hash
+    // index materializes once per corpus snapshot; the serve twins must
+    // be row-identical to the per-query recompute
+    def rows(q: String) = SparkEntry.queries(q)(spark, sf0001)
+      .collect().map(_.toString).toSeq
+    assert(rows("q_dedup_spans_indexed") === rows("q_dedup_spans"))
+    assert(rows("q_split_contam_audit_spanindexed") === rows("q_split_contam_audit"))
+    // memo hit + the shared Prebuilt keying: same corpus → same dir,
+    // distinct prefix from the label table's
+    val s1 = Dedup.spanIndexDir(spark, sf0001)
+    assert(Dedup.spanIndexDir(spark, sf0001) === s1)
+    assert(s1 !== Dedup.splitLabelDir(spark, sf0001))
+  }
+
   test("q_decontam_clean cuts exactly the planted benchmark span; bench docs excluded") {
     import spark.implicits._
     val d = tmpDir("decontam-clean")

@@ -208,6 +208,67 @@ class MultimodalSpec extends SparkSpec {
     assert(bad === 0L)
   }
 
+  // --- perceptual hash + real upscale (r18) ---
+
+  test("aHashPpm: planted near-dup pair — a 2x-upscaled image hashes identically") {
+    // the q_media_phash plant: every byte of the upscaled twin differs
+    // (different header, 4x the raster) yet the perceptual hash matches
+    // by the sampling identity floor(floor(2a)/2) = floor(a)
+    for (id <- Seq(0L, 9L, 18L, 36L, 12345L * 9)) {
+      val orig = Multimodal.ppmPayload(id, truncate = false)
+      val up = Multimodal.upscalePpm2x(orig)
+        .getOrElse(fail(s"upscale refused a valid PPM (id=$id)"))
+      assert(!java.util.Arrays.equals(orig, up), "twin bytes must differ")
+      assert(Multimodal.aHashPpm(up) === Multimodal.aHashPpm(orig),
+        s"upscaled twin of id=$id must hash identically")
+    }
+    // and a visually DIFFERENT image hashes differently: a left-right
+    // gradient vs its inversion flips every grid bit that is off-mean
+    def gradient(invert: Boolean): Array[Byte] = {
+      val header = "P6\n8 8\n255\n".getBytes("US-ASCII")
+      val raster = new Array[Byte](8 * 8 * 3)
+      for (y <- 0 until 8; x <- 0 until 8; c <- 0 until 3)
+        raster((y * 8 + x) * 3 + c) =
+          (if (invert) 255 - x * 30 else x * 30).toByte
+      header ++ raster
+    }
+    assert(Multimodal.aHashPpm(gradient(false)) !==
+           Multimodal.aHashPpm(gradient(true)))
+    // refusal paths: audio bytes and a truncated raster are None, not fake
+    assert(Multimodal.aHashPpm(Multimodal.wavPayload(1L)) === None)
+    assert(Multimodal.aHashPpm(
+      Multimodal.ppmPayload(2L, truncate = true)) === None)
+  }
+
+  test("upscalePpm2x is a REAL re-encode: decoded dims double, channel means exact") {
+    // nearest-neighbor doubling copies each pixel into a 2x2 block, so
+    // the real decoder must see 2w x 2h and IDENTICAL channel means
+    val orig = Multimodal.ppmPayload(7L * 3, truncate = false)
+    val Some((w, h, means)) = Multimodal.decodePpm(orig)
+    val Some((w2, h2, means2)) =
+      Multimodal.decodePpm(Multimodal.upscalePpm2x(orig).get)
+    assert((w2, h2) === (2 * w, 2 * h))
+    assert(means2.toSeq === means.toSeq, "block duplication preserves means")
+  }
+
+  test("q_media_phash groups originals with their planted upscaled twins") {
+    val out = graft.queries.Media.queries("q_media_phash")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty, "plant keeps the query non-vacuous at every SF")
+    // every doc_id % 9 == 0 image's twin (id + 1e12) shares a cluster
+    // with SOME original (usually its own source; tiny synthetic rasters
+    // may merge clusters across ids — the oracle reproduces that too)
+    val docIds = graft.Tables.documents(spark, sf0001)
+      .select("doc_id").collect().map(_.getLong(0))
+    val planted = docIds.filter(_ % 9 == 0)
+    assert(planted.nonEmpty, "fixture sanity")
+    val clustered = out.map(_._2).sum
+    assert(clustered >= 2 * 1, "at least one (original, twin) pair grouped")
+    // keepers are originals, never twins: min(media_id) precedes the 1e12 offset
+    assert(out.forall(_._3 < 1000000000000L),
+      "every cluster contains at least one original image")
+  }
+
   test("exact dedup finds duplicate payloads (positive path for q_dedup_exact)") {
     import spark.implicits._
     val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
