@@ -32,7 +32,7 @@ object PlanDump {
     "q_vocab_coverage", "q_decontam_clean", "q_mixture_budget",
     "q_split_leakfree_indexed", "q_split_contam_audit_indexed",
     "q_dedup_spans_indexed", "q_split_contam_audit_spanindexed",
-    "q_media_phash")
+    "q_media_phash", "q_dedup_minhash_indexed")
 
   private val keep = Seq("Exchange", "HashAggregate", "BroadcastHashJoin",
     "BroadcastNestedLoopJoin", "CartesianProduct", "SortMergeJoin",
@@ -153,6 +153,19 @@ object PlanDump {
          |amortizing both one-time builds across every audit on the
          |snapshot. Oracle = the full in-query audit SQL (both builds
          |correctness-covered).""").stripMargin,
+    "q_dedup_minhash_indexed" ->
+      ("""Design (r18): the third dedup family on the build/query split
+         |(labels r17, spans r18) — the per-doc 8-minhash signature (a
+         |shingle pass + 8 fused min-folds, the compute-dense half of
+         |q_dedup_minhash) is a corpus property, so the banded signature
+         |table (doc_id, band, bk, mh0..mh7) materializes once per
+         |snapshot via graft.Prebuilt and serving starts at the band-key
+         |self-join + pair-dedup groupBy. The same table is what a
+         |production pipeline keeps to admit NEW documents against the
+         |corpus (the StreamingStateSpec near-dup gate joins a stream's
+         |band keys against exactly this shape). At 100 TB the table is
+         |bucketed by bk to co-locate the self-join. Oracle = the full
+         |in-query SQL, so the stored signatures stay oracle-covered.""").stripMargin,
     "q_media_phash" ->
       ("""Design (r18, VERDICT r17 next-round #5): image near-dup by
          |perceptual hash — aHash over an 8x8 nearest-neighbor luma grid,

@@ -232,6 +232,17 @@ class DedupEdgeSpec extends SparkSpec {
     assert(s1 !== Dedup.splitLabelDir(spark, sf0001))
   }
 
+  test("prebuilt minhash signature table: indexed pair scoring equals the in-query twin") {
+    // the third dedup family on the build/query split (r18): the banded
+    // signature table materializes once; the serve twin's candidate
+    // pairs and estimated Jaccard must be row-identical
+    def rows(q: String) = SparkEntry.queries(q)(spark, sf0001)
+      .collect().map(_.toString).toSeq
+    assert(rows("q_dedup_minhash_indexed") === rows("q_dedup_minhash"))
+    val m1 = Dedup.minhashIndexDir(spark, sf0001)
+    assert(Dedup.minhashIndexDir(spark, sf0001) === m1, "memo hits")
+  }
+
   test("q_decontam_clean cuts exactly the planted benchmark span; bench docs excluded") {
     import spark.implicits._
     val d = tmpDir("decontam-clean")

@@ -347,6 +347,74 @@ class StreamingStateSpec extends SparkSpec {
     eng.consumeEndAll()
   }
 
+  test("CV span-index maintenance over the emulated source equals the batch index") {
+    // r18 (the README snapshot-semantics note's counterpart): of the
+    // three prebuilt tables, the span index's docwh rows are a PURE
+    // per-doc projection — a new doc adds rows and relabels nothing, so
+    // incremental maintenance is well-defined (unlike min-label CC). The
+    // (doc_id, wh) table is therefore maintained as a continuous view
+    // over the emulated sharded-log source; after every drain it must
+    // equal the batch spanKeys projection of exactly the docs fed so
+    // far, and a cross-set contamination probe served from the
+    // MAINTAINED view must match the batch-derived one row for row.
+    val root = tmpDir("kin-spanix")
+    val meta = tmpDir("kin-spanix-meta")
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0).toString, s"${r.getLong(0)} ${r.getString(1)}"))
+    val (half1, half2) = docs.splitAt(docs.length / 2)
+    ShardedLog.append(s"$root/s", 0, half1.toSeq)
+    val eng = new KinesisEngine(spark, meta)
+    eng.addEndpoint("ep", "r", url = root)
+    eng.createStream("doc_stream",
+      StructType(Seq(StructField("payload", StringType))))
+    eng.createContinuousView("span_index_view", "doc_stream", df => {
+      val parsed = df.select(
+        split(col("payload"), " ", 2).getItem(0).cast("long").as("doc_id"),
+        split(col("payload"), " ", 2).getItem(1).as("text"))
+      // groupBy fits the CV's update-mode merge; each doc arrives once,
+      // so the count is structural (n occurrences of wh within the doc)
+      graft.queries.Dedup.spanKeys(parsed, "doc_id", "text", 8)
+        .groupBy("doc_id", "wh").agg(count(lit(1)).as("n"))
+    })
+    eng.consumeBegin("ep", "s", "doc_stream", format = "text")
+    def batchDocWh(ids: Set[Long]): Set[(Long, Long)] =
+      graft.queries.Dedup.spanKeys(
+          Tables.documents(spark, sf0001).filter(col("doc_id").isInCollection(ids)),
+          "doc_id", "text", 8)
+        .select("doc_id", "wh").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def viewSnap(): Set[(Long, Long)] =
+      eng.viewTable("span_index_view").select("doc_id", "wh")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    eng.processAllAvailable()
+    assert(viewSnap() === batchDocWh(half1.map(_._1.toLong).toSet),
+      "after drain 1 the maintained index covers exactly the streamed half")
+    ShardedLog.append(s"$root/s", 0, half2.toSeq)
+    eng.processAllAvailable()
+    assert(viewSnap() === batchDocWh(docs.map(_._1.toLong).toSet),
+      "after drain 2 the maintained index equals the full batch projection")
+    // serve a contamination-style probe FROM the maintained view: which
+    // odd-id docs share a window hash with any even-id doc — the audit's
+    // probe shape (distinct doc-level rows, side split, wh-keyed join)
+    val view = eng.viewTable("span_index_view").select("doc_id", "wh")
+    def probe(src: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] = {
+      val evenWh = src.filter(col("doc_id") % 2 === 0)
+        .select("wh").distinct()
+      src.filter(col("doc_id") % 2 === 1)
+        .join(evenWh, "wh")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+        .orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    }
+    val batchSrc = graft.queries.Dedup.spanKeys(
+        Tables.documents(spark, sf0001), "doc_id", "text", 8)
+      .select("doc_id", "wh").distinct()
+    assert(probe(view) === probe(batchSrc),
+      "the audit probe served from the maintained view matches batch")
+    eng.consumeEndAll()
+  }
+
   test("streaming span contamination: incoming docs matched against a static corpus") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
