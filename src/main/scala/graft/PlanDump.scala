@@ -32,7 +32,7 @@ object PlanDump {
     "q_vocab_coverage", "q_decontam_clean", "q_mixture_budget",
     "q_split_leakfree_indexed", "q_split_contam_audit_indexed",
     "q_dedup_spans_indexed", "q_split_contam_audit_spanindexed",
-    "q_media_phash", "q_dedup_minhash_indexed")
+    "q_media_phash", "q_dedup_minhash_indexed", "q_media_phash_pairs")
 
   private val keep = Seq("Exchange", "HashAggregate", "BroadcastHashJoin",
     "BroadcastNestedLoopJoin", "CartesianProduct", "SortMergeJoin",
@@ -182,6 +182,22 @@ object PlanDump {
          |generator for a parquet binary-column scan, plan unchanged;
          |refusal rows (audio, truncated, compressed) drop in the map,
          |never fake a signature.""").stripMargin,
+    "q_media_phash_pairs" ->
+      ("""Design (r18): Hamming-banded image near-dup pairs — the LSH
+         |band idiom applied to the 64-bit aHash: four 16-bit bands, any
+         |pair within Hamming 3 agrees on >=1 band (pigeonhole — exact
+         |recall at the threshold), rescore = per-band XOR+popcount, all
+         |integer. Two quadratic guards, both the q_dedup_ngram df-cutoff
+         |idiom: a 12-pixel floor (an 8x8 grid oversamples a 2x1 raster
+         |into a near-constant signature) and a band-bucket occupancy
+         |cutoff of 20 (a hot bucket is an exact-duplicate flood the
+         |cluster form already reports as ONE row; pairing inside it is
+         |occ^2 for no information — measured 112,811 -> 2,097 pairs at
+         |sf0.1). On the periodic synthetic rasters the bucket space
+         |saturates at scale and candidates correctly degenerate toward
+         |zero rather than quadratic work; real image corpora have
+         |diverse hashes and the cutoff grows with log of corpus size.
+         |The occupancy aggregate is one row per bucket — no skew.""").stripMargin,
     "q_decontam_clean" ->
       ("""Design (r17): benchmark decontamination, REMOVAL form — the
          |operation labs run before training, where q_decontam only

@@ -170,6 +170,16 @@ object Multimodal {
     * copy of an image is caught where exact byte dedup can't. None when
     * the payload isn't decodable PPM. */
   private[graft] def aHashPpm(b: Array[Byte]): Option[String] =
+    aHashFull(b).map(_._1)
+
+  /** [[aHashPpm]] plus the pieces the near-dup JOIN needs: (hex
+    * signature, pixel count w·h, four 16-bit band values). Band j packs
+    * bits 16j..16j+15 (bit 16j most significant) — the Hamming-band LSH
+    * keys: any pair within Hamming distance 3 agrees on at least one of
+    * the 4 bands (pigeonhole), so a band equi-join has exact recall at
+    * that threshold. Band values are ints < 65536 — bitwise XOR +
+    * popcount is exact on both engines. */
+  private[graft] def aHashFull(b: Array[Byte]): Option[(String, Long, Array[Int])] =
     ppmHeader(b).map { case (w, h, _, off) =>
       val sums = new Array[Long](64)
       var k = 0
@@ -183,19 +193,23 @@ object Multimodal {
         k += 1
       }
       val total = sums.sum
+      val bits = new Array[Int](64)
+      k = 0
+      while (k < 64) { bits(k) = if (sums(k) * 64 > total) 1 else 0; k += 1 }
       val sb = new java.lang.StringBuilder(16)
       var j = 0
       while (j < 16) {
-        var v = 0
-        var t = 0
-        while (t < 4) {
-          v = (v << 1) | (if (sums(4 * j + t) * 64 > total) 1 else 0)
-          t += 1
-        }
+        val v = (bits(4 * j) << 3) | (bits(4 * j + 1) << 2) |
+                (bits(4 * j + 2) << 1) | bits(4 * j + 3)
         sb.append("0123456789abcdef".charAt(v))
         j += 1
       }
-      sb.toString
+      val bands = Array.tabulate(4) { bd =>
+        var v = 0; var t = 0
+        while (t < 16) { v = (v << 1) | bits(16 * bd + t); t += 1 }
+        v
+      }
+      (sb.toString, w.toLong * h, bands)
     }
 
   /** REAL 2× nearest-neighbor upscale of a PPM P6 payload — parses the
@@ -233,7 +247,12 @@ object Multimodal {
   def phashPpm(df: DataFrame, batchSize: Int = 64): DataFrame = {
     val enc = RowEncoder.encoderFor(StructType(Seq(
       StructField("media_id", LongType, nullable = false),
-      StructField("phash", StringType, nullable = false))))
+      StructField("phash", StringType, nullable = false),
+      StructField("n_px", LongType, nullable = false),
+      StructField("b0", IntegerType, nullable = false),
+      StructField("b1", IntegerType, nullable = false),
+      StructField("b2", IntegerType, nullable = false),
+      StructField("b3", IntegerType, nullable = false))))
     df.select("media_id", "kind", "payload")
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
@@ -241,8 +260,10 @@ object Multimodal {
             val payload = Option(r.get(2)).map(_.asInstanceOf[Array[Byte]])
               .getOrElse(Array.emptyByteArray)
             // never-throw contract: a hasher defect drops the row, not the task
-            (try aHashPpm(payload) catch { case _: Exception => None })
-              .map(hx => Row(r.getLong(0), hx))
+            (try aHashFull(payload) catch { case _: Exception => None })
+              .map { case (hx, nPx, bs) =>
+                Row(r.getLong(0), hx, nPx, bs(0), bs(1), bs(2), bs(3))
+              }
           }
         }
       }(enc)

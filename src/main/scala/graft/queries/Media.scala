@@ -85,6 +85,59 @@ object Media {
         .agg(count(lit(1)).as("n_imgs"), min(col("media_id")).as("keeper"))
         .filter(col("n_imgs") >= 2)
         .orderBy("phash")
+    }),
+
+    // Hamming-banded near-dup PAIRS over the perceptual hashes (r18) —
+    // the LSH idiom applied to image signatures: split the 64-bit aHash
+    // into four 16-bit bands; any pair within Hamming distance 3 agrees
+    // on at least one band (pigeonhole), so a band equi-join has EXACT
+    // recall at that threshold — never an all-pairs comparison. Rescore
+    // = XOR + popcount per band, all-integer. Two quadratic-blowup
+    // guards, both the q_dedup_ngram df-cutoff idiom: (1) images below
+    // 12 pixels are excluded on BOTH sides — an 8×8 grid oversamples a
+    // 2×1 raster into a near-constant signature; (2) band buckets with
+    // occupancy > 20 are HOT and skipped for candidate generation — a
+    // hot bucket is an exact-duplicate flood that the cluster form
+    // (q_media_phash) already reports compactly as one row, and pairing
+    // inside it is occ² for no information (measured 112,811 → 2,097
+    // pairs at sf0.1; on the periodic synthetic rasters the bucket
+    // space saturates at 10× and the stage correctly degenerates toward
+    // zero candidates rather than quadratic work — the q_dedup_ngram
+    // regime note applies verbatim). A near-dup pair loses candidacy
+    // only when ALL its agreeing bands are hot. The planted upscaled
+    // twins surface as hamming-0 pairs (spec-pinned on a controlled
+    // corpus). Scale shape: narrow hash map → 4-row band explode →
+    // bucket-occupancy aggregate (one row per bucket, no skew) →
+    // band-key equi-join → pair dedup — q_dedup_minhash's plan on
+    // image bytes.
+    "q_media_phash_pairs" -> ((s, d) => {
+      val ids = Tables.documents(s, d).select(col("doc_id"))
+      val media = Multimodal.syntheticMedia(ids)
+      val twins = Multimodal.upscaledTwins(
+        media.filter(col("media_id") % 9 === 0), twinOffset)
+      val hashed = Multimodal.phashPpm(media.unionByName(twins))
+        .filter(col("n_px") >= 12)
+      // band values ride through the explode (the q_dedup_minhash carry
+      // pattern) so the rescore reads the joined rows, no signature re-join
+      val e0 = hashed.select(
+        Seq(col("media_id"), col("b0"), col("b1"), col("b2"), col("b3")) :+
+          posexplode(array((0 until 4).map(i => col(s"b$i")): _*))
+            .as(Seq("band", "bv")): _*)
+      val cold = e0.groupBy("band", "bv").agg(count(lit(1)).as("occ"))
+        .filter(col("occ") <= 20).select("band", "bv")
+      val e = e0.join(cold, Seq("band", "bv"))
+      val x = e.as("x"); val y = e.as("y")
+      x.join(y, col("x.band") === col("y.band") &&
+                col("x.bv") === col("y.bv") &&
+                col("x.media_id") < col("y.media_id"))
+        .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"),
+          expr("CAST(bit_count(x.b0 ^ y.b0) + bit_count(x.b1 ^ y.b1)" +
+               " + bit_count(x.b2 ^ y.b2) + bit_count(x.b3 ^ y.b3)" +
+               " AS BIGINT)").as("hm"))
+        // a pair colliding in several bands scores identically each time
+        .groupBy("id_a", "id_b").agg(min(col("hm")).as("hamming"))
+        .filter(col("hamming") <= 3)
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -158,22 +211,65 @@ object Media {
                          SELECT * FROM wav UNION ALL
                          SELECT * FROM opq)
           ORDER BY media_id""",
-    // Closed-form aHash mirror: integer luma sum at source pixel p of
-    // image id is Σ_{c∈{0,11,22}} (id·31 + p·7 + c) mod 256; grid cell
-    // k (gx = k%8, gy = k//8) samples pixel (⌊gx·w/8⌋, ⌊gy·h/8⌋). The
-    // TWIN branch replays the full upscale chain independently — grid
-    // sample on the 2w×2h raster, then the pixel the doubling copied
-    // from — rather than assuming the hash-equality identity the Spark
-    // side's plant relies on, so the identity is oracle-CHECKED, not
-    // asserted. All-integer comparisons (lum·64 > Σ), exact both sides.
-    "q_media_phash" -> {
-      def lum(p: String) =
-        s"((id*31 + ($p)*7) % 256 + (id*31 + ($p)*7 + 11) % 256" +
-          s" + (id*31 + ($p)*7 + 22) % 256)"
-      val pOrig = "(((k // 8) * h) // 8) * w + (((k % 8) * w) // 8)"
-      val pTwin = "((((k // 8) * (2*h)) // 8) // 2) * w" +
-        " + ((((k % 8) * (2*w)) // 8) // 2)"
-      s"""WITH imgs AS (
+    // Closed-form aHash mirror (phashBitsCteSql): the grouped-cluster
+    // form. Hex nibble j = bits 4j..4j+3, bit 4j most significant.
+    "q_media_phash" ->
+      s"""WITH $phashBitsCteSql,
+          ph AS (SELECT media_id,
+                   array_to_string(list_transform(range(0, 16), j ->
+                     substr('0123456789abcdef',
+                       CAST(bs[4*j+1]*8 + bs[4*j+2]*4 + bs[4*j+3]*2
+                            + bs[4*j+4] + 1 AS INT), 1)), '') AS phash
+                 FROM bits)
+          SELECT phash, count(*) AS n_imgs, min(media_id) AS keeper
+          FROM ph GROUP BY phash HAVING count(*) >= 2 ORDER BY phash""",
+    // The Hamming-band pair form over the same bits CTE: band j's value
+    // folds bits 16j..16j+15 MSB-first; candidates from the band
+    // equi-join (distinct pairs), rescore = Σ |bit_a − bit_b| over the
+    // full 64 — the exact mirror of the Spark side's per-band
+    // XOR+popcount sum. The ≥12-pixel floor applies to both sides.
+    "q_media_phash_pairs" ->
+      s"""WITH $phashBitsCteSql,
+          bnd AS (SELECT media_id, bs, unnest(range(0, 4)) AS band
+                  FROM bits WHERE n_px >= 12),
+          bvs AS (SELECT media_id, bs, band,
+                    list_reduce(list_slice(bs, 16*band + 1, 16*band + 16),
+                                (a, x) -> a * 2 + x) AS bv
+                  FROM bnd),
+          okb AS (SELECT band, bv FROM (SELECT band, bv, count(*) AS n
+                  FROM bvs GROUP BY band, bv) WHERE n <= 20),
+          bvc AS (SELECT b.* FROM bvs b JOIN okb USING (band, bv)),
+          pairs AS (SELECT DISTINCT x.media_id AS id_a, y.media_id AS id_b
+                    FROM bvc x JOIN bvc y
+                      ON x.band = y.band AND x.bv = y.bv
+                     AND x.media_id < y.media_id)
+          SELECT id_a, id_b, hamming FROM (
+            SELECT id_a, id_b,
+                   CAST(list_sum(list_transform(range(1, 65),
+                     k -> abs(a.bs[k] - b.bs[k]))) AS BIGINT) AS hamming
+            FROM pairs JOIN bits a ON id_a = a.media_id
+                       JOIN bits b ON id_b = b.media_id)
+          WHERE hamming <= 3 ORDER BY id_a, id_b"""
+  )
+
+  /** Shared closed-form aHash CTE block (spliced after `WITH` by both
+    * phash oracles): integer luma sum at source pixel p of image id is
+    * Σ_{c∈{0,11,22}} (id·31 + p·7 + c) mod 256; grid cell k (gx = k%8,
+    * gy = k//8) samples pixel (⌊gx·w/8⌋, ⌊gy·h/8⌋). The TWIN branch
+    * replays the full upscale chain independently — grid sample on the
+    * 2w×2h raster, then the pixel the doubling copied from — rather
+    * than assuming the hash-equality identity the Spark side's plant
+    * relies on, so the identity is oracle-CHECKED, not asserted.
+    * All-integer comparisons (lum·64 > Σ), exact both sides. Yields
+    * `bits(media_id, n_px, bs)` with bs = 64 0/1 values. */
+  private lazy val phashBitsCteSql: String = {
+    def lum(p: String) =
+      s"((id*31 + ($p)*7) % 256 + (id*31 + ($p)*7 + 11) % 256" +
+        s" + (id*31 + ($p)*7 + 22) % 256)"
+    val pOrig = "(((k // 8) * h) // 8) * w + (((k % 8) * w) // 8)"
+    val pTwin = "((((k // 8) * (2*h)) // 8) // 2) * w" +
+      " + ((((k % 8) * (2*w)) // 8) // 2)"
+    s"""imgs AS (
             SELECT doc_id AS media_id, doc_id AS id,
                    2 + doc_id % 7 AS w, 1 + doc_id % 5 AS h, 0 AS up
             FROM documents WHERE doc_id % 3 = 0
@@ -182,23 +278,16 @@ object Media {
                    2 + doc_id % 7, 1 + doc_id % 5, 1
             FROM documents WHERE doc_id % 9 = 0),
           ls AS (SELECT media_id,
+                   CASE WHEN up = 0 THEN w*h ELSE 4*w*h END AS n_px,
                    list_transform(range(0, 64), k ->
                      CASE WHEN up = 0 THEN ${lum(pOrig)}
                           ELSE ${lum(pTwin)} END) AS sums
                  FROM imgs),
-          tot AS (SELECT media_id, sums, list_sum(sums) AS total FROM ls),
-          bits AS (SELECT media_id,
+          tot AS (SELECT media_id, n_px, sums, list_sum(sums) AS total
+                  FROM ls),
+          bits AS (SELECT media_id, n_px,
                    list_transform(sums, v ->
                      CASE WHEN v * 64 > total THEN 1 ELSE 0 END) AS bs
-                 FROM tot),
-          ph AS (SELECT media_id,
-                   array_to_string(list_transform(range(0, 16), j ->
-                     substr('0123456789abcdef',
-                       CAST(bs[4*j+1]*8 + bs[4*j+2]*4 + bs[4*j+3]*2
-                            + bs[4*j+4] + 1 AS INT), 1)), '') AS phash
-                 FROM bits)
-          SELECT phash, count(*) AS n_imgs, min(media_id) AS keeper
-          FROM ph GROUP BY phash HAVING count(*) >= 2 ORDER BY phash"""
-    }
-  )
+                 FROM tot)"""
+  }
 }

@@ -269,6 +269,27 @@ class MultimodalSpec extends SparkSpec {
       "every cluster contains at least one original image")
   }
 
+  test("q_media_phash_pairs: planted twin pair found at hamming 0; sub-floor images excluded") {
+    import spark.implicits._
+    // controlled corpus (the dedup-spec tmpDir pattern): doc_ids chosen
+    // so id 18 is a PPM with a planted upscaled twin (18 % 9 == 0,
+    // w=6 h=4 → 24 px), ids 24/33 are distinct large PPMs without twins,
+    // and id 0 is a 2-pixel thumbnail BELOW the 12-px information floor
+    // (its twin is 8 px — both sides must be excluded)
+    val d = java.nio.file.Files.createTempDirectory("phash-pairs").toString
+    Seq(0L, 18L, 24L, 33L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    val rows = graft.queries.Media.queries("q_media_phash_pairs")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val twin18 = 18L + 1000000000000L
+    assert(rows.contains((18L, twin18, 0L)),
+      "the upscaled twin must pair with its original at hamming 0")
+    assert(rows.forall { case (a, b, _) =>
+      a != 0L && b != 0L && b != 1000000000000L },
+      "sub-floor thumbnails (and their twins) never pair")
+    assert(rows.forall(_._3 <= 3L), "threshold respected")
+  }
+
   test("exact dedup finds duplicate payloads (positive path for q_dedup_exact)") {
     import spark.implicits._
     val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
