@@ -32,7 +32,8 @@ object PlanDump {
     "q_vocab_coverage", "q_decontam_clean", "q_mixture_budget",
     "q_split_leakfree_indexed", "q_split_contam_audit_indexed",
     "q_dedup_spans_indexed", "q_split_contam_audit_spanindexed",
-    "q_media_phash", "q_dedup_minhash_indexed", "q_media_phash_pairs")
+    "q_media_phash", "q_dedup_minhash_indexed", "q_media_phash_pairs",
+    "q_dedup_spans_clean_indexed")
 
   private val keep = Seq("Exchange", "HashAggregate", "BroadcastHashJoin",
     "BroadcastNestedLoopJoin", "CartesianProduct", "SortMergeJoin",

@@ -224,6 +224,7 @@ class DedupEdgeSpec extends SparkSpec {
     def rows(q: String) = SparkEntry.queries(q)(spark, sf0001)
       .collect().map(_.toString).toSeq
     assert(rows("q_dedup_spans_indexed") === rows("q_dedup_spans"))
+    assert(rows("q_dedup_spans_clean_indexed") === rows("q_dedup_spans_clean"))
     assert(rows("q_split_contam_audit_spanindexed") === rows("q_split_contam_audit"))
     // memo hit + the shared Prebuilt keying: same corpus → same dir,
     // distinct prefix from the label table's
