@@ -123,8 +123,18 @@ object Media {
         Seq(col("media_id"), col("b0"), col("b1"), col("b2"), col("b3")) :+
           posexplode(array((0 until 4).map(i => col(s"b$i")): _*))
             .as(Seq("band", "bv")): _*)
+      // occupancy cutoff knob (the embcos knob discipline): the DEFAULT
+      // (20) is what the DuckDB oracle mirrors and what the gate runs;
+      // an explicit session conf is the production lever — a named
+      // error on unparseable values, never a bare NumberFormatException
+      val cutoff = s.conf.getOption("graft.media.phash.occcutoff").map { v =>
+        try v.trim.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"graft.media.phash.occcutoff must be an integer, got '$v'")
+        }
+      }.getOrElse(20)
       val cold = e0.groupBy("band", "bv").agg(count(lit(1)).as("occ"))
-        .filter(col("occ") <= 20).select("band", "bv")
+        .filter(col("occ") <= cutoff).select("band", "bv")
       val e = e0.join(cold, Seq("band", "bv"))
       val x = e.as("x"); val y = e.as("y")
       x.join(y, col("x.band") === col("y.band") &&
