@@ -240,6 +240,7 @@ class DedupEdgeSpec extends SparkSpec {
     def rows(q: String) = SparkEntry.queries(q)(spark, sf0001)
       .collect().map(_.toString).toSeq
     assert(rows("q_dedup_minhash_indexed") === rows("q_dedup_minhash"))
+    assert(rows("q_dedup_cluster_indexed") === rows("q_dedup_cluster"))
     val m1 = Dedup.minhashIndexDir(spark, sf0001)
     assert(Dedup.minhashIndexDir(spark, sf0001) === m1, "memo hits")
   }
