@@ -36,7 +36,13 @@ object BenchGuards {
   private[graft] val tokenDict: Seq[(String, String)] = Seq(
     "similarity" -> "S", "dedup" -> "D", "window" -> "W", "indexed" -> "X",
     "sketch" -> "K", "ivfpq" -> "Q", "funcs" -> "F", "join" -> "J",
-    "distinct" -> "T", "split" -> "P", "multi" -> "M", "contam" -> "C")
+    "distinct" -> "T", "split" -> "P", "multi" -> "M", "contam" -> "C",
+    // appended r18b — the 127-query tree pushed the 132-query projection
+    // to 1958 bytes and the tripwire fired again
+    "percentile" -> "E", "leakfree" -> "L", "decontam" -> "N",
+    "spans" -> "Z", "audit" -> "A", "session" -> "O", "quality" -> "Y",
+    "mixture" -> "U", "string" -> "G", "sample" -> "B", "cluster" -> "V",
+    "stream" -> "R")
   private val encTok = tokenDict.toMap
   private val decTok = tokenDict.map(_.swap).toMap
   private def encName(n: String): String =

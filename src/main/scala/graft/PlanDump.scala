@@ -33,7 +33,7 @@ object PlanDump {
     "q_split_leakfree_indexed", "q_split_contam_audit_indexed",
     "q_dedup_spans_indexed", "q_split_contam_audit_spanindexed",
     "q_media_phash", "q_dedup_minhash_indexed", "q_media_phash_pairs",
-    "q_dedup_spans_clean_indexed")
+    "q_dedup_spans_clean_indexed", "q_dedup_cluster_indexed")
 
   private val keep = Seq("Exchange", "HashAggregate", "BroadcastHashJoin",
     "BroadcastNestedLoopJoin", "CartesianProduct", "SortMergeJoin",
@@ -154,6 +154,15 @@ object PlanDump {
          |amortizing both one-time builds across every audit on the
          |snapshot. Oracle = the full in-query audit SQL (both builds
          |correctness-covered).""").stripMargin,
+    "q_dedup_cluster_indexed" ->
+      ("""Design (r18): the cluster output is a pure projection of the
+         |stored min-label fixpoint, so serving is one parquet read plus
+         |the keeper flag — every iterative propagation job gone
+         |(measured 2,702 -> 211 ms at sf0.1, FLAT at 10x: 188 ms). With
+         |this the entire transitive-dedup surface (cluster, split,
+         |audits) runs serve-only against the snapshot tables. Oracle =
+         |the in-query twin's recursive reachability CTE, so the stored
+         |fixpoint stays correctness-covered.""").stripMargin,
     "q_dedup_minhash_indexed" ->
       ("""Design (r18): the third dedup family on the build/query split
          |(labels r17, spans r18) — the per-doc 8-minhash signature (a

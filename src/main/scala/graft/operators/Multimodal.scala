@@ -253,11 +253,13 @@ object Multimodal {
       StructField("b1", IntegerType, nullable = false),
       StructField("b2", IntegerType, nullable = false),
       StructField("b3", IntegerType, nullable = false))))
-    df.select("media_id", "kind", "payload")
+    // (media_id, payload) only — hashing never reads `kind`, and an
+    // unused string column would ride through the encoder per row
+    df.select("media_id", "payload")
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
           batch.iterator.flatMap { r =>
-            val payload = Option(r.get(2)).map(_.asInstanceOf[Array[Byte]])
+            val payload = Option(r.get(1)).map(_.asInstanceOf[Array[Byte]])
               .getOrElse(Array.emptyByteArray)
             // never-throw contract: a hasher defect drops the row, not the task
             (try aHashFull(payload) catch { case _: Exception => None })

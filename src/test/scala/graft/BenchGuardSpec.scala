@@ -60,10 +60,12 @@ class BenchGuardSpec extends AnyFunSuite {
     // the last 2000 chars the way the driver does, and requires every
     // entry to survive — so any future query addition that would
     // overflow the window fails HERE, not in the next round's artifact.
+    // the projection target TRACKS the inventory (+5) so the lookahead
+    // margin never silently degrades to zero as queries land (review r18)
     val pad = (1 to 5).map(i => s"q_similarity_projected_pad$i")
-      .take(125 - SparkEntry.queries.size)
     val names = (SparkEntry.queries.keys.toSeq ++ pad).sorted
-    assert(names.size >= 125, "inventory projection sanity")
+    assert(names.size === SparkEntry.queries.size + 5,
+      "inventory projection sanity")
     // worst-ish-case digits: mostly 3-4 digit ms values
     val ms = names.zipWithIndex.map { case (n, i) => n -> (100L + (i * 37) % 1900) }
     val grpLine =
@@ -185,8 +187,8 @@ class BenchGuardSpec extends AnyFunSuite {
     // single-entry families print flat with the same token coding
     assert(enc36.contains("S{"), "similarity family must encode as S")
     assert(enc36.contains("Q_rindexed"), "ivfpq sub-token must encode as Q")
-    assert(enc36.contains("spans_X:"), "indexed sub-token must encode as X")
-    assert(enc36.contains("P{C_audit:"), "split family + contam token")
+    assert(enc36.contains("Z_X:"), "spans + indexed sub-tokens (r18b dict)")
+    assert(enc36.contains("P{C_A:"), "split family + contam/audit tokens")
     assert(enc36.contains("W_frame:") && enc36.contains("json_F:"),
       "flat single-entry names token-compress too")
     assert(enc36.contains("topk:"), "plain names stay plain")
