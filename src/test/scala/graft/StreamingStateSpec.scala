@@ -98,6 +98,54 @@ class StreamingStateSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming image admission: incoming media phash-matched against a static corpus") {
+    // r18: the multimodal twin of the LSH text gate above — "is this
+    // incoming image a (possibly RESCALED) copy of anything already in
+    // the corpus?" phashPpm is a pure partition-local map, so it runs
+    // on a streaming frame unchanged; the static side is the same hash
+    // the batch q_media_phash groups on, broadcast, and the gate is a
+    // stream-static equi-join on the 64-bit signature. A 2x-upscaled
+    // incoming copy must be caught (its bytes match nothing; its hash
+    // provably matches), a novel image must pass, and a truncated
+    // payload must be refused by the decoder, not faked into a match.
+    import graft.operators.Multimodal
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val ids = Tables.documents(spark, sf0001).select(col("doc_id"))
+    val corpusMedia = Multimodal.syntheticMedia(ids)
+    val static = Multimodal.phashPpm(corpusMedia)
+      .select(col("media_id").as("corpus_img"), col("phash"))
+    // pick a real PPM corpus member (id % 3 == 0, big enough to be
+    // hash-distinctive) and upscale it — the rescaled-duplicate plant
+    val srcId = 18L
+    val srcPayload = corpusMedia.filter(col("media_id") === srcId)
+      .select("payload").head().getAs[Array[Byte]](0)
+    val upscaled = Multimodal.upscalePpm2x(srcPayload).get
+    val novel = {
+      val header = "P6\n8 8\n255\n".getBytes("US-ASCII")
+      header ++ Array.tabulate(8 * 8 * 3)(i => ((i * 37 + 11) % 251).toByte)
+    }
+    val truncated = Multimodal.ppmPayload(2L, truncate = true)
+    val in = MemoryStream[(Long, Array[Byte])]
+    val stream = in.toDF().toDF("media_id", "payload")
+    val q = Multimodal.phashPpm(stream)
+      .join(broadcast(static), Seq("phash"))
+      .select(col("media_id").as("in_id"), col("corpus_img"))
+      .writeStream.queryName("phash_gate_view").outputMode("append")
+      .format("memory").start()
+    try {
+      in.addData((8001L, upscaled), (8002L, novel), (8003L, truncated))
+      q.processAllAvailable()
+      val hits = spark.table("phash_gate_view").collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+      assert(hits.exists(h => h._1 == 8001L && h._2 == srcId),
+        "the rescaled copy must be flagged against its corpus source")
+      assert(!hits.exists(_._1 == 8002L), "novel image must pass the gate")
+      assert(!hits.exists(_._1 == 8003L),
+        "truncated payload is refused by the decoder, never hash-matched")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState: custom per-key running state across batches") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
