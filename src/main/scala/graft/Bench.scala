@@ -43,7 +43,9 @@ object BenchGuards {
     "spans" -> "Z", "audit" -> "A", "session" -> "O", "quality" -> "Y",
     "mixture" -> "U", "string" -> "G", "sample" -> "B", "cluster" -> "V",
     "stream" -> "R")
-  private val encTok = tokenDict.toMap
+  // encTok is private[graft] so Bench's fcv formatting shares the ONE
+  // built lookup instead of re-deriving tokenDict.toMap per family
+  private[graft] val encTok = tokenDict.toMap
   private val decTok = tokenDict.map(_.swap).toMap
   private def encName(n: String): String =
     n.split("_", -1).map(t => encTok.getOrElse(t, t)).mkString("_")
@@ -111,7 +113,12 @@ object BenchGuards {
       if (headIntact) (payload, true)
       else {
         val ob = payload.indexOf('{'); val cb = payload.indexOf('}')
-        if (cb >= 0 && (ob < 0 || cb < ob))
+        // ob == 0 (review r18): a cut landing EXACTLY on a group's '{'
+        // leaves a NAMELESS orphan group — grpRe never matches it (no
+        // leading name), so without stripping through its '}' the
+        // interior pairs would leak into the flat pass as bogus
+        // top-level queries
+        if (cb >= 0 && (ob < 0 || cb < ob || ob == 0))
           (payload.substring(cb + 1).dropWhile(_ == ','), true)
         else (payload, false)
       }
@@ -508,8 +515,7 @@ object Bench {
     // cvp excursion to a family. Empty string when no prior parses.
     val fcv = BenchGuards.famCvp(curMs, newestPrior)
       .map { case (fam, r, _) =>
-        val code = BenchGuards.tokenDict.toMap.getOrElse(fam, fam)
-        f"$code:$r%.2f"
+        f"${BenchGuards.encTok.getOrElse(fam, fam)}:$r%.2f"
       }.mkString(",")
     // Trailer keys are COMPRESSED — every byte of the ~2000-char tail
     // window pays rent, and the headroom tripwire fired at both the

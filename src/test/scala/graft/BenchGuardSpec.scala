@@ -61,7 +61,10 @@ class BenchGuardSpec extends AnyFunSuite {
     // entry to survive — so any future query addition that would
     // overflow the window fails HERE, not in the next round's artifact.
     // the projection target TRACKS the inventory (+5) so the lookahead
-    // margin never silently degrades to zero as queries land (review r18)
+    // margin never silently degrades to zero as queries land (review r18);
+    // the absolute floor stays — a drastically shrunken inventory (bad
+    // merge dropping a family) must not silently replay a small window
+    assert(SparkEntry.queries.size >= 100, "inventory floor sanity")
     val pad = (1 to 5).map(i => s"q_similarity_projected_pad$i")
     val names = (SparkEntry.queries.keys.toSeq ++ pad).sorted
     assert(names.size === SparkEntry.queries.size + 5,
@@ -157,6 +160,15 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(BenchGuards.decodeGrouped(cutBody, headIntact = false)
       === Map("q_cond_agg" -> 202L, "q_dedup_exact" -> 12L),
       "orphaned group-body pairs must be dropped whole")
+    // a cut landing EXACTLY on a group's '{' leaves a NAMELESS orphan
+    // group (review r18): grpRe never matches it, so without stripping
+    // through its '}' the interior pairs would leak into the flat pass —
+    // and a leaked sub name can ALIAS a real flat query (the inventory
+    // has both q_sketch_topk and q_topk)
+    val cutOnBrace = "{bloom:5,cms:7,topk:3},cond_agg:202,dedup{exact:12}"
+    assert(BenchGuards.decodeGrouped(cutOnBrace, headIntact = false)
+      === Map("q_cond_agg" -> 202L, "q_dedup_exact" -> 12L),
+      "nameless orphan group must be dropped whole, not leak q_cms/q_topk")
   }
 
   test("priors survive a cut inside the queries_ms metric prefix; spread_pct can't pollute") {
