@@ -146,6 +146,60 @@ class StreamingStateSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("engine image gate: a continuous transform drops rescaled duplicates in-flight") {
+    // r18: the MemoryStream phash gate above, end to end through the
+    // ENGINE — raw image bytes ride the at-least-once binary log
+    // (kinesis_consumer.h's opaque-payload parity), a continuous
+    // transform decodes + hashes in-flight and admits only images whose
+    // perceptual hash is NOT already in the corpus. Incoming ids frame
+    // as 8 big-endian payload-prefix bytes (the binary stream is
+    // 1-column by contract); the transform strips them in SQL.
+    import graft.operators.Multimodal
+    val root = tmpDir("kin-img")
+    val meta = tmpDir("kin-img-meta")
+    val ids = Tables.documents(spark, sf0001).select(col("doc_id"))
+    val corpusMedia = Multimodal.syntheticMedia(ids)
+    val static = Multimodal.phashPpm(corpusMedia)
+      .select(col("phash")).distinct().withColumn("known", lit(1))
+    val srcPayload = corpusMedia.filter(col("media_id") === 18L)
+      .select("payload").head().getAs[Array[Byte]](0)
+    val upscaled = Multimodal.upscalePpm2x(srcPayload).get
+    val novel = {
+      val header = "P6\n8 8\n255\n".getBytes("US-ASCII")
+      header ++ Array.tabulate(8 * 8 * 3)(i => ((i * 37 + 11) % 251).toByte)
+    }
+    val truncated = Multimodal.ppmPayload(2L, truncate = true)
+    def frame(id: Long, p: Array[Byte]): (String, Array[Byte]) = {
+      val bb = java.nio.ByteBuffer.allocate(8 + p.length)
+      bb.putLong(id); bb.put(p)
+      (s"k$id", bb.array())
+    }
+    ShardedLog.appendBytes(s"$root/s", 0,
+      Seq(frame(8001L, upscaled), frame(8002L, novel), frame(8003L, truncated)))
+    val eng = new KinesisEngine(spark, meta)
+    eng.addEndpoint("ep", "r", url = root)
+    eng.createStream("img_stream",
+      StructType(Seq(StructField("payload", BinaryType))))
+    eng.createContinuousTransform("img_admit", "img_stream", df => {
+      val parsed = df.select(
+        expr("CAST(conv(hex(substring(payload, 1, 8)), 16, 10) AS BIGINT)")
+          .as("media_id"),
+        expr("substring(payload, 9)").as("payload"))
+      Multimodal.phashPpm(parsed)
+        .join(broadcast(static), Seq("phash"), "left")
+        .filter(col("known").isNull) // admit only unseen perceptual content
+        .select("media_id", "phash")
+    })
+    eng.consumeBegin("ep", "s", "img_stream", format = "binary")
+    eng.processAllAvailable()
+    val admitted = eng.viewTable("img_admit").collect()
+      .map(_.getLong(0)).toSet
+    assert(admitted === Set(8002L),
+      "rescaled corpus copy dropped in-flight (hash match despite disjoint " +
+        "bytes); truncated payload refused by decode; novel image admitted")
+    eng.consumeEndAll()
+  }
+
   test("flatMapGroupsWithState: custom per-key running state across batches") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
