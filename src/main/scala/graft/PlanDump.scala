@@ -33,7 +33,8 @@ object PlanDump {
     "q_split_leakfree_indexed", "q_split_contam_audit_indexed",
     "q_dedup_spans_indexed", "q_split_contam_audit_spanindexed",
     "q_media_phash", "q_dedup_minhash_indexed", "q_media_phash_pairs",
-    "q_dedup_spans_clean_indexed", "q_dedup_cluster_indexed")
+    "q_dedup_spans_clean_indexed", "q_dedup_cluster_indexed",
+    "q_dedup_unicode")
 
   private val keep = Seq("Exchange", "HashAggregate", "BroadcastHashJoin",
     "BroadcastNestedLoopJoin", "CartesianProduct", "SortMergeJoin",
@@ -154,6 +155,22 @@ object PlanDump {
          |amortizing both one-time builds across every audit on the
          |snapshot. Oracle = the full in-query audit SQL (both builds
          |correctness-covered).""").stripMargin,
+    "q_dedup_unicode" ->
+      ("""Design (r18): normalization-aware exact dedup — the C4/CCNet
+         |canonical-form pass. Duplicates agree after Unicode NFC +
+         |casefold + whitespace collapse even when raw bytes are
+         |disjoint (composed vs combining accents, case, spacing — what
+         |crawl re-encodes produce). NFC runs through the native
+         |codegen'd graft_unorm (Spark has no normalization built-in; a
+         |UDF would break whole-stage codegen; the ASCII fast path is a
+         |scan + identity return, no copy), then the q_dedup_exact
+         |digest-keyed exchange. The pure-ASCII synthetic corpus makes
+         |NFC the identity, so the plant unions in byte-disjoint variant
+         |pairs (composed marker + UPPER vs decomposed marker + doubled
+         |spaces) that must meet at one canonical digest; the oracle
+         |replays them with chr(769) and DuckDB's nfc_normalize — the
+         |same Unicode standard, byte-agreeing canonical forms.
+         |Scan-bound at 100 TB: one narrow map, one exchange.""").stripMargin,
     "q_dedup_cluster_indexed" ->
       ("""Design (r18): the cluster output is a pure projection of the
          |stored min-label fixpoint, so serving is one parquet read plus

@@ -71,6 +71,45 @@ case class Md5Prefix64(child: Expression, nHex: Int)
     copy(child = newChild)
 }
 
+object UnicodeNormalize {
+  /** NFC/NFD normalization over a UTF8String. Fast path: `isNormalized`
+    * is a cheap scan (true for all-ASCII, the overwhelming majority of a
+    * web corpus) and returns the INPUT object — no copy, no transcode —
+    * so the expression costs one scan per row until it actually has
+    * something to do. */
+  def compute(s: UTF8String, nfd: Boolean): UTF8String = {
+    val form = if (nfd) java.text.Normalizer.Form.NFD
+               else java.text.Normalizer.Form.NFC
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, form)) s
+    else UTF8String.fromString(java.text.Normalizer.normalize(str, form))
+  }
+}
+
+/** `graft_unorm(str, 'NFC'|'NFD')` — Unicode normalization as a native
+  * codegen'd expression (r18). Spark ships no normalization function, and
+  * a UDF would break whole-stage codegen in the canonicalization pass
+  * that q_dedup_unicode runs over every document. The DuckDB oracle's
+  * `nfc_normalize` implements the same Unicode standard, so canonical
+  * forms agree byte-for-byte cross-engine (oracle-gated). */
+case class UnicodeNormalize(child: Expression, form: String)
+    extends UnaryExpression {
+  require(form == "NFC" || form == "NFD",
+    s"graft_unorm form must be NFC or NFD, got '$form'")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_unorm"
+
+  override protected def nullSafeEval(input: Any): Any =
+    UnicodeNormalize.compute(input.asInstanceOf[UTF8String], form == "NFD")
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.UnicodeNormalize.compute($c, ${form == "NFD"})")
+
+  override protected def withNewChildInternal(newChild: Expression): UnicodeNormalize =
+    copy(child = newChild)
+}
+
 object CosineSimilarity {
   /** One-pass dot/norms over float arrays; accumulation order matches the
     * unrolled element_at chain and DuckDB's sequential list fold. */
@@ -767,6 +806,11 @@ object GraftFunctions {
     ("graft_subwords", classOf[SubwordStats].getName, {
       case Seq(c) => SubwordStats(c)
       case _ => throw new IllegalArgumentException("graft_subwords(text)")
+    }),
+    ("graft_unorm", classOf[UnicodeNormalize].getName, {
+      case Seq(c, f) => UnicodeNormalize(c,
+        String.valueOf(f.eval()))
+      case _ => throw new IllegalArgumentException("graft_unorm(str, 'NFC'|'NFD')")
     }),
     ("graft_minhash", classOf[MinHash].getName, {
       case Seq(c, a, b) => MinHash(c,

@@ -22,6 +22,40 @@ class GraftExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("graft_unorm: NFC composes, NFD decomposes, ASCII is the no-copy identity") {
+    import spark.implicits._
+    val composed = "Café Résumé"       // U+00E9
+    val decomposed = "Café Résumé"  // e + U+0301
+    val df = Seq(
+      (1L, composed), (2L, decomposed), (3L, "plain ascii text"), (4L, null)
+    ).toDF("id", "s")
+    val rows = df.select(col("id"),
+        call_function("graft_unorm", col("s"), lit("NFC")).as("nfc"),
+        call_function("graft_unorm", col("s"), lit("NFD")).as("nfd"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), Option(r.getString(2))))).toMap
+    assert(rows(1L)._1 === Some(composed) && rows(2L)._1 === Some(composed),
+      "NFC maps both spellings to the composed form")
+    assert(rows(1L)._2 === Some(decomposed) && rows(2L)._2 === Some(decomposed),
+      "NFD maps both spellings to the decomposed form")
+    assert(rows(3L) === ((Some("plain ascii text"), Some("plain ascii text"))))
+    assert(rows(4L) === ((None, None)), "null propagates")
+    // the q_dedup_unicode canonicalization: byte-disjoint variants meet
+    // at ONE canonical digest — the property the planted pairs rely on
+    val canon = (c: org.apache.spark.sql.Column) =>
+      lower(regexp_replace(trim(call_function("graft_unorm", c, lit("NFC"))),
+        " +", " "))
+    val fps = Seq((1L, s"$composed  BODY x "), (2L, s"$decomposed body X"))
+      .toDF("id", "s").select(md5(canon(col("s"))).as("fp"))
+      .collect().map(_.getString(0)).toSet
+    assert(fps.size === 1, "case/space/encoding variants share one digest")
+    // an invalid form is a loud declaration-time error, not silent NFC
+    val err = intercept[Exception] {
+      df.select(call_function("graft_unorm", col("s"), lit("NFKC"))).collect()
+    }
+    assert(err.getMessage.contains("NFC"), s"named error, got: ${err.getMessage}")
+  }
+
   test("graft_cosine equals the unrolled element_at composition, bit-exact") {
     val e = Tables.embeddings(spark, sf0001).limit(200)
     val pairs = e.as("a").crossJoin(e.as("b")).limit(500)
