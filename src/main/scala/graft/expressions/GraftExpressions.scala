@@ -72,12 +72,15 @@ case class Md5Prefix64(child: Expression, nHex: Int)
 }
 
 object UnicodeNormalize {
-  /** NFC/NFD normalization over a UTF8String. Fast path: `isNormalized`
-    * is a cheap scan (true for all-ASCII, the overwhelming majority of a
-    * web corpus) and returns the INPUT object — no copy, no transcode —
-    * so the expression costs one scan per row until it actually has
-    * something to do. */
+  /** NFC/NFD normalization over a UTF8String. Fast path (review r18):
+    * `isFullAscii` is a pure byte scan over the UNDECODED buffer and
+    * ASCII is normalized under every Unicode form, so the overwhelming
+    * majority of a web corpus returns the input object with ZERO
+    * allocation — no String decode, no Normalizer call. Non-ASCII rows
+    * pay one decode + `isNormalized` scan, and only genuinely
+    * denormalized text pays the normalize + re-encode. */
   def compute(s: UTF8String, nfd: Boolean): UTF8String = {
+    if (s.isFullAscii) return s
     val form = if (nfd) java.text.Normalizer.Form.NFD
                else java.text.Normalizer.Form.NFC
     val str = s.toString
@@ -98,6 +101,18 @@ case class UnicodeNormalize(child: Expression, form: String)
     s"graft_unorm form must be NFC or NFD, got '$form'")
   override def dataType: DataType = StringType
   override def prettyName: String = "graft_unorm"
+
+  // analysis-time input check (review r18): without it a non-string
+  // child passes analysis and every TASK dies in ClassCastException —
+  // retried 4x before the job aborts — instead of one planner error
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_unorm expects a STRING argument, got ${other.sql}")
+    }
 
   override protected def nullSafeEval(input: Any): Any =
     UnicodeNormalize.compute(input.asInstanceOf[UTF8String], form == "NFD")

@@ -54,6 +54,13 @@ class GraftExpressionsSpec extends SparkSpec {
       df.select(call_function("graft_unorm", col("s"), lit("NFKC"))).collect()
     }
     assert(err.getMessage.contains("NFC"), s"named error, got: ${err.getMessage}")
+    // a non-string child fails at ANALYSIS (checkInputDataTypes), not as
+    // a per-task ClassCastException retried 4x (review r18)
+    val typeErr = intercept[Exception] {
+      df.select(call_function("graft_unorm", col("id"), lit("NFC"))).collect()
+    }
+    assert(typeErr.getMessage.toLowerCase.contains("string"),
+      s"analysis-time type error, got: ${typeErr.getMessage}")
   }
 
   test("graft_cosine equals the unrolled element_at composition, bit-exact") {

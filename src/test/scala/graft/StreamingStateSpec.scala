@@ -98,6 +98,27 @@ class StreamingStateSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  /** Shared image-gate plant recipe (review r18 — it appeared verbatim
+    * in both gate tests, and a one-sided change would silently keep one
+    * test on the stale raster): corpus media over sf0001 doc ids, the
+    * id-18 source payload with its REAL 2× upscale (the rescaled
+    * duplicate), a novel 8×8 raster no corpus hash collides with, and a
+    * truncated payload the decoder must refuse. */
+  private def imageGateFixture(): (org.apache.spark.sql.DataFrame,
+      Array[Byte], Array[Byte], Array[Byte]) = {
+    import graft.operators.Multimodal
+    val ids = Tables.documents(spark, sf0001).select(col("doc_id"))
+    val corpusMedia = Multimodal.syntheticMedia(ids)
+    val srcPayload = corpusMedia.filter(col("media_id") === 18L)
+      .select("payload").head().getAs[Array[Byte]](0)
+    val novel = {
+      val header = "P6\n8 8\n255\n".getBytes("US-ASCII")
+      header ++ Array.tabulate(8 * 8 * 3)(i => ((i * 37 + 11) % 251).toByte)
+    }
+    (corpusMedia, Multimodal.upscalePpm2x(srcPayload).get, novel,
+     Multimodal.ppmPayload(2L, truncate = true))
+  }
+
   test("streaming image admission: incoming media phash-matched against a static corpus") {
     // r18: the multimodal twin of the LSH text gate above — "is this
     // incoming image a (possibly RESCALED) copy of anything already in
@@ -111,21 +132,10 @@ class StreamingStateSpec extends SparkSpec {
     import graft.operators.Multimodal
     import spark.implicits._
     implicit val sql = spark.sqlContext
-    val ids = Tables.documents(spark, sf0001).select(col("doc_id"))
-    val corpusMedia = Multimodal.syntheticMedia(ids)
+    val (corpusMedia, upscaled, novel, truncated) = imageGateFixture()
+    val srcId = 18L
     val static = Multimodal.phashPpm(corpusMedia)
       .select(col("media_id").as("corpus_img"), col("phash"))
-    // pick a real PPM corpus member (id % 3 == 0, big enough to be
-    // hash-distinctive) and upscale it — the rescaled-duplicate plant
-    val srcId = 18L
-    val srcPayload = corpusMedia.filter(col("media_id") === srcId)
-      .select("payload").head().getAs[Array[Byte]](0)
-    val upscaled = Multimodal.upscalePpm2x(srcPayload).get
-    val novel = {
-      val header = "P6\n8 8\n255\n".getBytes("US-ASCII")
-      header ++ Array.tabulate(8 * 8 * 3)(i => ((i * 37 + 11) % 251).toByte)
-    }
-    val truncated = Multimodal.ppmPayload(2L, truncate = true)
     val in = MemoryStream[(Long, Array[Byte])]
     val stream = in.toDF().toDF("media_id", "payload")
     val q = Multimodal.phashPpm(stream)
@@ -157,18 +167,9 @@ class StreamingStateSpec extends SparkSpec {
     import graft.operators.Multimodal
     val root = tmpDir("kin-img")
     val meta = tmpDir("kin-img-meta")
-    val ids = Tables.documents(spark, sf0001).select(col("doc_id"))
-    val corpusMedia = Multimodal.syntheticMedia(ids)
+    val (corpusMedia, upscaled, novel, truncated) = imageGateFixture()
     val static = Multimodal.phashPpm(corpusMedia)
       .select(col("phash")).distinct().withColumn("known", lit(1))
-    val srcPayload = corpusMedia.filter(col("media_id") === 18L)
-      .select("payload").head().getAs[Array[Byte]](0)
-    val upscaled = Multimodal.upscalePpm2x(srcPayload).get
-    val novel = {
-      val header = "P6\n8 8\n255\n".getBytes("US-ASCII")
-      header ++ Array.tabulate(8 * 8 * 3)(i => ((i * 37 + 11) % 251).toByte)
-    }
-    val truncated = Multimodal.ppmPayload(2L, truncate = true)
     def frame(id: Long, p: Array[Byte]): (String, Array[Byte]) = {
       val bb = java.nio.ByteBuffer.allocate(8 + p.length)
       bb.putLong(id); bb.put(p)
