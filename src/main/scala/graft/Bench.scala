@@ -42,7 +42,17 @@ object BenchGuards {
     "percentile" -> "E", "leakfree" -> "L", "decontam" -> "N",
     "spans" -> "Z", "audit" -> "A", "session" -> "O", "quality" -> "Y",
     "mixture" -> "U", "string" -> "G", "sample" -> "B", "cluster" -> "V",
-    "stream" -> "R")
+    "stream" -> "R",
+    // appended r19 BEFORE the round's new queries land (VERDICT r18
+    // next-round #5: the 128-query zone sits ~1774/1950 and the single
+    // uppercase letters are exhausted at H/I) — codes from here on are
+    // 1-2 UPPERCASE letters; decode still splits on '_' and looks tokens
+    // up atomically, so multi-letter codes are exactly as unambiguous as
+    // single letters (plain name tokens are all-lowercase, values ride
+    // after ':'), and no archived payload contains them
+    "minhash" -> "H", "bucketed" -> "I", "media" -> "HA", "phash" -> "HB",
+    "pairs" -> "HC", "audiofp" -> "HD", "coverage" -> "HE", "vocab" -> "HF",
+    "decode" -> "HG")
   // encTok is private[graft] so Bench's fcv formatting shares the ONE
   // built lookup instead of re-deriving tokenDict.toMap per family
   private[graft] val encTok = tokenDict.toMap
@@ -67,22 +77,28 @@ object BenchGuards {
     * decode radix) shaves ~25% of the digit bytes on top (`2742` →
     * `245`) and since r18 also engages [[tokenDict]]. */
   def encodeGrouped(ms: Iterable[(String, Long)], radix: Int = 10): String = {
+    // families/subs sort by their RAW names and the dictionary applies
+    // only at print time (ADVICE r18 #3): sorting the ENCODED names put
+    // uppercase codes ahead of every lowercase name, so r18's payload
+    // ordering silently diverged from the alphabetical contract the
+    // docstring promises — raw-name order keeps round-over-round diffs
+    // aligned no matter what the dictionary does to a token.
     val nm: String => String = if (radix == 36) encName else identity
     val fams = ms.toSeq.map { case (k, v) =>
       val rest = k.stripPrefix("q_")
       val fam = rest.takeWhile(_ != '_')
       val sub = if (rest.length > fam.length) rest.substring(fam.length + 1) else "."
-      (nm(fam), if (sub == ".") sub else nm(sub), java.lang.Long.toString(v, radix))
+      (fam, sub, java.lang.Long.toString(v, radix))
     }.groupBy(_._1)
     fams.toSeq.sortBy(_._1).map { case (fam, entries) =>
       if (entries.size == 1) {
         val (_, sub, v) = entries.head
-        val nm = if (sub == ".") fam else s"${fam}_$sub"
-        s"$nm:$v"
+        val name = if (sub == ".") fam else s"${fam}_$sub"
+        s"${nm(name)}:$v"
       } else {
         entries.sortBy(_._2)
-          .map { case (_, s, v) => s"$s:$v" }
-          .mkString(s"$fam{", ",", "}")
+          .map { case (_, s, v) => s"${if (s == ".") s else nm(s)}:$v" }
+          .mkString(s"${nm(fam)}{", ",", "}")
       }
     }.mkString(",")
   }
@@ -228,9 +244,14 @@ object BenchGuards {
   private[graft] def inFlightRound(path: String = "VERDICT.md"): Option[Int] =
     try {
       val src = scala.io.Source.fromFile(path)
-      try """round (\d+)""".r
-        .findFirstMatchIn(src.getLines().take(3).mkString(" "))
-        .map(_.group(1).toInt + 1)
+      // anchored to the judge's header line shape (ADVICE r18 #4): a
+      // scratch-dir run beside an unrelated VERDICT.md whose prose
+      // happens to contain "round N" must not silently shift which
+      // artifact the drift guards band against
+      try src.getLines().take(3).collectFirst {
+        case l if l.startsWith("# VERDICT") =>
+          """\bround (\d+)""".r.findFirstMatchIn(l).map(_.group(1).toInt + 1)
+      }.flatten
       finally src.close()
     } catch { case _: Throwable => None }
 
@@ -240,12 +261,17 @@ object BenchGuards {
     * itself vulnerable to the incident class the guard exists for — if
     * the newest archive recorded a contamination-inflated time, banding
     * against it alone would never flag a repeat; the min over two rounds
-    * keeps one clean recording in play). Empty map (guard disabled) when
-    * nothing exists or parses. */
+    * keeps one clean recording in play). Like [[loadNewestPrior]], the
+    * in-flight round's own artifact is excluded (ADVICE r18 #2): a
+    * same-round rerun previously banded n_su against its own recording
+    * while cvp banded against the prior round — two different references
+    * in one trailer. Both guards are now strictly round-over-round.
+    * Empty map (guard disabled) when nothing exists or parses. */
   def loadPrior(): Map[String, Long] = {
     sys.env.get("SPARK_GRAFT_BENCH_PRIOR") match {
       case Some(p) => parseArtifactFile(p)
-      case None => mergeMin(newestArtifacts(2).map(parseArtifactFile))
+      case None =>
+        mergeMin(newestArtifacts(2, below = inFlightRound()).map(parseArtifactFile))
     }
   }
 

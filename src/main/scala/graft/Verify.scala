@@ -15,6 +15,12 @@ object Verify {
       .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Correctness-gate marker (ADVICE r18 #1): queries with production
+    // knobs whose DuckDB oracle hardcodes the default (e.g.
+    // graft.media.phash.occcutoff) REFUSE a non-default setting when this
+    // flag is up, so a stray conf can never silently desync the gate —
+    // the run fails loudly instead of hash-mismatching.
+    spark.conf.set("graft.gate", "true")
     new java.io.File(outDir).mkdirs()
     // comma-separated allowlist for single-query dumps (local iteration);
     // unset = all, which is what the driver runs

@@ -126,12 +126,21 @@ object Media {
       // occupancy cutoff knob (the embcos knob discipline): the DEFAULT
       // (20) is what the DuckDB oracle mirrors and what the gate runs;
       // an explicit session conf is the production lever — a named
-      // error on unparseable values, never a bare NumberFormatException
+      // error on unparseable values, never a bare NumberFormatException.
+      // Under the correctness gate (graft.gate, set by Verify — ADVICE
+      // r18 #1) a non-default value is REJECTED loudly: the oracle
+      // hardcodes 20, so accepting the knob there would surface as an
+      // inscrutable hash mismatch instead of this named error.
       val cutoff = s.conf.getOption("graft.media.phash.occcutoff").map { v =>
-        try v.trim.toInt catch {
+        val n = try v.trim.toInt catch {
           case _: NumberFormatException => throw new IllegalArgumentException(
             s"graft.media.phash.occcutoff must be an integer, got '$v'")
         }
+        if (n != 20 && s.conf.getOption("graft.gate").contains("true"))
+          throw new IllegalArgumentException(
+            "graft.media.phash.occcutoff is a production knob; the " +
+            "correctness gate's oracle hardcodes 20 — unset it under Verify")
+        n
       }.getOrElse(20)
       val cold = e0.groupBy("band", "bv").agg(count(lit(1)).as("occ"))
         .filter(col("occ") <= cutoff).select("band", "bv")

@@ -213,11 +213,39 @@ class BenchGuardSpec extends AnyFunSuite {
     // pre-r18 base-36 payload (no uppercase anywhere) decodes unchanged
     assert(BenchGuards.decodeGrouped("dedup{exact:c,minhash:y},topk:28", radix = 36)
       === Map("q_dedup_exact" -> 12L, "q_dedup_minhash" -> 34L, "q_topk" -> 80L))
-    // the dictionary must be append-only with unique single-UPPERCASE codes
+    // the dictionary must be append-only with unique UPPERCASE codes —
+    // 1-2 letters since r19 (the single alphabet ran out at H/I); every
+    // char uppercase keeps codes disjoint from plain all-lowercase tokens
+    // and from base-36 values
     val codes = BenchGuards.tokenDict.map(_._2)
     assert(codes.distinct === codes)
-    assert(codes.forall(c => c.length == 1 && c.head.isUpper))
+    assert(codes.forall(c => c.nonEmpty && c.length <= 2 && c.forall(_.isUpper)))
     assert(BenchGuards.tokenDict.map(_._1).distinct.size === codes.size)
+  }
+
+  test("r19 dictionary tokens: 2-letter codes round-trip; ordering is by RAW name (ADVICE r18 #3)") {
+    val ms = Map(
+      "q_media_phash_pairs" -> 412L, "q_media_audiofp" -> 88L,
+      "q_media_decode" -> 301L, "q_dedup_minhash_bucketed" -> 530L,
+      "q_vocab_coverage" -> 99L, "q_vocab_train" -> 800L,
+      "q_aaa_zeta" -> 7L)
+    val enc36 = BenchGuards.encodeGrouped(ms, radix = 36)
+    assert(enc36.contains("HA{"), "media family must encode as HA")
+    assert(enc36.contains("HB_HC:"), "phash_pairs must encode as HB_HC")
+    assert(enc36.contains("HD:"), "audiofp must encode as HD")
+    assert(enc36.contains("H_I:"), "minhash_bucketed must encode as H_I")
+    assert(enc36.contains("HF{"), "vocab family must encode as HF")
+    assert(BenchGuards.decodeGrouped(enc36, radix = 36) === ms)
+    // raw-name ordering: q_aaa_zeta sorts FIRST even though its encoded
+    // name ('aaa_zeta', lowercase) would sort after the uppercase codes —
+    // the r18 encoded-name sort would have put media/dedup groups first
+    assert(enc36.startsWith("aaa_zeta:7,"),
+      s"families must sort by raw name, got: ${enc36.take(40)}")
+    // subs inside a group sort raw too: audiofp < decode < phash
+    val mediaGrp = enc36.substring(enc36.indexOf("HA{"))
+    assert(mediaGrp.indexOf("HD:") < mediaGrp.indexOf("HG:") &&
+           mediaGrp.indexOf("HG:") < mediaGrp.indexOf("HB_HC:"),
+      s"sub ordering must follow raw names: $mediaGrp")
   }
 
   test("famCvp localizes drift to families with enough common queries") {
@@ -240,6 +268,13 @@ class BenchGuardSpec extends AnyFunSuite {
     java.nio.file.Files.write(verdict, "# VERDICT — round 17\n\nbody".getBytes)
     assert(BenchGuards.inFlightRound(verdict.toString) === Some(18))
     assert(BenchGuards.inFlightRound(dir.resolve("missing.md").toString) === None)
+    // anchored header (ADVICE r18 #4): an unrelated markdown file whose
+    // early prose mentions "round 5" must not select a prior artifact
+    val unrelated = dir.resolve("README_scratch.md")
+    java.nio.file.Files.write(unrelated,
+      "# Scratch notes\nthis round 5 experiment\n".getBytes)
+    assert(BenchGuards.inFlightRound(unrelated.toString) === None,
+      "non-VERDICT header must not parse as an in-flight round")
     // newestArtifacts(below = in-flight) skips the same-round recording:
     // a rehearsal rerun after BENCH_r18.json lands must band drift
     // against r17, not against round 18's own earlier artifact
