@@ -106,6 +106,44 @@ class PlanAuditSpec extends SparkSpec {
       s"q_dedup_minhash should shuffle on at most 2 distinct key sets, got $exchanges")
   }
 
+  test("bucketed serve twins join the prebuilt index with ZERO exchange on the bucket keys (r19)") {
+    // THE remaining structural claim of the 100-TB serve story (VERDICT
+    // r18 next-round #1): the bucketed index tables must satisfy the
+    // serve join's distribution straight off the scan. Broadcast is
+    // disabled so the join actually plans as a sort-merge join — at test
+    // scale Spark would otherwise broadcast the tiny side and the assert
+    // would pass vacuously; at 100 TB neither side broadcasts, SMJ is
+    // the real plan, and co-located buckets are what delete the corpus-
+    // sized exchange. Exchange keys are extracted the q_dedup_minhash
+    // way (dedup by key set; AQE reuse collapses per-side prints).
+    def exchangeKeys(plan: String): Set[String] =
+      "Exchange hashpartitioning\\(([a-zA-Z0-9_#, ]+?)\\)"
+        .r.findAllMatchIn(plan)
+        .map(_.group(1).replaceAll("#\\d+L?", "").replaceAll(", \\d+$", ""))
+        .toSet
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val mh = SparkEntry.queries("q_dedup_minhash_bucketed")(spark, sf0001)
+        .queryExecution.executedPlan.toString
+      val mhKeys = exchangeKeys(mh)
+      assert(mhKeys.nonEmpty && mhKeys.forall(k => !k.contains("bk") && !k.contains("band")),
+        s"band-key self-join must be exchange-free on the bucketed keys, got $mhKeys")
+      assert(mh.contains("SortMergeJoin"),
+        "with broadcast off the candidate join must be a sort-merge join " +
+          "over the co-located buckets (a vacuous broadcast plan proves nothing)")
+      assert(mh.contains("SelectedBucketsCount"),
+        "the scan must actually read the table as bucketed")
+
+      val sp = SparkEntry.queries("q_dedup_spans_bucketed")(spark, sf0001)
+        .queryExecution.executedPlan.toString
+      val spKeys = exchangeKeys(sp)
+      assert(spKeys.nonEmpty && spKeys.forall(k => !k.contains("wh")),
+        s"spans-freq join must be exchange-free on wh, got $spKeys")
+      assert(sp.contains("SortMergeJoin") && sp.contains("SelectedBucketsCount"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("q_approx_percentile scans lineitem exactly once (r14 single-pass contract)") {
     // The r12/r13 shape re-scanned lineitem to rank the sketch estimate;
     // the r14 histogram design derives estimate AND rank check from one
