@@ -290,11 +290,12 @@ object Multimodal {
       }(enc)
   }
 
-  /** RIFF/WAVE PCM-16 decode: chunk walk (`fmt ` then `data`), 16-bit LE
-    * samples normalized to [−1, 1]. Returns (sampleRate, channels,
-    * sampleFrames, (rms, peak)); None for non-PCM/other-width/malformed
-    * payloads. */
-  private[graft] def decodeWav(b: Array[Byte]): Option[(Int, Int, Long, Array[Double])] = {
+  /** RIFF/WAVE PCM-16 chunk walk (`fmt ` then `data`) shared by
+    * [[decodeWav]], [[audioFpFull]] and [[stretchWav2x]] (r19): returns
+    * (sampleRate, channels, dataOffset, nSamples) — nSamples counts RAW
+    * int16 samples (channel-interleaved). None for non-PCM/other-width/
+    * malformed payloads; never throws. */
+  private[graft] def wavPcm(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
     def le16(o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
     def le32(o: Int) = (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
       ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
@@ -322,22 +323,151 @@ object Multimodal {
       } else if (id == "data") {
         return fmt.flatMap { case (rate, ch) =>
           val n = math.min(size, b.length - o - 8) / 2
-          if (n <= 0) None else {
-            var sumSq = 0.0; var peak = 0.0
-            var k = 0
-            while (k < n) {
-              val v = le16(o + 8 + 2 * k).toShort / 32768.0
-              sumSq += v * v
-              val a = math.abs(v); if (a > peak) peak = a
-              k += 1
-            }
-            Some((rate, ch, n.toLong / ch, Array(math.sqrt(sumSq / n), peak)))
-          }
+          if (n <= 0) None else Some((rate, ch, o + 8, n))
         }
       }
       o += 8 + size + (size & 1) // RIFF chunks are 2-byte aligned
     }
     None
+  }
+
+  /** Raw int16 sample at index k of a payload whose data chunk starts at
+    * `off` (little-endian). */
+  @inline private def wavSample(b: Array[Byte], off: Int, k: Int): Int =
+    (((b(off + 2 * k) & 0xff) | ((b(off + 2 * k + 1) & 0xff) << 8)).toShort).toInt
+
+  /** RIFF/WAVE PCM-16 decode via [[wavPcm]]: 16-bit LE samples normalized
+    * to [−1, 1]. Returns (sampleRate, channels, sampleFrames,
+    * (rms, peak)); None for non-PCM/other-width/malformed payloads. */
+  private[graft] def decodeWav(b: Array[Byte]): Option[(Int, Int, Long, Array[Double])] =
+    wavPcm(b).map { case (rate, ch, off, n) =>
+      var sumSq = 0.0; var peak = 0.0
+      var k = 0
+      while (k < n) {
+        val v = wavSample(b, off, k) / 32768.0
+        sumSq += v * v
+        val a = math.abs(v); if (a > peak) peak = a
+        k += 1
+      }
+      (rate, ch, n.toLong / ch, Array(math.sqrt(sumSq / n), peak))
+    }
+
+  /** 64-bit audio fingerprint of a RIFF/WAVE PCM-16 payload — the aHash
+    * idea on the time axis (r19, VERDICT r18 next-round #2): point t of
+    * 64 samples the raw int16 at index ⌊t·n/64⌋ (nearest-neighbor
+    * resample of the whole clip onto a fixed 64-point grid); the point's
+    * bit is set when its integer MAGNITUDE strictly exceeds the grid
+    * mean, compared all-integer (mag·64 > Σ mags over the 64 points) so
+    * Spark and the closed-form DuckDB oracle agree exactly. GAIN-
+    * invariant by construction (any exact positive scaling cancels from
+    * both sides of mag·64 > Σ) and — the spec-pinned plant property —
+    * invariant under 2× sample-doubling time stretch: ⌊⌊t·2n/64⌋/2⌋ =
+    * ⌊t·n/64⌋ (the same floor identity [[aHashPpm]] rides), so a
+    * half-speed re-encode whose every byte offset differs fingerprints
+    * identically. Returns (16-hex signature, raw sample count, four
+    * 16-bit Hamming band values — [[aHashFull]]'s packing, shared with
+    * the band-join oracle). None when the payload isn't decodable PCM-16. */
+  private[graft] def audioFpFull(b: Array[Byte]): Option[(String, Long, Array[Int])] =
+    wavPcm(b).map { case (_, _, off, n) =>
+      val mags = new Array[Long](64)
+      var t = 0
+      while (t < 64) {
+        // Long math: t·n can't overflow (n ≤ payload/2 < 2³¹) but stay
+        // uniform with aHashFull's index arithmetic
+        val k = (t.toLong * n / 64).toInt
+        mags(t) = math.abs(wavSample(b, off, k)).toLong
+        t += 1
+      }
+      val total = mags.sum
+      val bits = new Array[Int](64)
+      t = 0
+      while (t < 64) { bits(t) = if (mags(t) * 64 > total) 1 else 0; t += 1 }
+      val sb = new java.lang.StringBuilder(16)
+      var j = 0
+      while (j < 16) {
+        val v = (bits(4 * j) << 3) | (bits(4 * j + 1) << 2) |
+                (bits(4 * j + 2) << 1) | bits(4 * j + 3)
+        sb.append("0123456789abcdef".charAt(v))
+        j += 1
+      }
+      val bands = Array.tabulate(4) { bd =>
+        var v = 0; var u = 0
+        while (u < 16) { v = (v << 1) | bits(16 * bd + u); u += 1 }
+        v
+      }
+      (sb.toString, n.toLong, bands)
+    }
+
+  /** REAL 2× time stretch of a RIFF/WAVE PCM-16 payload — re-encodes a
+    * canonical 44-byte-header WAV with 2n samples where sample i copies
+    * source sample ⌊i/2⌋ (each raw sample doubled). The audio analog of
+    * [[upscalePpm2x]] and the q_media_audiofp plant: every data byte
+    * offset differs from the original's, but [[audioFpFull]] provably
+    * matches (floor identity). None for non-PCM/malformed payloads or
+    * clips whose doubling would not fit a JVM array. */
+  private[graft] def stretchWav2x(b: Array[Byte]): Option[Array[Byte]] =
+    wavPcm(b).filter { case (_, _, _, n) => n.toLong * 4 < Int.MaxValue - 64 }
+      .map { case (rate, ch, off, n) =>
+        val n2 = 2 * n
+        val bb = java.nio.ByteBuffer.allocate(44 + 2 * n2)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + 2 * n2)
+        bb.put("WAVE".getBytes("US-ASCII"))
+        bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+        bb.putShort(1); bb.putShort(ch.toShort); bb.putInt(rate)
+        bb.putInt(rate * ch * 2); bb.putShort((ch * 2).toShort); bb.putShort(16)
+        bb.put("data".getBytes("US-ASCII")); bb.putInt(2 * n2)
+        var i = 0
+        while (i < n2) {
+          bb.putShort(wavSample(b, off, i / 2).toShort); i += 1
+        }
+        bb.array()
+      }
+
+  /** (media_id, afp, n_samp, b0…b3) over a binary media frame — the
+    * audio analog of [[phashPpm]]: same partition-local batch-map shape,
+    * rows whose payload isn't decodable PCM-16 WAV (images, truncated
+    * rasters, compressed formats) are dropped rather than faked. */
+  def audioFp(df: DataFrame, batchSize: Int = 64): DataFrame = {
+    val enc = RowEncoder.encoderFor(StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("afp", StringType, nullable = false),
+      StructField("n_samp", LongType, nullable = false),
+      StructField("b0", IntegerType, nullable = false),
+      StructField("b1", IntegerType, nullable = false),
+      StructField("b2", IntegerType, nullable = false),
+      StructField("b3", IntegerType, nullable = false))))
+    df.select("media_id", "payload")
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.flatMap { r =>
+            val payload = Option(r.get(1)).map(_.asInstanceOf[Array[Byte]])
+              .getOrElse(Array.emptyByteArray)
+            (try audioFpFull(payload) catch { case _: Exception => None })
+              .map { case (hx, n, bs) =>
+                Row(r.getLong(0), hx, n, bs(0), bs(1), bs(2), bs(3))
+              }
+          }
+        }
+      }(enc)
+  }
+
+  /** Time-stretched TWINS of every decodable-WAV row: (media_id + offset,
+    * kind, 2× stretched payload); non-WAV rows drop. The q_media_audiofp
+    * plant — [[upscaledTwins]]'s shape on the audio axis. */
+  def stretchedTwins(df: DataFrame, offset: Long, batchSize: Int = 64): DataFrame = {
+    val enc = RowEncoder.encoderFor(StructType(MEDIA_SCHEMA.take(3)))
+    df.select("media_id", "kind", "payload")
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.flatMap { r =>
+            val payload = Option(r.get(2)).map(_.asInstanceOf[Array[Byte]])
+              .getOrElse(Array.emptyByteArray)
+            (try stretchWav2x(payload) catch { case _: Exception => None })
+              .map(p2 => Row(r.getLong(0) + offset, r.getString(1), p2))
+          }
+        }
+      }(enc)
   }
 
   /** Typed media decode over a binary column: REAL PPM/WAV parsing where

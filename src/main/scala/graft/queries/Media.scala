@@ -157,12 +157,82 @@ object Media {
         .groupBy("id_a", "id_b").agg(min(col("hm")).as("hamming"))
         .filter(col("hamming") <= 3)
         .orderBy("id_a", "id_b")
+    }),
+
+    // Audio near-dup via time-axis fingerprint (r19, VERDICT r18
+    // next-round #2) — the last multimodal dedup modality (text r14-18,
+    // embeddings r15, images r18): resample each decoded PCM-16 clip
+    // onto a fixed 64-point grid (point t = raw sample ⌊t·n/64⌋),
+    // threshold each point's integer magnitude against the grid mean —
+    // [[graft.operators.Multimodal.audioFpFull]]. The signature is
+    // GAIN-invariant (scaling cancels from mag·64 > Σ) and invariant
+    // under 2× sample-doubling time stretch (the ⌊⌊2a⌋/2⌋ = ⌊a⌋ floor
+    // identity — aHash's sampling identity on the time axis), so
+    // re-encoded half-speed copies are caught where byte dedup can't.
+    // The plant: every media_id % 9 == 4 clip gains a REAL stretched
+    // twin ([[Multimodal.stretchWav2x]] re-encodes the bytes); image and
+    // truncated rows are refused by the decoder, not faked. The oracle
+    // replays the twin chain independently (closed-form magnitudes at
+    // the halved index) rather than assuming the identity. Shape:
+    // generate → fingerprint is a narrow per-row map, then the
+    // q_dedup_exact hash-groupBy — linear at 100 TB.
+    "q_media_audiofp" -> ((s, d) => {
+      val ids = Tables.documents(s, d).select(col("doc_id"))
+      val media = Multimodal.syntheticMedia(ids)
+      val twins = Multimodal.stretchedTwins(
+        media.filter(col("media_id") % 9 === 4), audioTwinOffset)
+      Multimodal.audioFp(media.unionByName(twins))
+        .groupBy("afp")
+        .agg(count(lit(1)).as("n_clips"), min(col("media_id")).as("keeper"))
+        .filter(col("n_clips") >= 2)
+        .orderBy("afp")
+    }),
+
+    // Hamming-banded near-dup PAIRS over the audio fingerprints (r19) —
+    // q_media_phash_pairs' plan on audio bytes: 4×16-bit bands,
+    // pigeonhole-exact recall at Hamming distance ≤ 3, the same two
+    // quadratic guards (clips under 8 raw samples are excluded — a
+    // 64-point grid oversamples them into near-constant signatures; band
+    // buckets with occupancy > 20 are hot and skipped — the exact-dup
+    // flood the cluster form above already reports compactly). No
+    // occupancy knob here: the phash knob needed a gate guard (ADVICE
+    // r18 #1); the audio twin hardcodes the oracle's constant.
+    "q_media_audiofp_pairs" -> ((s, d) => {
+      val ids = Tables.documents(s, d).select(col("doc_id"))
+      val media = Multimodal.syntheticMedia(ids)
+      val twins = Multimodal.stretchedTwins(
+        media.filter(col("media_id") % 9 === 4), audioTwinOffset)
+      val hashed = Multimodal.audioFp(media.unionByName(twins))
+        .filter(col("n_samp") >= 8)
+      val e0 = hashed.select(
+        Seq(col("media_id"), col("b0"), col("b1"), col("b2"), col("b3")) :+
+          posexplode(array((0 until 4).map(i => col(s"b$i")): _*))
+            .as(Seq("band", "bv")): _*)
+      val cold = e0.groupBy("band", "bv").agg(count(lit(1)).as("occ"))
+        .filter(col("occ") <= 20).select("band", "bv")
+      val e = e0.join(cold, Seq("band", "bv"))
+      val x = e.as("x"); val y = e.as("y")
+      x.join(y, col("x.band") === col("y.band") &&
+                col("x.bv") === col("y.bv") &&
+                col("x.media_id") < col("y.media_id"))
+        .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"),
+          expr("CAST(bit_count(x.b0 ^ y.b0) + bit_count(x.b1 ^ y.b1)" +
+               " + bit_count(x.b2 ^ y.b2) + bit_count(x.b3 ^ y.b3)" +
+               " AS BIGINT)").as("hm"))
+        .groupBy("id_a", "id_b").agg(min(col("hm")).as("hamming"))
+        .filter(col("hamming") <= 3)
+        .orderBy("id_a", "id_b")
     })
   )
 
   /** Twin-id offset for q_media_phash's planted upscaled copies — far
     * above any real doc_id, shared verbatim with the oracle. */
   private val twinOffset = 1000000000000L
+
+  /** Twin-id offset for q_media_audiofp's planted stretched copies —
+    * distinct from [[twinOffset]] so an image twin and an audio twin of
+    * the same doc could never alias. */
+  private val audioTwinOffset = 2000000000000L
 
   // Closed-form mirror of generator + decoder. PPM channel mean: raster
   // byte = (id·31 + p·7 + c·11) mod 256, mean over p of byte / 255.
@@ -268,8 +338,78 @@ object Media {
                      k -> abs(a.bs[k] - b.bs[k]))) AS BIGINT) AS hamming
             FROM pairs JOIN bits a ON id_a = a.media_id
                        JOIN bits b ON id_b = b.media_id)
+          WHERE hamming <= 3 ORDER BY id_a, id_b""",
+    // Closed-form audio-fingerprint mirror (afpBitsCteSql): the grouped-
+    // cluster form — same nibble fold as q_media_phash.
+    "q_media_audiofp" ->
+      s"""WITH $afpBitsCteSql,
+          af AS (SELECT media_id,
+                   array_to_string(list_transform(range(0, 16), j ->
+                     substr('0123456789abcdef',
+                       CAST(bs[4*j+1]*8 + bs[4*j+2]*4 + bs[4*j+3]*2
+                            + bs[4*j+4] + 1 AS INT), 1)), '') AS afp
+                 FROM bits)
+          SELECT afp, count(*) AS n_clips, min(media_id) AS keeper
+          FROM af GROUP BY afp HAVING count(*) >= 2 ORDER BY afp""",
+    // The Hamming-band pair form over the same bits CTE — the
+    // q_media_phash_pairs mirror with the ≥8-sample floor.
+    "q_media_audiofp_pairs" ->
+      s"""WITH $afpBitsCteSql,
+          bnd AS (SELECT media_id, bs, unnest(range(0, 4)) AS band
+                  FROM bits WHERE n_samp >= 8),
+          bvs AS (SELECT media_id, bs, band,
+                    list_reduce(list_slice(bs, 16*band + 1, 16*band + 16),
+                                (a, x) -> a * 2 + x) AS bv
+                  FROM bnd),
+          okb AS (SELECT band, bv FROM (SELECT band, bv, count(*) AS n
+                  FROM bvs GROUP BY band, bv) WHERE n <= 20),
+          bvc AS (SELECT b.* FROM bvs b JOIN okb USING (band, bv)),
+          pairs AS (SELECT DISTINCT x.media_id AS id_a, y.media_id AS id_b
+                    FROM bvc x JOIN bvc y
+                      ON x.band = y.band AND x.bv = y.bv
+                     AND x.media_id < y.media_id)
+          SELECT id_a, id_b, hamming FROM (
+            SELECT id_a, id_b,
+                   CAST(list_sum(list_transform(range(1, 65),
+                     k -> abs(a.bs[k] - b.bs[k]))) AS BIGINT) AS hamming
+            FROM pairs JOIN bits a ON id_a = a.media_id
+                       JOIN bits b ON id_b = b.media_id)
           WHERE hamming <= 3 ORDER BY id_a, id_b"""
   )
+
+  /** Shared closed-form audio-fingerprint CTE block (spliced after
+    * `WITH` by both audiofp oracles): clip id has n = (1 + id%2)·(4 +
+    * id%16) raw int16 samples, sample k = ((id·131 + k·7919) mod 65536)
+    * − 32768 (the [[Multimodal.wavPayload]] arithmetic); grid point t
+    * reads the MAGNITUDE of sample ⌊t·n/64⌋. The TWIN branch replays the
+    * stretch chain independently — point index on the 2n-sample clip,
+    * then the source sample the doubling copied from (⌊·/2⌋) — rather
+    * than assuming the floor identity the Spark plant relies on, so the
+    * identity is oracle-CHECKED, not asserted. All-integer comparisons
+    * (mag·64 > Σ), exact both sides. Yields `bits(media_id, n_samp, bs)`
+    * with bs = 64 0/1 values. */
+  private lazy val afpBitsCteSql: String = {
+    def mag(k: String) = s"abs(((id*131 + ($k)*7919) % 65536) - 32768)"
+    s"""auds AS (
+            SELECT doc_id AS media_id, doc_id AS id,
+                   (1 + doc_id % 2) * (4 + doc_id % 16) AS n, 0 AS up
+            FROM documents WHERE doc_id % 3 = 1
+            UNION ALL
+            SELECT doc_id + $audioTwinOffset, doc_id,
+                   2 * (1 + doc_id % 2) * (4 + doc_id % 16), 1
+            FROM documents WHERE doc_id % 9 = 4),
+          ls AS (SELECT media_id, CAST(n AS BIGINT) AS n_samp,
+                   list_transform(range(0, 64), t ->
+                     CASE WHEN up = 0 THEN ${mag("(t*n)//64")}
+                          ELSE ${mag("((t*n)//64)//2")} END) AS mags
+                 FROM auds),
+          tot AS (SELECT media_id, n_samp, mags, list_sum(mags) AS total
+                  FROM ls),
+          bits AS (SELECT media_id, n_samp,
+                   list_transform(mags, v ->
+                     CASE WHEN v * 64 > total THEN 1 ELSE 0 END) AS bs
+                 FROM tot)"""
+  }
 
   /** Shared closed-form aHash CTE block (spliced after `WITH` by both
     * phash oracles): integer luma sum at source pixel p of image id is

@@ -290,6 +290,112 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.forall(_._3 <= 3L), "threshold respected")
   }
 
+  // --- audio fingerprint + real time stretch (r19) ---
+
+  test("audioFpFull: planted near-dup pair — a 2x time-stretched clip fingerprints identically") {
+    // the q_media_audiofp plant: every data byte offset of the stretched
+    // twin differs (2x the samples) yet the fingerprint matches by the
+    // same floor identity the image upscale rides
+    for (id <- Seq(1L, 4L, 13L, 22L, 12346L)) {
+      val orig = Multimodal.wavPayload(id)
+      val st = Multimodal.stretchWav2x(orig)
+        .getOrElse(fail(s"stretch refused a valid WAV (id=$id)"))
+      assert(!java.util.Arrays.equals(orig, st), "twin bytes must differ")
+      assert(Multimodal.audioFpFull(st).map(_._1) ===
+             Multimodal.audioFpFull(orig).map(_._1),
+        s"stretched twin of id=$id must fingerprint identically")
+      assert(Multimodal.audioFpFull(st).get._2 ===
+             2 * Multimodal.audioFpFull(orig).get._2,
+        "twin reports its own (doubled) sample count")
+    }
+    // audibly DIFFERENT clips fingerprint differently: a rising ramp vs
+    // its reverse put their above-mean magnitudes at opposite ends
+    def ramp(reverse: Boolean): Array[Byte] = {
+      val n = 64
+      val bb = java.nio.ByteBuffer.allocate(44 + 2 * n)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + 2 * n)
+      bb.put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+      bb.putShort(1); bb.putShort(1); bb.putInt(8000)
+      bb.putInt(16000); bb.putShort(2); bb.putShort(16)
+      bb.put("data".getBytes("US-ASCII")); bb.putInt(2 * n)
+      for (k <- 0 until n)
+        bb.putShort(((if (reverse) n - 1 - k else k) * 100).toShort)
+      bb.array()
+    }
+    assert(Multimodal.audioFpFull(ramp(false)).map(_._1) !==
+           Multimodal.audioFpFull(ramp(true)).map(_._1))
+    // GAIN invariance: an exact 3x amplification (no clipping on the
+    // ramp) cancels from both sides of mag*64 > total
+    def amplified(f: Int): Array[Byte] = {
+      val b = ramp(false)
+      val Some((_, _, off, n)) = Multimodal.wavPcm(b)
+      val out = b.clone()
+      for (k <- 0 until n) {
+        val v = (((b(off + 2 * k) & 0xff) | ((b(off + 2 * k + 1) & 0xff) << 8))
+          .toShort * f).toShort
+        out(off + 2 * k) = (v & 0xff).toByte
+        out(off + 2 * k + 1) = ((v >> 8) & 0xff).toByte
+      }
+      out
+    }
+    assert(Multimodal.audioFpFull(amplified(3)).map(_._1) ===
+           Multimodal.audioFpFull(ramp(false)).map(_._1),
+      "exact re-amplification must not change the fingerprint")
+    // refusal paths: image bytes and a truncated raster are None, not fake
+    assert(Multimodal.audioFpFull(Multimodal.ppmPayload(3L, truncate = false)) === None)
+    assert(Multimodal.audioFpFull(Multimodal.ppmPayload(2L, truncate = true)) === None)
+  }
+
+  test("stretchWav2x is a REAL re-encode: decoded frames double, rate/channels/RMS/peak exact") {
+    // doubling every raw sample doubles sum(v^2) and n together, so the
+    // real decoder must see 2x the frames at IDENTICAL rate, channel
+    // count, RMS and peak
+    val orig = Multimodal.wavPayload(13L)
+    val Some((rate, ch, frames, feats)) = Multimodal.decodeWav(orig)
+    val Some((rate2, ch2, frames2, feats2)) =
+      Multimodal.decodeWav(Multimodal.stretchWav2x(orig).get)
+    assert((rate2, ch2, frames2) === (rate, ch, 2 * frames))
+    assert(feats2.toSeq === feats.toSeq, "sample duplication preserves RMS and peak")
+  }
+
+  test("q_media_audiofp groups originals with their planted stretched twins") {
+    val out = graft.queries.Media.queries("q_media_audiofp")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty, "plant keeps the query non-vacuous at every SF")
+    val docIds = graft.Tables.documents(spark, sf0001)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(docIds.exists(_ % 9 == 4), "fixture sanity")
+    assert(out.map(_._2).sum >= 2, "at least one (original, twin) pair grouped")
+    // keepers are originals, never twins: every twin's source clip is
+    // itself decodable, so its cluster always contains the original
+    assert(out.forall(_._3 < 2000000000000L),
+      "every cluster contains at least one original clip")
+  }
+
+  test("q_media_audiofp_pairs: planted twins at hamming 0; sub-floor clips excluded") {
+    import spark.implicits._
+    // controlled corpus: ids ≡ 4 (mod 9) gain stretched twins. id 4 is
+    // mono n=8 (at the floor), id 13 is stereo n=34 — both must pair with
+    // their twins at hamming 0. id 112 (≡ 4 mod 9, n=4) sits BELOW the
+    // 8-sample floor: its twin (n=8) passes, but the original is
+    // excluded, so no pair may contain 112 itself.
+    val d = java.nio.file.Files.createTempDirectory("audiofp-pairs").toString
+    Seq(4L, 13L, 112L, 7L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    val rows = graft.queries.Media.queries("q_media_audiofp_pairs")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val off = 2000000000000L
+    assert(rows.contains((4L, 4L + off, 0L)),
+      "the stretched twin must pair with its original at hamming 0")
+    assert(rows.contains((13L, 13L + off, 0L)),
+      "stereo clips pair with their twins too")
+    assert(rows.forall { case (a, b, _) => a != 112L && b != 112L },
+      "sub-floor clips never pair")
+    assert(rows.forall(_._3 <= 3L), "threshold respected")
+  }
+
   test("exact dedup finds duplicate payloads (positive path for q_dedup_exact)") {
     import spark.implicits._
     val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
