@@ -201,6 +201,120 @@ class StreamingStateSpec extends SparkSpec {
     eng.consumeEndAll()
   }
 
+  /** Shared audio-gate plant recipe (r19 — the [[imageGateFixture]]
+    * discipline on the audio axis): corpus media over sf0001 doc ids,
+    * the id-13 source clip with its REAL 2× time stretch (the re-encoded
+    * duplicate), a novel ramp clip no corpus fingerprint collides with,
+    * and an image payload the audio decoder must refuse. */
+  private def audioGateFixture(): (org.apache.spark.sql.DataFrame,
+      Array[Byte], Array[Byte], Array[Byte]) = {
+    import graft.operators.Multimodal
+    val ids = Tables.documents(spark, sf0001).select(col("doc_id"))
+    val corpusMedia = Multimodal.syntheticMedia(ids)
+    val srcPayload = corpusMedia.filter(col("media_id") === 13L)
+      .select("payload").head().getAs[Array[Byte]](0)
+    val novel = {
+      val n = 48
+      val bb = java.nio.ByteBuffer.allocate(44 + 2 * n)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + 2 * n)
+      bb.put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+      bb.putShort(1); bb.putShort(1); bb.putInt(8000)
+      bb.putInt(16000); bb.putShort(2); bb.putShort(16)
+      bb.put("data".getBytes("US-ASCII")); bb.putInt(2 * n)
+      // IRREGULAR magnitudes: a monotonic ramp fingerprints as a block
+      // pattern (zeros then ones) that short block-structured corpus
+      // clips (n=8 → 8-point constant runs) reproduce — a real collision
+      // this test hit; the mixed congruential pattern below has no
+      // block structure to collide with
+      for (k <- 0 until n) bb.putShort(((k * 12345 + 6789) % 20000).toShort)
+      bb.array()
+    }
+    (corpusMedia, Multimodal.stretchWav2x(srcPayload).get, novel,
+     Multimodal.ppmPayload(3L, truncate = false))
+  }
+
+  test("streaming audio admission: incoming clips fingerprint-matched against a static corpus") {
+    // r19 (VERDICT r18 next-round #6): the image gate above on the audio
+    // axis — "is this incoming clip a (possibly TIME-STRETCHED or
+    // re-amplified) copy of anything already in the corpus?" audioFp is
+    // a pure partition-local map, so it runs on a streaming frame
+    // unchanged; the gate is a stream-static equi-join on the 64-bit
+    // fingerprint. A stretched incoming copy must be caught (its bytes
+    // match nothing; its fingerprint provably matches), a novel clip
+    // must pass, and an image payload must be refused by the decoder.
+    import graft.operators.Multimodal
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val (corpusMedia, stretched, novel, nonAudio) = audioGateFixture()
+    val srcId = 13L
+    val static = Multimodal.audioFp(corpusMedia)
+      .select(col("media_id").as("corpus_clip"), col("afp"))
+    val in = MemoryStream[(Long, Array[Byte])]
+    val stream = in.toDF().toDF("media_id", "payload")
+    val q = Multimodal.audioFp(stream)
+      .join(broadcast(static), Seq("afp"))
+      .select(col("media_id").as("in_id"), col("corpus_clip"))
+      .writeStream.queryName("afp_gate_view").outputMode("append")
+      .format("memory").start()
+    try {
+      in.addData((9001L, stretched), (9002L, novel), (9003L, nonAudio))
+      q.processAllAvailable()
+      val hits = spark.table("afp_gate_view").collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+      assert(hits.exists(h => h._1 == 9001L && h._2 == srcId),
+        "the stretched copy must be flagged against its corpus source")
+      assert(!hits.exists(_._1 == 9002L), "novel clip must pass the gate")
+      assert(!hits.exists(_._1 == 9003L),
+        "image payload is refused by the audio decoder, never matched")
+    } finally q.stop()
+  }
+
+  test("engine audio gate: a continuous transform drops stretched duplicates in-flight") {
+    // r19: the MemoryStream audio gate end to end through the ENGINE —
+    // raw clip bytes ride the at-least-once binary log, a continuous
+    // transform decodes + fingerprints in-flight and admits only clips
+    // whose fingerprint is NOT already in the corpus (the image gate's
+    // transform with audioFp swapped in — the plumbing is modality-
+    // agnostic by construction).
+    import graft.operators.Multimodal
+    val root = tmpDir("kin-aud")
+    val meta = tmpDir("kin-aud-meta")
+    val (corpusMedia, stretched, novel, nonAudio) = audioGateFixture()
+    val static = Multimodal.audioFp(corpusMedia)
+      .select(col("afp")).distinct().withColumn("known", lit(1))
+    def frame(id: Long, p: Array[Byte]): (String, Array[Byte]) = {
+      val bb = java.nio.ByteBuffer.allocate(8 + p.length)
+      bb.putLong(id); bb.put(p)
+      (s"k$id", bb.array())
+    }
+    ShardedLog.appendBytes(s"$root/s", 0,
+      Seq(frame(9001L, stretched), frame(9002L, novel), frame(9003L, nonAudio)))
+    val eng = new KinesisEngine(spark, meta)
+    eng.addEndpoint("ep", "r", url = root)
+    eng.createStream("aud_stream",
+      StructType(Seq(StructField("payload", BinaryType))))
+    eng.createContinuousTransform("aud_admit", "aud_stream", df => {
+      val parsed = df.select(
+        expr("CAST(conv(hex(substring(payload, 1, 8)), 16, 10) AS BIGINT)")
+          .as("media_id"),
+        expr("substring(payload, 9)").as("payload"))
+      Multimodal.audioFp(parsed)
+        .join(broadcast(static), Seq("afp"), "left")
+        .filter(col("known").isNull) // admit only unseen audible content
+        .select("media_id", "afp")
+    })
+    eng.consumeBegin("ep", "s", "aud_stream", format = "binary")
+    eng.processAllAvailable()
+    val admitted = eng.viewTable("aud_admit").collect()
+      .map(_.getLong(0)).toSet
+    assert(admitted === Set(9002L),
+      "stretched corpus copy dropped in-flight (fingerprint match despite " +
+        "disjoint bytes); image payload refused by decode; novel clip admitted")
+    eng.consumeEndAll()
+  }
+
   test("flatMapGroupsWithState: custom per-key running state across batches") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
