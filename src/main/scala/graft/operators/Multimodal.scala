@@ -516,7 +516,19 @@ object Multimodal {
     * driver materialization — linear at 100 TB); a production pipeline
     * reads real payloads from a parquet binary column instead, and decode
     * downstream is identical. */
-  def syntheticMedia(ids: DataFrame): DataFrame = {
+  def syntheticMedia(ids: DataFrame): DataFrame = syntheticMedia(ids, diverse = false)
+
+  /** `diverse = true` swaps the image arms to [[ppmPayloadDiverse]] — the
+    * rehearsal-only mode for measuring the phash pair join's growth on a
+    * hash-diverse corpus (r19, VERDICT r18 next-round #3). The DEFAULT
+    * generator's rasters are linear in the id mod small constants, so
+    * content repeats every few thousand ids and a 10× corpus saturates
+    * the pair join's occupancy cutoff (the documented third regime
+    * edge); real corpora have diverse hashes, and this mode models them
+    * while keeping every byte deterministic. The closed-form decode/phash
+    * oracles mirror the DEFAULT arithmetic only, so the queries refuse
+    * this mode under the correctness gate (see Media.diverseMode). */
+  def syntheticMedia(ids: DataFrame, diverse: Boolean): DataFrame = {
     val enc = RowEncoder.encoderFor(StructType(MEDIA_SCHEMA.take(3)))
     ids.select(col(ids.columns.head).cast("long").as("media_id"))
       .mapPartitions { it =>
@@ -527,10 +539,13 @@ object Multimodal {
           // module whose decoders never throw. floorMod keeps every
           // non-negative id byte-identical and makes negatives valid.
           val id = r.getLong(0)
+          def img(truncate: Boolean) =
+            if (diverse) ppmPayloadDiverse(id, truncate)
+            else ppmPayload(id, truncate)
           Math.floorMod(id, 3L) match {
-            case 0L => Row(id, "image", ppmPayload(id, truncate = false))
+            case 0L => Row(id, "image", img(truncate = false))
             case 1L => Row(id, "audio", wavPayload(id))
-            case _ => Row(id, "image", ppmPayload(id, truncate = true))
+            case _ => Row(id, "image", img(truncate = true))
           }
         }
       }(enc)
@@ -553,6 +568,39 @@ object Multimodal {
         raster(p * 3 + c) = Math.floorMod(id * 31 + p * 7 + c * 11, 256L).toByte; c += 1
       }
       p += 1
+    }
+    val full = header ++ raster
+    if (truncate) full.dropRight(1) else full
+  }
+
+  /** SplitMix64 finalizer — the per-pixel mixer for the diverse raster
+    * mode. Public-domain constants (Steele et al., "Fast Splittable
+    * Pseudorandom Number Generators"). */
+  @inline private[graft] def mix64(x: Long): Long = {
+    var h = x + 0x9E3779B97F4A7C15L
+    h = (h ^ (h >>> 30)) * 0xBF58476D1CE4E5B9L
+    h = (h ^ (h >>> 27)) * 0x94D049BB133111EBL
+    h ^ (h >>> 31)
+  }
+
+  /** Diverse-mode P6 payload: same dimensions/header as [[ppmPayload]]
+    * (the decode contract is unchanged), but every raster byte is an
+    * independent hash of (id, pixel, channel) — content never repeats
+    * across ids, so perceptual hashes spread over the full 64-bit space
+    * instead of cycling with the small-moduli linear pattern. The
+    * rehearsal mode for the pair join's growth regime; never runs under
+    * the correctness gate (no closed-form oracle mirrors it — a DuckDB
+    * mirror of splitmix is possible but pointless: the mode exists to
+    * measure scaling, not values). */
+  private[graft] def ppmPayloadDiverse(id: Long, truncate: Boolean): Array[Byte] = {
+    val w = (2 + Math.floorMod(id, 7L)).toInt
+    val h = (1 + Math.floorMod(id, 5L)).toInt
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val raster = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < raster.length) {
+      raster(i) = (mix64(id * 196613L + i) & 0xff).toByte
+      i += 1
     }
     val full = header ++ raster
     if (truncate) full.dropRight(1) else full

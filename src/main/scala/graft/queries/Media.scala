@@ -36,6 +36,26 @@ object Media {
     * (see [[graft.Q.r4]] for the HALF_UP boundary rationale). */
   private def r6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
 
+  /** Diverse-raster rehearsal mode (r19, VERDICT r18 next-round #3):
+    * `SPARK_GRAFT_MEDIA_DIVERSE=1` (env — the bench/rehearsal lever) or
+    * `graft.media.diverse=true` (conf — the spec lever) switches the
+    * phash queries to [[Multimodal.ppmPayloadDiverse]], the hash-diverse
+    * generator that keeps the 10× pair join's bucket space from
+    * saturating (the synthetic regime edge) so its real growth is
+    * measurable. REFUSED under the correctness gate — the closed-form
+    * oracles mirror the default arithmetic only (the occcutoff-knob
+    * lesson, ADVICE r18 #1). */
+  private def diverseMode(s: SparkSession): Boolean = {
+    val on = sys.env.get("SPARK_GRAFT_MEDIA_DIVERSE").contains("1") ||
+      s.conf.getOption("graft.media.diverse").contains("true")
+    if (on && s.conf.getOption("graft.gate").contains("true"))
+      throw new IllegalArgumentException(
+        "diverse-raster media mode is a rehearsal lever; the correctness " +
+        "gate's oracles mirror the default generator — unset " +
+        "SPARK_GRAFT_MEDIA_DIVERSE / graft.media.diverse under Verify")
+    on
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_decode" -> ((s, d) => {
       val ids = Tables.documents(s, d).select(col("doc_id"))
@@ -77,7 +97,7 @@ object Media {
     // closed-form oracle reproduces exactly.
     "q_media_phash" -> ((s, d) => {
       val ids = Tables.documents(s, d).select(col("doc_id"))
-      val media = Multimodal.syntheticMedia(ids)
+      val media = Multimodal.syntheticMedia(ids, diverseMode(s))
       val twins = Multimodal.upscaledTwins(
         media.filter(col("media_id") % 9 === 0), twinOffset)
       Multimodal.phashPpm(media.unionByName(twins))
@@ -112,7 +132,7 @@ object Media {
     // image bytes.
     "q_media_phash_pairs" -> ((s, d) => {
       val ids = Tables.documents(s, d).select(col("doc_id"))
-      val media = Multimodal.syntheticMedia(ids)
+      val media = Multimodal.syntheticMedia(ids, diverseMode(s))
       val twins = Multimodal.upscaledTwins(
         media.filter(col("media_id") % 9 === 0), twinOffset)
       val hashed = Multimodal.phashPpm(media.unionByName(twins))

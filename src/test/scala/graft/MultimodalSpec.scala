@@ -290,6 +290,60 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.forall(_._3 <= 3L), "threshold respected")
   }
 
+  // --- diverse-raster rehearsal mode (r19) ---
+
+  test("diverse raster mode: hash-diverse corpus, twins still recalled, gate refuses it") {
+    import spark.implicits._
+    // diversity: the default generator's rasters cycle with small id
+    // moduli (the 10× regime edge); the diverse generator hashes every
+    // (id, pixel, channel), so perceptual hashes must be (near-)unique
+    // across a corpus slice where the default generator collapses to a
+    // handful of values
+    // only images over the pair join's 12-px information floor count:
+    // a 2-px thumbnail collides regardless of content (the floor exists
+    // exactly because the 8×8 grid oversamples it) and is excluded from
+    // candidate generation on both sides
+    val imageIds = (0L until 9000L by 3L) // id % 3 == 0 → PPM
+      .filter(id => (2 + id % 7) * (1 + id % 5) >= 12).toSeq
+    val divHashes = imageIds.flatMap(id =>
+      Multimodal.aHashPpm(Multimodal.ppmPayloadDiverse(id, truncate = false)))
+    val defHashes = imageIds.flatMap(id =>
+      Multimodal.aHashPpm(Multimodal.ppmPayload(id, truncate = false)))
+    assert(defHashes.distinct.size < imageIds.size / 4,
+      "fixture sanity: the DEFAULT generator must actually collide heavily")
+    assert(divHashes.distinct.size > (imageIds.size * 9) / 10,
+      s"diverse rasters must hash near-uniquely, got ${divHashes.distinct.size}/${imageIds.size}")
+    // the upscale identity is content-independent: a diverse raster's 2×
+    // twin still hashes identically (the pair join's recall at any scale)
+    for (id <- Seq(0L, 9L, 18L, 12345L * 9)) {
+      val orig = Multimodal.ppmPayloadDiverse(id, truncate = false)
+      assert(Multimodal.aHashPpm(Multimodal.upscalePpm2x(orig).get) ===
+             Multimodal.aHashPpm(orig))
+    }
+    // end to end: the pair query in diverse mode still recalls the
+    // planted twin at hamming 0 on a controlled corpus
+    val d = java.nio.file.Files.createTempDirectory("phash-div").toString
+    Seq(18L, 24L, 33L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    spark.conf.set("graft.media.diverse", "true")
+    try {
+      val rows = graft.queries.Media.queries("q_media_phash_pairs")(spark, d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(rows.contains((18L, 18L + 1000000000000L, 0L)),
+        "planted twin recalled at hamming 0 in diverse mode")
+      // under the correctness gate the mode must refuse loudly (the
+      // occcutoff-knob lesson): the oracles mirror the default generator
+      spark.conf.set("graft.gate", "true")
+      val e = intercept[IllegalArgumentException] {
+        graft.queries.Media.queries("q_media_phash_pairs")(spark, d)
+      }
+      assert(e.getMessage.contains("rehearsal lever"))
+    } finally {
+      spark.conf.unset("graft.media.diverse")
+      spark.conf.unset("graft.gate")
+    }
+  }
+
   // --- audio fingerprint + real time stretch (r19) ---
 
   test("audioFpFull: planted near-dup pair — a 2x time-stretched clip fingerprints identically") {
