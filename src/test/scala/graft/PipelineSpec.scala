@@ -5,6 +5,43 @@ import org.apache.spark.sql.functions._
 
 class PipelineSpec extends SparkSpec {
 
+  test("q_vocab_train: dense ranks, non-increasing counts, trained fertility beats the constant vocab") {
+    val merges = Pipeline.queries("q_vocab_train")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(merges.length === 56, "all 56 rounds must find a pair on the gate corpus")
+    assert(merges.map(_._1).toSeq === (1L to 56L), "ranks dense and ordered")
+    // BPE invariant: the chosen pair's count never increases round over
+    // round (a merge's new pairs are bounded by the count just merged)
+    assert(merges.map(_._4).sliding(2).forall(w => w.head >= w.last),
+      "merge counts must be non-increasing")
+    // the training DONE-check (VERDICT r18 next-round #4): applying the
+    // learned merges to the corpus word stream must yield LOWER fertility
+    // (symbols per word occurrence) than the fixed declaration-time
+    // vocabulary q_vocab_coverage serves — i.e. training actually adapts
+    // the vocabulary to the corpus instead of standing still
+    val words = Tables.documents(spark, sf0001)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    var st = words.select(col("word"), concat(lit(" "),
+      regexp_replace(col("word"), "(.)", "$1 ")).as("s"))
+    merges.foreach { case (_, l, r, _) =>
+      st = st.withColumn("s",
+        expr(s"replace(replace(s, ' $l $r ', ' $l$r '), ' $l $r ', ' $l$r ')"))
+    }
+    val trained = st
+      .select(size(split(trim(col("s")), " ")).cast("double").as("n"))
+      .agg(avg(col("n"))).head().getDouble(0)
+    val constant = words
+      .select(element_at(call_function("graft_subwords", col("word")), 2)
+        .cast("double").as("n"))
+      .agg(avg(col("n"))).head().getDouble(0)
+    assert(trained < constant,
+      f"trained fertility $trained%.4f must beat the constant vocab's $constant%.4f")
+    // and by a real margin, not a rounding hair (measured ~2.04 vs ~2.40)
+    assert(trained < constant - 0.2,
+      f"expected a clear fertility win, got $trained%.4f vs $constant%.4f")
+  }
+
   test("approx_percentile within tolerance of exact percentile") {
     // output schema: (l_returnflag, n, ap50, ap99, ok50, ok99)
     val rows = Pipeline.queries("q_approx_percentile")(spark, sf0001).collect()
