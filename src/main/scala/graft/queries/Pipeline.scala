@@ -333,7 +333,7 @@ object Pipeline {
     // the count just merged). The DuckDB oracle replays all 56 rounds as
     // chained MATERIALIZED CTEs (inlining would re-open the scan per
     // reference — measured fd exhaustion at K=48 without the hint).
-    // VocabTrainSpec pins that the trained vocabulary's fertility beats
+    // PipelineSpec pins that the trained vocabulary's fertility beats
     // the q_vocab_coverage constant on the gate corpus.
     "q_vocab_train" -> ((s, d) => {
       val wf = Tables.documents(s, d)

@@ -144,6 +144,33 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("plan fingerprints: canonical form is run-stable and strips run-varying tokens (r19)") {
+    import org.apache.spark.sql.execution.ExplainMode
+    def canon(name: String) = PlanDump.canonicalPlan(
+      SparkEntry.queries(name)(spark, sf0001)
+        .queryExecution.explainString(ExplainMode.fromString("formatted")))
+    // two independent constructions of the same query get fresh
+    // expression ids; the canonical form must not see them
+    assert(canon("q_join_inner") === canon("q_join_inner"))
+    assert(canon("q_dedup_minhash") === canon("q_dedup_minhash"))
+    // pure-string normalization: Prebuilt sequence-numbered names, temp
+    // paths and expression ids all collapse; division operators survive
+    // note the bare "Scan parquet" location line is not a keep-line at
+    // all — the name/path normalizers below cover keep-lines that embed
+    // them (InMemoryRelation, exchanges over catalog tables)
+    val raw = Seq(
+      "Exchange hashpartitioning(bk#123L, 8)",
+      "PushedFilters: [IsNotNull(doc_id#45)]",
+      "InMemoryRelation graft_minhash_bkt_17 file:/tmp/graft_span_bkt_2qx/spans",
+      "HashAggregate(keys=[x#9], functions=[sum(y#10L / 2.0)])")
+      .mkString("\n")
+    val c = PlanDump.canonicalPlan(raw)
+    assert(!c.contains("#123") && !c.contains("#45") && !c.contains("#9"))
+    assert(c.contains("graft_minhash_bkt_N"), s"table seq not normalized: $c")
+    assert(!c.contains("/tmp/"), s"path not normalized: $c")
+    assert(c.contains("/ 2.0"), s"division operator must survive: $c")
+  }
+
   test("q_approx_percentile scans lineitem exactly once (r14 single-pass contract)") {
     // The r12/r13 shape re-scanned lineitem to rank the sketch estimate;
     // the r14 histogram design derives estimate AND rank check from one
