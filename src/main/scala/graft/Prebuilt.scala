@@ -74,12 +74,19 @@ object Prebuilt {
     cleanupHook
     val key = System.identityHashCode(s) + "|" +
       fingerprintKey(s, d, table, prefix)
-    tableNames.computeIfAbsent(key, _ => {
-      val dir = java.nio.file.Files.createTempDirectory(s"graft_${prefix}_")
-      built.put(key, dir.toString) // same JVM-exit sweep as dirFor builds
-      val name = s"graft_${prefix}_${tableSeq.incrementAndGet()}"
-      build(dir.toString, name)
-      name
+    // compute (not computeIfAbsent): identityHashCode can recur on a NEW
+    // session after the old one is collected, in which case the memoized
+    // name points at a table the new session's catalog never heard of —
+    // verify existence and rebuild instead of serving a dangling name
+    tableNames.compute(key, (_, existing) => {
+      if (existing != null && s.catalog.tableExists(existing)) existing
+      else {
+        val dir = java.nio.file.Files.createTempDirectory(s"graft_${prefix}_")
+        built.put(key, dir.toString) // same JVM-exit sweep as dirFor builds
+        val name = s"graft_${prefix}_${tableSeq.incrementAndGet()}"
+        build(dir.toString, name)
+        name
+      }
     })
   }
 }
