@@ -259,9 +259,11 @@ object PlanDump {
          |sample floor(t*n/64)) and thresholds each point's integer
          |magnitude against the grid mean (mag*64 > total — all-integer,
          |oracle-exact). GAIN-invariant (scaling cancels from both sides)
-         |and invariant under 2x sample-doubling time stretch (the same
-         |floor identity as the image upscale); the plant is a REAL
-         |re-encoded half-speed WAV whose every data byte offset differs.
+         |and invariant under 2x RAW-sample doubling (the same floor
+         |identity as the image upscale; channel-BLIND by design — true
+         |half-speed for mono, stream-doubled re-encode for
+         |multi-channel, scoping in stretchWav2x's doc); the plant is a
+         |REAL re-encoded WAV whose every data byte offset differs.
          |Plan: generate -> fingerprint is a narrow batch map (zero
          |shuffles), then the q_dedup_exact hash-groupBy. Linear at
          |100 TB; refusal rows (images, truncated, compressed) drop in
@@ -436,8 +438,8 @@ object PlanDump {
     * local relation, so its fingerprint pins only that the training
     * stays off the cluster path — the word count's plan is covered by
     * the family's other queries. */
-  private def writePlanFingerprints(spark: SparkSession, sfDir: String,
-                                    out: String): Unit = {
+  private def writePlanFingerprints(
+      dfFor: String => org.apache.spark.sql.DataFrame, out: String): Unit = {
     val prev: Map[String, String] =
       if (Files.exists(Paths.get(out)))
         """"(q_[a-z0-9_]+)"\s*:\s*"([0-9a-f]+|err)"""".r
@@ -448,7 +450,7 @@ object PlanDump {
       .filter(_ != "q_stream_ingest")
       .map { name =>
         val fp = try {
-          val plan = SparkEntry.queries(name)(spark, sfDir)
+          val plan = dfFor(name)
             .queryExecution.explainString(ExplainMode.fromString("formatted"))
           md5hex8(canonicalPlan(plan))
         } catch { case _: Throwable => "err" }
@@ -482,8 +484,17 @@ object PlanDump {
     sb.append("Evidence for the scale claims in README.md: predicate pushdown,\n")
     sb.append("column pruning, broadcast placement, partial aggregation, and the\n")
     sb.append("absence of cross joins on every candidate-generation path.\n")
+    // one construction per query, shared by the audit section and the
+    // fingerprint map (review r19): constructing q_vocab_train runs its
+    // distributed word count + driver merge loop, and every construction
+    // re-runs analysis — building each DataFrame once halves the job
+    // count at zero behavior change
+    val dfCache =
+      scala.collection.mutable.HashMap.empty[String, org.apache.spark.sql.DataFrame]
+    def dfFor(name: String) =
+      dfCache.getOrElseUpdate(name, SparkEntry.queries(name)(spark, sfDir))
     audit.foreach { name =>
-      val df = SparkEntry.queries(name)(spark, sfDir)
+      val df = dfFor(name)
       val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
       val lines = plan.linesIterator
         .filter(l => keep.exists(l.contains)).map(_.stripTrailing)
@@ -498,7 +509,14 @@ object PlanDump {
       sb.append("\n").append(Files.readString(appendix))
     Files.writeString(Paths.get(out), sb.toString)
     println(s"[plandump] wrote $out (${audit.size} queries)")
-    writePlanFingerprints(spark, sfDir, "PLANFP.json")
+    // the committed PLANFP.json is written ONLY by the default
+    // (argument-free) per-round invocation: a scratch run with a custom
+    // sfDir/outFile must not clobber the round artifact with
+    // fingerprints from a different corpus — join strategies are
+    // stats-dependent, so sf0.001 fingerprints would print spurious
+    // DRIFT for unchanged queries (review r19)
+    val fpOut = if (args.isEmpty) "PLANFP.json" else s"$out.planfp.json"
+    writePlanFingerprints(dfFor, fpOut)
     spark.stop()
   }
 }

@@ -82,8 +82,13 @@ object Prebuilt {
       if (existing != null && s.catalog.tableExists(existing)) existing
       else {
         val dir = java.nio.file.Files.createTempDirectory(s"graft_${prefix}_")
-        built.put(key, dir.toString) // same JVM-exit sweep as dirFor builds
         val name = s"graft_${prefix}_${tableSeq.incrementAndGet()}"
+        // sweep-map entry keyed by the UNIQUE table name, not the memo
+        // key: a rebuild for the same memo key must not evict the
+        // superseded build's directory from the JVM-exit sweep
+        // (review r19 — dirFor never rebuilds, so only tableFor has
+        // superseded dirs to keep in the map)
+        built.put(key + "|" + name, dir.toString)
         build(dir.toString, name)
         name
       }

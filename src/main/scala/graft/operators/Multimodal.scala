@@ -361,10 +361,12 @@ object Multimodal {
     * Spark and the closed-form DuckDB oracle agree exactly. GAIN-
     * invariant by construction (any exact positive scaling cancels from
     * both sides of mag·64 > Σ) and — the spec-pinned plant property —
-    * invariant under 2× sample-doubling time stretch: ⌊⌊t·2n/64⌋/2⌋ =
-    * ⌊t·n/64⌋ (the same floor identity [[aHashPpm]] rides), so a
-    * half-speed re-encode whose every byte offset differs fingerprints
-    * identically. Returns (16-hex signature, raw sample count, four
+    * invariant under 2× RAW-sample doubling: ⌊⌊t·2n/64⌋/2⌋ = ⌊t·n/64⌋
+    * (the same floor identity [[aHashPpm]] rides), so a stream-doubled
+    * re-encode whose every byte offset differs fingerprints identically
+    * — true half-speed audio for mono; for multi-channel the
+    * fingerprint is channel-BLIND (it reads the interleaved stream, not
+    * per-channel frames — see [[stretchWav2x]] for the scoping). Returns (16-hex signature, raw sample count, four
     * 16-bit Hamming band values — [[aHashFull]]'s packing, shared with
     * the band-join oracle). None when the payload isn't decodable PCM-16. */
   private[graft] def audioFpFull(b: Array[Byte]): Option[(String, Long, Array[Int])] =
@@ -398,13 +400,22 @@ object Multimodal {
       (sb.toString, n.toLong, bands)
     }
 
-  /** REAL 2× time stretch of a RIFF/WAVE PCM-16 payload — re-encodes a
+  /** REAL 2× stretch of a RIFF/WAVE PCM-16 payload — re-encodes a
     * canonical 44-byte-header WAV with 2n samples where sample i copies
-    * source sample ⌊i/2⌋ (each raw sample doubled). The audio analog of
-    * [[upscalePpm2x]] and the q_media_audiofp plant: every data byte
-    * offset differs from the original's, but [[audioFpFull]] provably
-    * matches (floor identity). None for non-PCM/malformed payloads or
-    * clips whose doubling would not fit a JVM array. */
+    * source sample ⌊i/2⌋ (each RAW INTERLEAVED sample doubled). For MONO
+    * clips this is a genuine half-speed re-encode; for multi-channel
+    * clips doubling the raw stream (not frames) alternates each source
+    * sample across the channel slots, so it models a resampled
+    * re-encode of the byte stream rather than playable half-speed
+    * stereo — deliberately, because [[audioFpFull]] fingerprints the
+    * raw interleaved stream (channel-blind by design, the way aHash is
+    * layout-blind past the luma sum) and the ⌊⌊2a⌋/2⌋ = ⌊a⌋ identity
+    * holds on raw indices for ANY channel count, where frame-doubling
+    * would break it for ch > 1 (review r19 — claim scoped honestly).
+    * The audio analog of [[upscalePpm2x]] and the q_media_audiofp
+    * plant: every data byte offset differs from the original's, but the
+    * fingerprint provably matches. None for non-PCM/malformed payloads
+    * or clips whose doubling would not fit a JVM array. */
   private[graft] def stretchWav2x(b: Array[Byte]): Option[Array[Byte]] =
     wavPcm(b).filter { case (_, _, _, n) => n.toLong * 4 < Int.MaxValue - 64 }
       .map { case (rate, ch, off, n) =>

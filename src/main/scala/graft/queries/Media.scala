@@ -137,12 +137,6 @@ object Media {
         media.filter(col("media_id") % 9 === 0), twinOffset)
       val hashed = Multimodal.phashPpm(media.unionByName(twins))
         .filter(col("n_px") >= 12)
-      // band values ride through the explode (the q_dedup_minhash carry
-      // pattern) so the rescore reads the joined rows, no signature re-join
-      val e0 = hashed.select(
-        Seq(col("media_id"), col("b0"), col("b1"), col("b2"), col("b3")) :+
-          posexplode(array((0 until 4).map(i => col(s"b$i")): _*))
-            .as(Seq("band", "bv")): _*)
       // occupancy cutoff knob (the embcos knob discipline): the DEFAULT
       // (20) is what the DuckDB oracle mirrors and what the gate runs;
       // an explicit session conf is the production lever — a named
@@ -162,21 +156,7 @@ object Media {
             "correctness gate's oracle hardcodes 20 — unset it under Verify")
         n
       }.getOrElse(20)
-      val cold = e0.groupBy("band", "bv").agg(count(lit(1)).as("occ"))
-        .filter(col("occ") <= cutoff).select("band", "bv")
-      val e = e0.join(cold, Seq("band", "bv"))
-      val x = e.as("x"); val y = e.as("y")
-      x.join(y, col("x.band") === col("y.band") &&
-                col("x.bv") === col("y.bv") &&
-                col("x.media_id") < col("y.media_id"))
-        .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"),
-          expr("CAST(bit_count(x.b0 ^ y.b0) + bit_count(x.b1 ^ y.b1)" +
-               " + bit_count(x.b2 ^ y.b2) + bit_count(x.b3 ^ y.b3)" +
-               " AS BIGINT)").as("hm"))
-        // a pair colliding in several bands scores identically each time
-        .groupBy("id_a", "id_b").agg(min(col("hm")).as("hamming"))
-        .filter(col("hamming") <= 3)
-        .orderBy("id_a", "id_b")
+      hammingBandPairs(hashed, cutoff)
     }),
 
     // Audio near-dup via time-axis fingerprint (r19, VERDICT r18
@@ -186,9 +166,12 @@ object Media {
     // threshold each point's integer magnitude against the grid mean —
     // [[graft.operators.Multimodal.audioFpFull]]. The signature is
     // GAIN-invariant (scaling cancels from mag·64 > Σ) and invariant
-    // under 2× sample-doubling time stretch (the ⌊⌊2a⌋/2⌋ = ⌊a⌋ floor
-    // identity — aHash's sampling identity on the time axis), so
-    // re-encoded half-speed copies are caught where byte dedup can't.
+    // under 2× raw-sample doubling (the ⌊⌊2a⌋/2⌋ = ⌊a⌋ floor identity —
+    // aHash's sampling identity on the time axis), so stream-doubled
+    // re-encodes are caught where byte dedup can't: true half-speed
+    // copies for mono clips, and for multi-channel any re-encode that
+    // doubles the interleaved stream (the fingerprint is channel-blind
+    // by design — see Multimodal.stretchWav2x for the honest scoping).
     // The plant: every media_id % 9 == 4 clip gains a REAL stretched
     // twin ([[Multimodal.stretchWav2x]] re-encodes the bytes); image and
     // truncated rows are refused by the decoder, not faked. The oracle
@@ -222,28 +205,43 @@ object Media {
       val media = Multimodal.syntheticMedia(ids)
       val twins = Multimodal.stretchedTwins(
         media.filter(col("media_id") % 9 === 4), audioTwinOffset)
-      val hashed = Multimodal.audioFp(media.unionByName(twins))
-        .filter(col("n_samp") >= 8)
-      val e0 = hashed.select(
-        Seq(col("media_id"), col("b0"), col("b1"), col("b2"), col("b3")) :+
-          posexplode(array((0 until 4).map(i => col(s"b$i")): _*))
-            .as(Seq("band", "bv")): _*)
-      val cold = e0.groupBy("band", "bv").agg(count(lit(1)).as("occ"))
-        .filter(col("occ") <= 20).select("band", "bv")
-      val e = e0.join(cold, Seq("band", "bv"))
-      val x = e.as("x"); val y = e.as("y")
-      x.join(y, col("x.band") === col("y.band") &&
-                col("x.bv") === col("y.bv") &&
-                col("x.media_id") < col("y.media_id"))
-        .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"),
-          expr("CAST(bit_count(x.b0 ^ y.b0) + bit_count(x.b1 ^ y.b1)" +
-               " + bit_count(x.b2 ^ y.b2) + bit_count(x.b3 ^ y.b3)" +
-               " AS BIGINT)").as("hm"))
-        .groupBy("id_a", "id_b").agg(min(col("hm")).as("hamming"))
-        .filter(col("hamming") <= 3)
-        .orderBy("id_a", "id_b")
+      hammingBandPairs(
+        Multimodal.audioFp(media.unionByName(twins))
+          .filter(col("n_samp") >= 8),
+        cutoff = 20)
     })
   )
+
+  /** Shared Hamming-banded near-dup PAIR join over any (media_id,
+    * b0…b3) 64-bit-signature frame (review r19 — it appeared verbatim in
+    * the phash and audiofp pair queries, the hand-kept-copies divergence
+    * class): four 16-bit bands, pigeonhole-exact recall at Hamming
+    * distance ≤ 3, band values riding the explode (the q_dedup_minhash
+    * carry pattern — the rescore reads the joined rows, no signature
+    * re-join), hot buckets above `cutoff` occupancy skipped for
+    * candidate generation. The information floor (n_px / n_samp) is the
+    * caller's, applied BEFORE this join so both sides agree. */
+  private def hammingBandPairs(hashed: DataFrame, cutoff: Int): DataFrame = {
+    val e0 = hashed.select(
+      Seq(col("media_id"), col("b0"), col("b1"), col("b2"), col("b3")) :+
+        posexplode(array((0 until 4).map(i => col(s"b$i")): _*))
+          .as(Seq("band", "bv")): _*)
+    val cold = e0.groupBy("band", "bv").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") <= cutoff).select("band", "bv")
+    val e = e0.join(cold, Seq("band", "bv"))
+    val x = e.as("x"); val y = e.as("y")
+    x.join(y, col("x.band") === col("y.band") &&
+              col("x.bv") === col("y.bv") &&
+              col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"),
+        expr("CAST(bit_count(x.b0 ^ y.b0) + bit_count(x.b1 ^ y.b1)" +
+             " + bit_count(x.b2 ^ y.b2) + bit_count(x.b3 ^ y.b3)" +
+             " AS BIGINT)").as("hm"))
+      // a pair colliding in several bands scores identically each time
+      .groupBy("id_a", "id_b").agg(min(col("hm")).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy("id_a", "id_b")
+  }
 
   /** Twin-id offset for q_media_phash's planted upscaled copies — far
     * above any real doc_id, shared verbatim with the oracle. */
@@ -332,33 +330,11 @@ object Media {
                  FROM bits)
           SELECT phash, count(*) AS n_imgs, min(media_id) AS keeper
           FROM ph GROUP BY phash HAVING count(*) >= 2 ORDER BY phash""",
-    // The Hamming-band pair form over the same bits CTE: band j's value
-    // folds bits 16j..16j+15 MSB-first; candidates from the band
-    // equi-join (distinct pairs), rescore = Σ |bit_a − bit_b| over the
-    // full 64 — the exact mirror of the Spark side's per-band
-    // XOR+popcount sum. The ≥12-pixel floor applies to both sides.
+    // The Hamming-band pair form over the same bits CTE — the shared
+    // [[hammingPairsSql]] body with the ≥12-pixel floor (both sides).
     "q_media_phash_pairs" ->
       s"""WITH $phashBitsCteSql,
-          bnd AS (SELECT media_id, bs, unnest(range(0, 4)) AS band
-                  FROM bits WHERE n_px >= 12),
-          bvs AS (SELECT media_id, bs, band,
-                    list_reduce(list_slice(bs, 16*band + 1, 16*band + 16),
-                                (a, x) -> a * 2 + x) AS bv
-                  FROM bnd),
-          okb AS (SELECT band, bv FROM (SELECT band, bv, count(*) AS n
-                  FROM bvs GROUP BY band, bv) WHERE n <= 20),
-          bvc AS (SELECT b.* FROM bvs b JOIN okb USING (band, bv)),
-          pairs AS (SELECT DISTINCT x.media_id AS id_a, y.media_id AS id_b
-                    FROM bvc x JOIN bvc y
-                      ON x.band = y.band AND x.bv = y.bv
-                     AND x.media_id < y.media_id)
-          SELECT id_a, id_b, hamming FROM (
-            SELECT id_a, id_b,
-                   CAST(list_sum(list_transform(range(1, 65),
-                     k -> abs(a.bs[k] - b.bs[k]))) AS BIGINT) AS hamming
-            FROM pairs JOIN bits a ON id_a = a.media_id
-                       JOIN bits b ON id_b = b.media_id)
-          WHERE hamming <= 3 ORDER BY id_a, id_b""",
+          ${hammingPairsSql("n_px >= 12")}""",
     // Closed-form audio-fingerprint mirror (afpBitsCteSql): the grouped-
     // cluster form — same nibble fold as q_media_phash.
     "q_media_audiofp" ->
@@ -371,12 +347,25 @@ object Media {
                  FROM bits)
           SELECT afp, count(*) AS n_clips, min(media_id) AS keeper
           FROM af GROUP BY afp HAVING count(*) >= 2 ORDER BY afp""",
-    // The Hamming-band pair form over the same bits CTE — the
-    // q_media_phash_pairs mirror with the ≥8-sample floor.
+    // The Hamming-band pair form over the same bits CTE — the shared
+    // [[hammingPairsSql]] body with the ≥8-sample floor.
     "q_media_audiofp_pairs" ->
       s"""WITH $afpBitsCteSql,
-          bnd AS (SELECT media_id, bs, unnest(range(0, 4)) AS band
-                  FROM bits WHERE n_samp >= 8),
+          ${hammingPairsSql("n_samp >= 8")}"""
+  )
+
+  /** Shared DuckDB mirror of [[hammingBandPairs]] (review r19 — it was
+    * hand-kept twice, the divergence class that already desynced the
+    * occupancy knob once): spliced after a `bits(media_id, <floor
+    * column>, bs)` CTE. Band j's value folds bits 16j..16j+15 MSB-first;
+    * candidates from the band equi-join (distinct pairs), rescore =
+    * Σ |bit_a − bit_b| over the full 64 — the exact mirror of the Spark
+    * side's per-band XOR+popcount sum. The information floor arrives as
+    * `floorPred` so each modality's threshold is stated once, next to
+    * its Spark twin. The occupancy cutoff 20 is the gate constant. */
+  private def hammingPairsSql(floorPred: String): String =
+    s"""bnd AS (SELECT media_id, bs, unnest(range(0, 4)) AS band
+                  FROM bits WHERE $floorPred),
           bvs AS (SELECT media_id, bs, band,
                     list_reduce(list_slice(bs, 16*band + 1, 16*band + 16),
                                 (a, x) -> a * 2 + x) AS bv
@@ -395,7 +384,6 @@ object Media {
             FROM pairs JOIN bits a ON id_a = a.media_id
                        JOIN bits b ON id_b = b.media_id)
           WHERE hamming <= 3 ORDER BY id_a, id_b"""
-  )
 
   /** Shared closed-form audio-fingerprint CTE block (spliced after
     * `WITH` by both audiofp oracles): clip id has n = (1 + id%2)·(4 +

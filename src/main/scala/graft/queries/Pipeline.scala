@@ -482,16 +482,48 @@ object Pipeline {
   private[graft] val vocabTrainRounds = 56
   private[graft] val vocabTrainCap = 65536
 
+  /** Unsigned UTF-8 byte-order comparison — DuckDB's default VARCHAR
+    * collation and Spark's UTF8String ordering; Scala's String Ordering
+    * compares UTF-16 code units, which DISAGREES above the BMP boundary
+    * (review r19: a non-ASCII word type would desync the merge
+    * tie-break from the oracle's ORDER BY, even though every corpus
+    * here is ASCII — the SubwordStats ASCII-contract class of hazard,
+    * closed instead of documented). */
+  private def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
   /** The BPE merge loop over a word-type frequency table — see
     * q_vocab_train's comment for why this runs driver-side (the input is
     * vocabulary-sized and capped, never corpus-proportional). Semantics
-    * shared byte-for-byte with the DuckDB oracle: pair counts weighted
-    * by word frequency over adjacent symbols, argmax by (count DESC,
-    * left, right), two-pass literal replace. Stops early if the corpus
-    * runs out of pairs (every word collapsed to one symbol). */
+    * shared byte-for-byte with the DuckDB oracle: CODEPOINT seed symbols
+    * (the oracle's `regexp_replace(word, '(.)', …)` matches per
+    * codepoint — splitting UTF-16 units would shear surrogate pairs),
+    * pair counts weighted by word frequency over adjacent symbols,
+    * argmax by (count DESC, left, right) in UTF-8 byte order, two-pass
+    * literal replace. Stops early if the corpus runs out of pairs
+    * (every word collapsed to one symbol). */
   private[graft] def bpeTrain(wf: Seq[(String, Long)], rounds: Int)
       : Seq[(Long, String, String, Long)] = {
-    var state = wf.map { case (w, f) => (" " + w.mkString(" ") + " ", f) }
+    def seed(w: String): String = {
+      val sb = new java.lang.StringBuilder(" ")
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        sb.appendCodePoint(cp).append(' ')
+        i += Character.charCount(cp)
+      }
+      sb.toString
+    }
+    var state = wf.map { case (w, f) => (seed(w), f) }
     val out = Seq.newBuilder[(Long, String, String, Long)]
     var k = 1
     var exhausted = false
@@ -508,7 +540,15 @@ object Pipeline {
       }
       if (pc.isEmpty) exhausted = true
       else {
-        val ((l, r), cnt) = pc.minBy { case ((pl, pr), c) => (-c, pl, pr) }
+        val ((l, r), cnt) = pc.reduce { (a, b) =>
+          val cmp =
+            if (a._2 != b._2) java.lang.Long.compare(b._2, a._2) // count DESC
+            else {
+              val cl = utf8Cmp(a._1._1, b._1._1)
+              if (cl != 0) cl else utf8Cmp(a._1._2, b._1._2)
+            }
+          if (cmp <= 0) a else b
+        }
         out += ((k.toLong, l, r, cnt))
         val pat = s" $l $r "; val rep = s" $l$r "
         state = state.map { case (s0, f) =>
