@@ -52,7 +52,11 @@ object BenchGuards {
     // after ':'), and no archived payload contains them
     "minhash" -> "H", "bucketed" -> "I", "media" -> "HA", "phash" -> "HB",
     "pairs" -> "HC", "audiofp" -> "HD", "coverage" -> "HE", "vocab" -> "HF",
-    "decode" -> "HG")
+    "decode" -> "HG",
+    // appended r20 BEFORE the round's new queries land (the standing
+    // VERDICT next-round #5 discipline): q_vocab_segment_trained's sub
+    // tokens, plus "trained" also compresses the existing ivf_trained
+    "trained" -> "HH", "segment" -> "HI")
   // encTok is private[graft] so Bench's fcv formatting shares the ONE
   // built lookup instead of re-deriving tokenDict.toMap per family
   private[graft] val encTok = tokenDict.toMap

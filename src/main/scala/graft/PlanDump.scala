@@ -36,7 +36,9 @@ object PlanDump {
     "q_dedup_spans_clean_indexed", "q_dedup_cluster_indexed",
     "q_dedup_unicode",
     "q_dedup_minhash_bucketed", "q_dedup_spans_bucketed",
-    "q_media_audiofp", "q_media_audiofp_pairs", "q_vocab_train")
+    "q_media_audiofp", "q_media_audiofp_pairs", "q_vocab_train",
+    "q_split_leakfree_bucketed", "q_split_contam_audit_bucketed",
+    "q_vocab_segment_trained")
 
   private val keep = Seq("Exchange", "HashAggregate", "BroadcastHashJoin",
     "BroadcastNestedLoopJoin", "CartesianProduct", "SortMergeJoin",
@@ -419,9 +421,13 @@ object PlanDump {
       .map(_.replaceAll("#\\d+L?", "#"))
       .map(_.replaceAll("plan_id=\\d+", "plan_id="))
       .map(_.replaceAll("graft_([a-z_]+?)_\\d+", "graft_$1_N"))
-      // a path starts with / plus a word char — a bare "/ 2.0" division
-      // operator must not match
-      .map(_.replaceAll("(file:)?/[A-Za-z0-9_][^\\s\\],]*", "<path>"))
+      // a path is either scheme-anchored (file:/...) or preceded by
+      // whitespace / '[' (plan lines print locations as "Location [...]"
+      // or bare after a space) — an UNSPACED slash expression ("y#10L/2.0",
+      // a yyyy/MM/dd format token) is preceded by a word char and must
+      // survive, or the fingerprint over-normalizes and masks real plan
+      // changes (ADVICE r19 #1; the earlier guard only covered "/ 2.0")
+      .map(_.replaceAll("(file:|(?<=[\\s\\[]))/[A-Za-z0-9_][^\\s\\],]*", "<path>"))
       .mkString("\n")
 
   private def md5hex8(s: String): String =
@@ -446,8 +452,15 @@ object PlanDump {
           .findAllMatchIn(Files.readString(Paths.get(out)))
           .map(m => m.group(1) -> m.group(2)).toMap
       else Map.empty
+    // the streaming e2e has no stable batch plan (constructing it runs
+    // the engine) — excluded by design, and the exclusion is recorded IN
+    // the artifact so the fingerprint count self-documents for a reader
+    // diffing rounds (VERDICT r19 optional #8). The array form never
+    // matches the prev-parse regex (no ':' follows the name), so old
+    // and new artifacts diff cleanly.
+    val excluded = Seq("q_stream_ingest")
     val fps = SparkEntry.queries.keys.toSeq.sorted
-      .filter(_ != "q_stream_ingest")
+      .filterNot(excluded.contains)
       .map { name =>
         val fp = try {
           val plan = dfFor(name)
@@ -461,7 +474,8 @@ object PlanDump {
         s"$n ${prev(n)}->$fp"
     }
     Files.writeString(Paths.get(out),
-      fps.map { case (n, fp) => s"""  "$n": "$fp"""" }
+      (s"""  "excluded": [${excluded.map("\"" + _ + "\"").mkString(", ")}]""" +:
+        fps.map { case (n, fp) => s"""  "$n": "$fp"""" })
         .mkString("{\n", ",\n", "\n}\n"))
     println(s"[plandump] wrote $out (${fps.size} fingerprints; " +
       (if (prev.isEmpty) "no prior to diff"

@@ -52,6 +52,20 @@ object Prebuilt {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val tableSeq = new java.util.concurrent.atomic.AtomicLong()
 
+  // Guaranteed-unique per-session token for the tableFor memo key
+  // (ADVICE r19 #3): identityHashCode can collide between two LIVE
+  // sessions, which would leave correctness resting entirely on the
+  // tableExists self-heal below — and with a shared metastore the stale
+  // name can EXIST in both catalogs. A WeakHashMap-assigned sequence id
+  // never collides and still lets dead sessions be collected.
+  private val sessionIds = new java.util.WeakHashMap[SparkSession, java.lang.Long]()
+  private val sessionSeq = new java.util.concurrent.atomic.AtomicLong()
+  private def sessionToken(s: SparkSession): Long = sessionIds.synchronized {
+    Option(sessionIds.get(s)).map(_.longValue).getOrElse {
+      val id = sessionSeq.incrementAndGet(); sessionIds.put(s, id); id
+    }
+  }
+
   /** The memoized CATALOG TABLE name for a BUCKETED prebuilt index over
     * `$d/$table.parquet` (r19, VERDICT r18 next-round #1): plain-parquet
     * prebuilt indexes still pay an Exchange on the index side of every
@@ -68,18 +82,24 @@ object Prebuilt {
     * must `saveAsTable(name)` with `option("path", dir/...)` (external —
     * data under the cleanup-hooked temp dir, never a stray
     * spark-warehouse in CWD). Names are sequence-numbered, so a rebuild
-    * for a regenerated corpus never aliases a stale table. */
-  def tableFor(s: SparkSession, d: String, table: String, prefix: String)
+    * for a regenerated corpus never aliases a stale table. A build that
+    * registers COMPANION tables next to the primary (the span index's
+    * `_freq`) declares their suffixes via `extraSuffixes` so the
+    * staleness check verifies EVERY table the build registered — an
+    * out-of-band drop of just the companion must trigger a rebuild, not
+    * an unrecoverable table-not-found (ADVICE r19 #4). */
+  def tableFor(s: SparkSession, d: String, table: String, prefix: String,
+               extraSuffixes: Seq[String] = Nil)
               (build: (String, String) => Unit): String = {
     cleanupHook
-    val key = System.identityHashCode(s) + "|" +
-      fingerprintKey(s, d, table, prefix)
-    // compute (not computeIfAbsent): identityHashCode can recur on a NEW
-    // session after the old one is collected, in which case the memoized
-    // name points at a table the new session's catalog never heard of —
+    val key = sessionToken(s) + "|" + fingerprintKey(s, d, table, prefix)
+    // compute (not computeIfAbsent): the memoized name can point at a
+    // table this session's catalog no longer has (out-of-band drop) —
     // verify existence and rebuild instead of serving a dangling name
     tableNames.compute(key, (_, existing) => {
-      if (existing != null && s.catalog.tableExists(existing)) existing
+      if (existing != null &&
+          (existing +: extraSuffixes.map(existing + _))
+            .forall(s.catalog.tableExists)) existing
       else {
         val dir = java.nio.file.Files.createTempDirectory(s"graft_${prefix}_")
         val name = s"graft_${prefix}_${tableSeq.incrementAndGet()}"

@@ -529,16 +529,21 @@ object Multimodal {
     * downstream is identical. */
   def syntheticMedia(ids: DataFrame): DataFrame = syntheticMedia(ids, diverse = false)
 
-  /** `diverse = true` swaps the image arms to [[ppmPayloadDiverse]] — the
-    * rehearsal-only mode for measuring the phash pair join's growth on a
-    * hash-diverse corpus (r19, VERDICT r18 next-round #3). The DEFAULT
-    * generator's rasters are linear in the id mod small constants, so
-    * content repeats every few thousand ids and a 10× corpus saturates
-    * the pair join's occupancy cutoff (the documented third regime
-    * edge); real corpora have diverse hashes, and this mode models them
-    * while keeping every byte deterministic. The closed-form decode/phash
-    * oracles mirror the DEFAULT arithmetic only, so the queries refuse
-    * this mode under the correctness gate (see Media.diverseMode). */
+  /** `diverse = true` swaps the image arms to [[ppmPayloadDiverse]] and
+    * the audio arm to [[wavPayloadDiverse]] (r19 rasters; r20 clips per
+    * VERDICT r19 next-round #3) — the rehearsal-only mode for measuring
+    * the pair joins' growth on a hash-diverse corpus. The DEFAULT
+    * generator's rasters/samples are linear in the id mod small
+    * constants, so content repeats every few thousand ids and a 10×
+    * corpus saturates the pair joins' occupancy cutoffs (the documented
+    * third regime edge); real corpora have diverse signatures, and this
+    * mode models them while keeping every byte deterministic. One flag
+    * swaps BOTH modalities safely: the phash queries decode only the
+    * image arm and the audiofp queries only the audio arm (the decoders
+    * REFUSE the other kind), so neither observes the other's generator.
+    * The closed-form decode/phash/audiofp oracles mirror the DEFAULT
+    * arithmetic only, so the queries refuse this mode under the
+    * correctness gate (see Media.diverseMode). */
   def syntheticMedia(ids: DataFrame, diverse: Boolean): DataFrame = {
     val enc = RowEncoder.encoderFor(StructType(MEDIA_SCHEMA.take(3)))
     ids.select(col(ids.columns.head).cast("long").as("media_id"))
@@ -555,7 +560,8 @@ object Multimodal {
             else ppmPayload(id, truncate)
           Math.floorMod(id, 3L) match {
             case 0L => Row(id, "image", img(truncate = false))
-            case 1L => Row(id, "audio", wavPayload(id))
+            case 1L => Row(id, "audio",
+              if (diverse) wavPayloadDiverse(id) else wavPayload(id))
             case _ => Row(id, "image", img(truncate = true))
           }
         }
@@ -636,6 +642,35 @@ object Multimodal {
     var k = 0
     while (k < n) {
       bb.putShort((Math.floorMod(id * 131 + k * 7919, 65536L) - 32768).toShort); k += 1
+    }
+    bb.array()
+  }
+
+  /** Diverse-mode WAV payload (r20, the audio twin of
+    * [[ppmPayloadDiverse]]): same channels/rate/sample count — the
+    * decode contract and the twin plant are unchanged — but every int16
+    * sample is an independent hash of (id, k), so fingerprints spread
+    * over the full 64-bit space instead of cycling with the small-moduli
+    * linear pattern (the collision class the novel-clip fixture already
+    * hit once: block-structured clips reproduce each other's
+    * signatures). Distinct salt from the raster generator so image and
+    * audio diverse streams never correlate. Rehearsal-only; never runs
+    * under the correctness gate. */
+  private[graft] def wavPayloadDiverse(id: Long): Array[Byte] = {
+    val ch = (1 + Math.floorMod(id, 2L)).toInt
+    val rate = (8000 + Math.floorMod(id, 4L) * 4000).toInt
+    val n = ch * (4 + Math.floorMod(id, 16L).toInt)
+    val bb = java.nio.ByteBuffer.allocate(44 + 2 * n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + 2 * n)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1); bb.putShort(ch.toShort); bb.putInt(rate)
+    bb.putInt(rate * ch * 2); bb.putShort((ch * 2).toShort); bb.putShort(16)
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(2 * n)
+    var k = 0
+    while (k < n) {
+      bb.putShort((mix64(id * 786433L + k) & 0xffffL).toShort); k += 1
     }
     bb.array()
   }

@@ -36,15 +36,16 @@ object Media {
     * (see [[graft.Q.r4]] for the HALF_UP boundary rationale). */
   private def r6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
 
-  /** Diverse-raster rehearsal mode (r19, VERDICT r18 next-round #3):
-    * `SPARK_GRAFT_MEDIA_DIVERSE=1` (env — the bench/rehearsal lever) or
-    * `graft.media.diverse=true` (conf — the spec lever) switches the
-    * phash queries to [[Multimodal.ppmPayloadDiverse]], the hash-diverse
-    * generator that keeps the 10× pair join's bucket space from
-    * saturating (the synthetic regime edge) so its real growth is
-    * measurable. REFUSED under the correctness gate — the closed-form
-    * oracles mirror the default arithmetic only (the occcutoff-knob
-    * lesson, ADVICE r18 #1). */
+  /** Diverse-media rehearsal mode (rasters r19 per VERDICT r18 #3;
+    * clips r20 per VERDICT r19 #3): `SPARK_GRAFT_MEDIA_DIVERSE=1` (env —
+    * the bench/rehearsal lever) or `graft.media.diverse=true` (conf —
+    * the spec lever) switches the phash queries to
+    * [[Multimodal.ppmPayloadDiverse]] and the audiofp queries to
+    * [[Multimodal.wavPayloadDiverse]] — the hash-diverse generators that
+    * keep the 10× pair joins' bucket spaces from saturating (the
+    * synthetic regime edge) so their real growth is measurable. REFUSED
+    * under the correctness gate — the closed-form oracles mirror the
+    * default arithmetic only (the occcutoff-knob lesson, ADVICE r18 #1). */
   private def diverseMode(s: SparkSession): Boolean = {
     val on = sys.env.get("SPARK_GRAFT_MEDIA_DIVERSE").contains("1") ||
       s.conf.getOption("graft.media.diverse").contains("true")
@@ -181,7 +182,7 @@ object Media {
     // q_dedup_exact hash-groupBy — linear at 100 TB.
     "q_media_audiofp" -> ((s, d) => {
       val ids = Tables.documents(s, d).select(col("doc_id"))
-      val media = Multimodal.syntheticMedia(ids)
+      val media = Multimodal.syntheticMedia(ids, diverseMode(s))
       val twins = Multimodal.stretchedTwins(
         media.filter(col("media_id") % 9 === 4), audioTwinOffset)
       Multimodal.audioFp(media.unionByName(twins))
@@ -202,7 +203,7 @@ object Media {
     // r18 #1); the audio twin hardcodes the oracle's constant.
     "q_media_audiofp_pairs" -> ((s, d) => {
       val ids = Tables.documents(s, d).select(col("doc_id"))
-      val media = Multimodal.syntheticMedia(ids)
+      val media = Multimodal.syntheticMedia(ids, diverseMode(s))
       val twins = Multimodal.stretchedTwins(
         media.filter(col("media_id") % 9 === 4), audioTwinOffset)
       hammingBandPairs(

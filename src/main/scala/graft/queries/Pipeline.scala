@@ -335,16 +335,60 @@ object Pipeline {
     // reference — measured fd exhaustion at K=48 without the hint).
     // PipelineSpec pins that the trained vocabulary's fertility beats
     // the q_vocab_coverage constant on the gate corpus.
-    "q_vocab_train" -> ((s, d) => {
-      val wf = Tables.documents(s, d)
-        .select(explode(split(col("text"), " ")).as("word"))
-        .filter(length(col("word")) > 0)
-        .groupBy("word").agg(count(lit(1)).as("freq"))
-        .orderBy(col("freq").desc, col("word")).limit(vocabTrainCap)
-        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-      import s.implicits._
-      bpeTrain(wf, vocabTrainRounds)
-        .toDF("merge_rank", "lhs", "rhs", "cnt").orderBy("merge_rank")
+    "q_vocab_train" -> ((s, d) => trainMerges(s, d)),
+
+    // Trained-vocabulary SEGMENTATION serve (r20, VERDICT r19 next-round
+    // #2 — closes the train→serve split the rest of the trained-artifact
+    // family already has): q_vocab_train LEARNS merges and
+    // q_vocab_coverage segments with a FIXED declaration-time vocabulary;
+    // this query composes them — the merge table materializes ONCE per
+    // corpus snapshot ([[vocabMergeDir]], the Prebuilt memo), and serving
+    // applies the learned merges in rank order to segment the corpus and
+    // report per-language fertility (the number mixtures are weighted
+    // by). The merge-table read collects ≤ [[vocabTrainRounds]] rows —
+    // bounded by DECLARATION like the StreamingIngest pinned collect,
+    // never corpus-proportional — and becomes a chain of literal
+    // two-pass replaces (functions.replace with lit() columns, never
+    // string-spliced SQL — ADVICE r19 #2's hazard class): a prepared
+    // plan parameterized by the trained artifact. Seeding is doc-level
+    // (' ' + every codepoint spaced): per-word seeds concatenate to
+    // exactly this string, and at every word junction the two flanking
+    // seed spaces form a DOUBLE space no single-spaced merge pattern can
+    // cross, so doc-level replay ≡ word-level training replay
+    // (PipelineSpec pins served fertility == the word-level replay's,
+    // and that it keeps the trained 2.04-vs-2.40 win over the constant
+    // vocabulary). Scale shape: one narrow map stage over the pruned
+    // (lang, text) scan — 112 codegen'd string replaces — then one
+    // lang-keyed exchange; scan-bound at 100 TB exactly like
+    // q_vocab_coverage, with the training cost amortized across every
+    // serve query on the snapshot. Oracle: the training CTE chain
+    // (shared with q_vocab_train) extended by the same per-round corpus
+    // replace chain, so the stored merge table stays correctness-covered
+    // the way every other prebuilt artifact is.
+    "q_vocab_segment_trained" -> ((s, d) => {
+      val merges = s.read.parquet(s"${vocabMergeDir(s, d)}/merges")
+        .orderBy("merge_rank").select("lhs", "rhs")
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      val seeded = Tables.documents(s, d).select(col("lang"),
+        size(filter(split(col("text"), " "), w => length(w) > 0))
+          .cast("long").as("n_words"),
+        concat(lit(" "), regexp_replace(col("text"), "(.)", "$1 ")).as("s"))
+      val seg = merges.foldLeft(col("s")) { case (c, (l, r)) =>
+        val pat = lit(s" $l $r "); val rep = lit(s" $l$r ")
+        replace(replace(c, pat, rep), pat, rep)
+      }
+      seeded
+        .select(col("lang"), col("n_words"),
+          when(trim(seg) === "", lit(0))
+            .otherwise(size(split(trim(seg), " +"))).cast("long").as("n_sub"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words"),
+             sum(col("n_sub")).as("n_subwords"))
+        .select(col("lang"), col("n_docs"), col("n_words"),
+          col("n_subwords"),
+          graft.Q.r4(col("n_subwords").cast("double") / col("n_words"))
+            .as("fertility"))
+        .orderBy("lang")
     }),
 
     // Token-weighted mixture recipe (the budget sheet next to
@@ -482,6 +526,34 @@ object Pipeline {
   private[graft] val vocabTrainRounds = 56
   private[graft] val vocabTrainCap = 65536
 
+  /** The q_vocab_train body — distributed word count (the corpus-
+    * proportional stage), then the driver-local BPE merge loop over the
+    * Heaps-bounded word-TYPE table — factored (r20) so the serve twin's
+    * one-time build ([[vocabMergeDir]]) trains the SAME way the declared
+    * training query does. */
+  private def trainMerges(s: SparkSession, d: String): DataFrame = {
+    val wf = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word")).limit(vocabTrainCap)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    import s.implicits._
+    bpeTrain(wf, vocabTrainRounds)
+      .toDF("merge_rank", "lhs", "rhs", "cnt").orderBy("merge_rank")
+  }
+
+  /** Prebuilt TRAINED-MERGE table (r20): the BPE vocabulary is a corpus
+    * property like the ANN codebooks and near-dup labels — train once
+    * per snapshot, serve segmentation from the stored table. Memo/
+    * fingerprint/cleanup via graft.Prebuilt; the serve query's oracle
+    * re-derives the merges (the 56-CTE training chain), so the stored
+    * artifact stays correctness-covered like every other prebuilt. */
+  private[graft] def vocabMergeDir(s: SparkSession, d: String): String =
+    graft.Prebuilt.dirFor(s, d, "documents", "vocab_merges") { dir =>
+      trainMerges(s, d).write.mode("overwrite").parquet(s"$dir/merges")
+    }
+
   /** Unsigned UTF-8 byte-order comparison — DuckDB's default VARCHAR
     * collation and Spark's UTF8String ordering; Scala's String Ordering
     * compares UTF-16 code units, which DISAGREES above the BMP boundary
@@ -565,12 +637,23 @@ object Pipeline {
     * DuckDB inlines multiply-referenced CTEs by default, which here
     * re-evaluates the whole chain per reference (measured: fd exhaustion
     * from re-opened parquet scans at 48 rounds; 2.1 s materialized). */
-  private lazy val vocabTrainSql: String = {
+  /** The two-pass literal replace for round k's merge, parameterized by
+    * the column carrying the spaced-symbol string — shared by the
+    * training chain (word types) and the r20 segmentation chain (corpus
+    * docs) so the merge-application rule lives in ONE place. */
+  private def mergeReplaceSql(k: Int, sCol: String): String = {
+    def sel(c: String) = s"(SELECT $c FROM b$k)"
+    val pat = s"' ' || ${sel("l")} || ' ' || ${sel("r")} || ' '"
+    val rep = s"' ' || ${sel("l")} || ${sel("r")} || ' '"
+    s"replace(replace($sCol, $pat, $rep), $pat, $rep)"
+  }
+
+  /** The training CTE chain (w0, s0, p1..bK..sK), spliced after `WITH`
+    * by the q_vocab_train oracle and — extended by the corpus
+    * segmentation chain — the r20 q_vocab_segment_trained oracle. */
+  private lazy val vocabTrainCtesSql: String = {
     val rounds = (1 to vocabTrainRounds).map { k =>
       val prev = s"s${k - 1}"
-      def sel(c: String) = s"(SELECT $c FROM b$k)"
-      val pat = s"' ' || ${sel("l")} || ' ' || ${sel("r")} || ' '"
-      val rep = s"' ' || ${sel("l")} || ${sel("r")} || ' '"
       s"""p$k AS MATERIALIZED (SELECT pr.l AS l, pr.r AS r,
               sum(freq) AS cnt FROM (
               SELECT freq, unnest(list_transform(range(1, len(ss)), i ->
@@ -580,23 +663,57 @@ object Pipeline {
           b$k AS MATERIALIZED (SELECT l, r, cnt FROM p$k
             ORDER BY cnt DESC, l, r LIMIT 1),
           s$k AS MATERIALIZED (SELECT word, freq,
-            replace(replace(s, $pat, $rep), $pat, $rep) AS s FROM $prev)"""
+            ${mergeReplaceSql(k, "s")} AS s FROM $prev)"""
     }.mkString(",\n")
-    val union = (1 to vocabTrainRounds).map(k =>
-      s"SELECT CAST($k AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, " +
-        s"CAST(cnt AS BIGINT) AS cnt FROM b$k").mkString(" UNION ALL ")
-    s"""WITH w0 AS MATERIALIZED (SELECT word, count(*) AS freq FROM (
+    s"""w0 AS MATERIALIZED (SELECT word, count(*) AS freq FROM (
             SELECT unnest(string_split(text, ' ')) AS word FROM documents)
           WHERE len(word) > 0 GROUP BY word
           ORDER BY freq DESC, word LIMIT $vocabTrainCap),
         s0 AS MATERIALIZED (SELECT word, freq,
           ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS s FROM w0),
-        $rounds
+        $rounds"""
+  }
+
+  private lazy val vocabTrainSql: String = {
+    val union = (1 to vocabTrainRounds).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, " +
+        s"CAST(cnt AS BIGINT) AS cnt FROM b$k").mkString(" UNION ALL ")
+    s"""WITH $vocabTrainCtesSql
         SELECT merge_rank, lhs, rhs, cnt FROM ($union) ORDER BY merge_rank"""
+  }
+
+  /** r20 segmentation-serve oracle: the training chain re-derives the
+    * merges, then the corpus runs through the SAME per-round two-pass
+    * replace (c0..cK — doc-level seeding, identical to the Spark side),
+    * and the per-language aggregate mirrors the served output. Every
+    * CTE MATERIALIZED for the q_vocab_train fd-exhaustion reason. */
+  private lazy val vocabSegmentTrainedSql: String = {
+    val corpus = (1 to vocabTrainRounds).map { k =>
+      s"""c$k AS MATERIALIZED (SELECT lang, n_words,
+            ${mergeReplaceSql(k, "s")} AS s FROM c${k - 1})"""
+    }.mkString(",\n")
+    s"""WITH $vocabTrainCtesSql,
+        c0 AS MATERIALIZED (SELECT lang,
+            len(list_filter(string_split(text, ' '), w -> len(w) > 0))
+              AS n_words,
+            ' ' || regexp_replace(text, '(.)', '\\1 ', 'g') AS s
+            FROM documents),
+        $corpus,
+        per AS (SELECT lang, n_words,
+            CASE WHEN trim(s) = '' THEN 0
+                 ELSE len(string_split_regex(trim(s), ' +')) END AS n_sub
+            FROM c$vocabTrainRounds)
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(n_words) AS BIGINT) AS n_words,
+               CAST(sum(n_sub) AS BIGINT) AS n_subwords,
+               ${graft.Q.r4Sql("CAST(sum(n_sub) AS DOUBLE) / sum(n_words)")}
+                 AS fertility
+        FROM per GROUP BY lang ORDER BY lang"""
   }
 
   val oracle: Map[String, String] = Map(
     "q_vocab_train" -> vocabTrainSql,
+    "q_vocab_segment_trained" -> vocabSegmentTrainedSql,
     "q_tfidf" ->
       """WITH tf AS (SELECT doc_id, token, count(*) AS tf
                      FROM (SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents)

@@ -344,6 +344,59 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("diverse clip mode: hash-diverse audio corpus, stretched twins still recalled, gate refuses it (r20)") {
+    import spark.implicits._
+    // the r19 raster lesson on the audio axis (VERDICT r19 next-round
+    // #3): the default generator's samples are linear in small id
+    // moduli, so fingerprints collide heavily (412 distinct over the
+    // 2,625 floor-passing audio ids below — and the novel-clip fixture
+    // already hit one real collision); the diverse generator hashes
+    // every (id, k), so fingerprints must spread near-uniquely
+    val audioIds = (1L until 9000L by 3L) // id % 3 == 1 → WAV
+      .filter(id => (1 + id % 2) * (4 + id % 16) >= 8).toSeq
+    def fps(gen: Long => Array[Byte]) =
+      audioIds.flatMap(id => Multimodal.audioFpFull(gen(id)).map(_._1))
+    val defFps = fps(Multimodal.wavPayload)
+    val divFps = fps(Multimodal.wavPayloadDiverse)
+    assert(defFps.distinct.size < audioIds.size / 4,
+      "fixture sanity: the DEFAULT generator must actually collide heavily")
+    assert(divFps.distinct.size > (audioIds.size * 9) / 10,
+      s"diverse clips must fingerprint near-uniquely, got ${divFps.distinct.size}/${audioIds.size}")
+    // the stretch identity is content-independent: a diverse clip's 2×
+    // stream-doubled twin still fingerprints identically (recall at any
+    // scale — the ⌊⌊2a⌋/2⌋ = ⌊a⌋ floor identity on the time axis)
+    for (id <- Seq(4L, 13L, 22L, 12346L)) {
+      val orig = Multimodal.wavPayloadDiverse(id)
+      val st = Multimodal.stretchWav2x(orig)
+        .getOrElse(fail(s"stretch refused a valid diverse WAV (id=$id)"))
+      assert(Multimodal.audioFpFull(st).map(_._1) ===
+             Multimodal.audioFpFull(orig).map(_._1))
+    }
+    // end to end: the pair query in diverse mode still recalls the
+    // planted stretched twin at hamming 0 on a controlled corpus
+    // (ids ≡ 4 mod 9 AND ≡ 1 mod 3 → audio rows that get twins)
+    val d = java.nio.file.Files.createTempDirectory("audiofp-div").toString
+    Seq(13L, 22L, 31L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    spark.conf.set("graft.media.diverse", "true")
+    try {
+      val rows = graft.queries.Media.queries("q_media_audiofp_pairs")(spark, d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(rows.contains((13L, 13L + 2000000000000L, 0L)),
+        "planted stretched twin recalled at hamming 0 in diverse mode")
+      // under the correctness gate the mode must refuse loudly for the
+      // audio queries too: the afp oracles mirror the default generator
+      spark.conf.set("graft.gate", "true")
+      val e = intercept[IllegalArgumentException] {
+        graft.queries.Media.queries("q_media_audiofp")(spark, d)
+      }
+      assert(e.getMessage.contains("rehearsal lever"))
+    } finally {
+      spark.conf.unset("graft.media.diverse")
+      spark.conf.unset("graft.gate")
+    }
+  }
+
   // --- audio fingerprint + real time stretch (r19) ---
 
   test("audioFpFull: planted near-dup pair — a 2x time-stretched clip fingerprints identically") {

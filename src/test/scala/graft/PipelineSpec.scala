@@ -5,6 +5,35 @@ import org.apache.spark.sql.functions._
 
 class PipelineSpec extends SparkSpec {
 
+  /** Word-level replay of a learned merge sequence over the gate corpus's
+    * word stream → (trained fertility, constant-vocab fertility). Shared
+    * by the training test and the r20 serve-twin test: the serve query
+    * segments DOC-level, and the doc-level ≡ word-level equivalence (the
+    * double-space boundary argument in q_vocab_segment_trained's comment)
+    * is exactly what comparing against this replay pins. */
+  private def replayFertility(merges: Seq[(String, String)]): (Double, Double) = {
+    val words = Tables.documents(spark, sf0001)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    var st = words.select(col("word"), concat(lit(" "),
+      regexp_replace(col("word"), "(.)", "$1 ")).as("s"))
+    // functions.replace with lit() columns, not string-spliced expr()
+    // (ADVICE r19 #2): a learned symbol containing a quote or backslash
+    // would break the SQL parse and fail the test spuriously
+    merges.foreach { case (l, r) =>
+      val pat = lit(s" $l $r "); val rep = lit(s" $l$r ")
+      st = st.withColumn("s", replace(replace(col("s"), pat, rep), pat, rep))
+    }
+    val trained = st
+      .select(size(split(trim(col("s")), " ")).cast("double").as("n"))
+      .agg(avg(col("n"))).head().getDouble(0)
+    val constant = words
+      .select(element_at(call_function("graft_subwords", col("word")), 2)
+        .cast("double").as("n"))
+      .agg(avg(col("n"))).head().getDouble(0)
+    (trained, constant)
+  }
+
   test("q_vocab_train: dense ranks, non-increasing counts, trained fertility beats the constant vocab") {
     val merges = Pipeline.queries("q_vocab_train")(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
@@ -19,27 +48,46 @@ class PipelineSpec extends SparkSpec {
     // (symbols per word occurrence) than the fixed declaration-time
     // vocabulary q_vocab_coverage serves — i.e. training actually adapts
     // the vocabulary to the corpus instead of standing still
-    val words = Tables.documents(spark, sf0001)
-      .select(explode(split(col("text"), " ")).as("word"))
-      .filter(length(col("word")) > 0)
-    var st = words.select(col("word"), concat(lit(" "),
-      regexp_replace(col("word"), "(.)", "$1 ")).as("s"))
-    merges.foreach { case (_, l, r, _) =>
-      st = st.withColumn("s",
-        expr(s"replace(replace(s, ' $l $r ', ' $l$r '), ' $l $r ', ' $l$r ')"))
-    }
-    val trained = st
-      .select(size(split(trim(col("s")), " ")).cast("double").as("n"))
-      .agg(avg(col("n"))).head().getDouble(0)
-    val constant = words
-      .select(element_at(call_function("graft_subwords", col("word")), 2)
-        .cast("double").as("n"))
-      .agg(avg(col("n"))).head().getDouble(0)
+    val (trained, constant) =
+      replayFertility(merges.toSeq.map(m => (m._2, m._3)))
     assert(trained < constant,
       f"trained fertility $trained%.4f must beat the constant vocab's $constant%.4f")
     // and by a real margin, not a rounding hair (measured ~2.04 vs ~2.40)
     assert(trained < constant - 0.2,
       f"expected a clear fertility win, got $trained%.4f vs $constant%.4f")
+  }
+
+  test("q_vocab_segment_trained: served fertility equals the word-level replay (r20)") {
+    // The serve twin reads the PREBUILT merge table and segments
+    // doc-level; the word-level replay applies the same merges per word.
+    // Equality pins both halves of the train→serve split at once: the
+    // stored table carries exactly the trained merges, and the doc-level
+    // replace chain never crosses a word boundary (the double-space
+    // argument — a violation would shift n_subwords and break equality).
+    val served = Pipeline.queries("q_vocab_segment_trained")(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getDouble(4)))
+    assert(served.nonEmpty)
+    val merges = Pipeline.queries("q_vocab_train")(spark, sf0001).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val (trained, constant) = replayFertility(merges)
+    val servedFert =
+      served.map(_._4).sum.toDouble / served.map(_._3).sum.toDouble
+    assert(math.abs(servedFert - trained) < 1e-9,
+      f"served global fertility $servedFert%.6f must equal the word-level" +
+        f" replay's $trained%.6f")
+    // the serve path keeps the trained win over the constant vocabulary
+    assert(servedFert < constant - 0.2,
+      f"served fertility $servedFert%.4f must keep the trained margin " +
+        f"over the constant vocab's $constant%.4f")
+    // per-language fertility fields are the r4-rounded per-lang ratios
+    served.foreach { case (lang, nDocs, nWords, nSub, fert) =>
+      assert(nDocs > 0 && nWords > 0 && nSub >= nWords,
+        s"$lang: a word segments into >= 1 subwords")
+      val expect = math.floor(nSub.toDouble / nWords * 1e4 + 0.5) / 1e4
+      assert(math.abs(fert - expect) < 1e-12, s"$lang fertility rounding")
+    }
   }
 
   test("approx_percentile within tolerance of exact percentile") {

@@ -144,6 +144,76 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("bucketed LABEL-side serve twins: zero Exchange above either bucketed scan (r20)") {
+    // Completes the r19 assertion family for the two remaining prebuilt
+    // tables (VERDICT r19 next-round #1). The r19 key-name check can't
+    // work here: the probe sides (documents / the split projection) are
+    // ALSO doc_id-keyed, so a doc_id exchange is legitimately present —
+    // what must hold is that no Exchange sits ABOVE the bucketed index
+    // scans themselves. Walk the physical tree: collect every
+    // ShuffleExchangeExec whose subtree contains a bucketed-table scan.
+    // AQE is disabled so executedPlan is the plain tree `collect` can
+    // traverse; broadcast is disabled so the join actually plans SMJ
+    // (at test scale the tiny label table would otherwise broadcast and
+    // the assertion would pass vacuously).
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    def scansOf(p: SparkPlan, prefix: String): Seq[FileSourceScanExec] =
+      p.collect { case f: FileSourceScanExec
+        if f.tableIdentifier.exists(_.table.startsWith(prefix)) => f }
+    // root→scan node chain for the (single) scan of the prefixed table
+    def chainTo(p: SparkPlan, prefix: String): Option[List[SparkPlan]] = p match {
+      case f: FileSourceScanExec
+        if f.tableIdentifier.exists(_.table.startsWith(prefix)) => Some(List(p))
+      case _ => p.children.view.flatMap(c => chainTo(c, prefix))
+        .headOption.map(p :: _)
+    }
+    val savedB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val savedA = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      Seq("q_split_leakfree_bucketed" -> Seq("graft_labels_bkt"),
+          "q_split_contam_audit_bucketed" ->
+            Seq("graft_labels_bkt", "graft_docwh_bkt"))
+        .foreach { case (name, prefixes) =>
+          val plan = SparkEntry.queries(name)(spark, sf0001)
+            .queryExecution.executedPlan
+          assert(plan.toString.contains("SortMergeJoin"),
+            s"$name: with broadcast off the serve join must be an SMJ " +
+              "(a vacuous broadcast plan proves nothing)")
+          prefixes.foreach { pre =>
+            val scans = scansOf(plan, pre)
+            assert(scans.nonEmpty, s"$name must read the $pre catalog table")
+            assert(scans.forall(_.bucketedScan),
+              s"$name must scan $pre AS BUCKETED, not as plain files")
+            // the structural claim: NOTHING between the bucketed scan
+            // and the SMJ that consumes it is an Exchange — the index
+            // side's join distribution comes straight off the scan.
+            // (A blunt "no Exchange anywhere above the scan" is false
+            // for ANY plan with this scan upstream: the audit re-keys
+            // the JOINED frame on wh and doc_id downstream, and the
+            // declared ORDER BY range-partitions the whole result —
+            // derived-frame shuffles the query comment scopes out.)
+            val path = chainTo(plan, pre).getOrElse(
+              fail(s"$name: no scan chain found for $pre"))
+            val ancestors = path.reverse.drop(1) // scan's parents, nearest first
+            val untilJoin = ancestors.takeWhile(!_.isInstanceOf[SortMergeJoinExec])
+            assert(ancestors.exists(_.isInstanceOf[SortMergeJoinExec]),
+              s"$name: the bucketed $pre scan must feed a sort-merge join")
+            val offending = untilJoin.filter(_.isInstanceOf[ShuffleExchangeExec])
+            assert(offending.isEmpty,
+              s"$name plans an Exchange between the bucketed $pre scan " +
+                s"and its serve join:\n${offending.headOption.fold("")(_.toString)}")
+          }
+        }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedB)
+      spark.conf.set("spark.sql.adaptive.enabled", savedA)
+    }
+  }
+
   test("plan fingerprints: canonical form is run-stable and strips run-varying tokens (r19)") {
     import org.apache.spark.sql.execution.ExplainMode
     def canon(name: String) = PlanDump.canonicalPlan(
@@ -162,13 +232,20 @@ class PlanAuditSpec extends SparkSpec {
       "Exchange hashpartitioning(bk#123L, 8)",
       "PushedFilters: [IsNotNull(doc_id#45)]",
       "InMemoryRelation graft_minhash_bkt_17 file:/tmp/graft_span_bkt_2qx/spans",
-      "HashAggregate(keys=[x#9], functions=[sum(y#10L / 2.0)])")
+      "HashAggregate(keys=[x#9], functions=[sum(y#10L / 2.0)])",
+      // ADVICE r19 #1: UNSPACED slash expressions — a division printed
+      // without spaces and a date-format token — are preceded by a word
+      // char, not whitespace/'['/file:, and must NOT collapse to <path>
+      "HashAggregate(keys=[x#9], functions=[avg(y#10L/2.0)])",
+      "HashAggregate(keys=[date_format(ts#3, yyyy/MM/dd)#5], functions=[count(1)])")
       .mkString("\n")
     val c = PlanDump.canonicalPlan(raw)
     assert(!c.contains("#123") && !c.contains("#45") && !c.contains("#9"))
     assert(c.contains("graft_minhash_bkt_N"), s"table seq not normalized: $c")
     assert(!c.contains("/tmp/"), s"path not normalized: $c")
     assert(c.contains("/ 2.0"), s"division operator must survive: $c")
+    assert(c.contains("/2.0"), s"unspaced division must survive: $c")
+    assert(c.contains("yyyy/MM/dd"), s"format token must survive: $c")
   }
 
   test("q_approx_percentile scans lineitem exactly once (r14 single-pass contract)") {
