@@ -80,8 +80,8 @@ def main():
             exp = f"{math.log10(max(b, 1) / a):.2f}"
         else:
             exp = "—"
-        orc = "shared CTE" if q.endswith(("_indexed", "_bucketed",
-                                          "_rindexed")) else "DuckDB"
+        orc = ("shared CTE" if q.endswith(("indexed", "_bucketed"))
+               else "DuckDB")
         print(f"| {q} | {locs[q]} | {orc} | `{enc(q)}` | "
               f"{a if a else '—'} | {b if b else '—'} | {exp} |")
     missing = [q for q in ms1 if q not in locs]
