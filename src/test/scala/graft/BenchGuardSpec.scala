@@ -248,6 +248,23 @@ class BenchGuardSpec extends AnyFunSuite {
       s"sub ordering must follow raw names: $mediaGrp")
   }
 
+  test("gen_atlas.py's TOKEN_DICT mirror matches BenchGuards.tokenDict exactly (r20)") {
+    // The atlas generator carries a Python mirror of the dictionary so it
+    // can label archived bench payloads; if the two drift, the README
+    // atlas silently mislabels codes. Parse the mirror out of the script
+    // and require exact equality (same pairs, and — because both sides
+    // are append-only — the same count).
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("tools/gen_atlas.py")), "UTF-8")
+    val body = src.substring(src.indexOf("TOKEN_DICT = {"),
+                             src.indexOf("}", src.indexOf("TOKEN_DICT = {")))
+    val mirror = """"([a-z]+)": "([A-Z]{1,2})"""".r
+      .findAllMatchIn(body).map(m => m.group(1) -> m.group(2)).toMap
+    assert(mirror === BenchGuards.tokenDict.toMap,
+      s"atlas mirror drifted: only-python=${mirror.toSet -- BenchGuards.tokenDict.toSet}, " +
+        s"only-scala=${BenchGuards.tokenDict.toSet -- mirror.toSet}")
+  }
+
   test("famCvp localizes drift to families with enough common queries") {
     val prior = (1 to 8).map(i => s"q_dedup_x$i" -> 100L).toMap ++
       (1 to 8).map(i => s"q_join_y$i" -> 200L).toMap ++
