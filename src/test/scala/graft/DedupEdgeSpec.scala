@@ -490,4 +490,42 @@ class DedupEdgeSpec extends SparkSpec {
     assert(rows(0).getSeq[Long](0).length === 2)
     assert(!rows(1).isNullAt(0) && rows(1).getSeq[Long](0).isEmpty)
   }
+
+  test("Prebuilt.tableFor: an out-of-band drop of ANY registered table triggers rebuild (ADVICE r19 #4)") {
+    import spark.implicits._
+    // The span index registers a companion '<name>_freq' beside the
+    // primary; before the r20 fix the staleness check verified only the
+    // primary, so dropping just the companion left an unrecoverable
+    // table-not-found until JVM restart. Exercise tableFor directly with
+    // a synthetic two-table build: memo hit while both exist, rebuild
+    // (fresh sequence-numbered name) when either is dropped out-of-band.
+    val dir = tmpDir("prebuilt-companion")
+    Seq((1L, "a b c")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    var builds = 0
+    def build(): String =
+      graft.Prebuilt.tableFor(spark, dir, "documents", "companiontest",
+        extraSuffixes = Seq("_extra")) { (d, name) =>
+        builds += 1
+        Seq((1L, 2L)).toDF("k", "v")
+          .write.option("path", s"$d/main").saveAsTable(name)
+        Seq((1L, 3L)).toDF("k", "n")
+          .write.option("path", s"$d/extra").saveAsTable(name + "_extra")
+      }
+    val n1 = build()
+    assert(builds === 1 && spark.catalog.tableExists(n1) &&
+      spark.catalog.tableExists(n1 + "_extra"))
+    assert(build() === n1 && builds === 1, "memo hit must not rebuild")
+    spark.sql(s"DROP TABLE ${n1}_extra")
+    val n2 = build()
+    assert(builds === 2 && n2 != n1,
+      "dropping only the COMPANION must trigger a full rebuild")
+    assert(spark.catalog.tableExists(n2) &&
+      spark.catalog.tableExists(n2 + "_extra"))
+    spark.sql(s"DROP TABLE $n2")
+    val n3 = build()
+    assert(builds === 3 && n3 != n2,
+      "dropping the primary still rebuilds (pre-existing self-heal)")
+    assert(spark.catalog.tableExists(n3 + "_extra"))
+  }
 }
