@@ -164,10 +164,20 @@ object Similarity {
     * Returns (assignment over the full corpus, trained ≤16-row codebook).
     */
   private def trainedAssignment(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val e = Tables.embeddings(s, d).select(
+    // r21: cache the quantized projection — every Lloyd assign (3 of
+    // them: seed round, round 2, final) plus the c0 seed otherwise
+    // re-runs the parquet scan AND the per-component interpreted
+    // `transform` quantization lambda (HOFs don't codegen); the cache
+    // makes them one scan + one quantization pass. In-query only — the
+    // harnesses clearCache() after each query, so nothing outlives its
+    // invocation (the q_dedup_ngram docSets precedent). At 100 TB this
+    // is the "checkpoint the assignment between rounds" note made real:
+    // production trains on a sample that fits exactly this cache.
+    val e0 = Tables.embeddings(s, d).select(
       col("vec_id"), col("label"), col("embedding"),
       transform(col("embedding"),
         v => floor(v.cast("double") * 1e6 + 0.5) / 1e6).as("qemb"))
+    val e = if (graft.Opt.on(s)) e0.cache() else e0
     def assign(cents: DataFrame): DataFrame =
       e.crossJoin(broadcast(cents))
         .withColumn("cos_c", round(
@@ -209,13 +219,26 @@ object Similarity {
       .select(col("cluster").as("cent_id"), col("cent_emb"))
   }
 
-  /** Flat left-to-right squared-L2 between two double-array columns —
-    * the SAME sequential fold DuckDB's `list_sum(list_transform(
-    * list_zip(…)))` evaluates, so the doubles are bit-identical before
-    * the declared rounding (the cosSG parity argument, L2 edition). */
+  /** Flat left-to-right squared-L2 between two 8-dim double-array
+    * columns — the SAME sequential fold DuckDB's `list_sum(
+    * list_transform(list_zip(…)))` evaluates, so the doubles are
+    * bit-identical before the declared rounding (the cosSG parity
+    * argument, L2 edition). r21: UNROLLED over the fixed subspace width
+    * like VectorOps.cosine — `aggregate(zip_with(…))` evaluates an
+    * interpreted lambda per element (~640k 8-dim folds per Lloyd round
+    * in the residual trainer), while the unrolled
+    * (0.0 + d0²) + d1² + … tree whole-stage-codegens; the addition
+    * order is the fold's exact left-to-right order, so every double is
+    * unchanged (the same argument that justified the unrolled cosine). */
   private def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, v) => acc + v)
+    if (graft.Opt.on)
+      (0 until 8).map { i =>
+        val x = element_at(a, i + 1); val y = element_at(b, i + 1)
+        (x - y) * (x - y)
+      }.foldLeft(lit(0.0))(_ + _)
+    else
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v)
 
   /** PER-SUBSPACE L2 k-means training of the RESIDUAL sub-codebook
     * (r16 — judge item 4): the r15 residual IVF-PQ took the residuals of
@@ -244,11 +267,16 @@ object Similarity {
     * graft_pq_encode refuses loudly (names the centroid) rather than
     * mis-encoding. */
   private def trainedResidualCodebook(qres: DataFrame): DataFrame = {
-    val sv = qres
+    // r21: cached — the subspace frame feeds both Lloyd assigns AND the
+    // c0 seed; uncached, each re-runs the residual quantization lambda +
+    // explode/slice over the corpus (in-query only, harnesses
+    // clearCache() per query — the trainedAssignment/docSets precedent)
+    val sv0 = qres
       .select(col("vec_id"), explode(sequence(lit(0), lit(7))).as("j"),
               col("qres"))
       .select(col("vec_id"), col("j"),
               slice(col("qres"), col("j") * 8 + 1, lit(8)).as("sv"))
+    val sv = if (graft.Opt.on) sv0.cache() else sv0
     def assign(cents: DataFrame): DataFrame =
       sv.join(broadcast(cents), "j")
         .withColumn("l2r", round(l2sq(col("sv"), col("cent_emb")), 6))
@@ -651,11 +679,16 @@ object Similarity {
       val cents = emb.filter(col("vec_id") <= 15)
         .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
       // assignment keeps the winning centroid VECTOR too — the residual
-      // needs it (otherwise identical to q_similarity_ivfpq's)
-      val assigned = ivfAssignment(emb, cents, keepCentEmb = true)
+      // needs it (otherwise identical to q_similarity_ivfpq's); r21: the
+      // residual assignment feeds the sub-codebook (vec 16…31), the
+      // probe row AND the candidate side — localCheckpoint computes the
+      // crossJoin(×16)+max_by aggregation once (the rtrained treatment)
+      val assigned0 = ivfAssignment(emb, cents, keepCentEmb = true)
         .select(col("vec_id"), col("label"), col("embedding"), col("cluster"),
                 zip_with(col("embedding"), col("cent_vec"),
                   (a, b) => a.cast("double") - b.cast("double")).as("res"))
+      val assigned =
+        if (graft.Opt.on(s)) assigned0.localCheckpoint(false) else assigned0
       val resCb = assigned.filter(col("vec_id").between(16, 31))
         .select((col("vec_id") - 16).cast("long").as("cent_id"),
                 col("res").as("cent_emb"))
@@ -688,10 +721,19 @@ object Similarity {
       val emb = Tables.embeddings(s, d)
       val cents = emb.filter(col("vec_id") <= 15)
         .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
-      val assigned = ivfAssignment(emb, cents, keepCentEmb = true)
+      // localCheckpoint (lazy): the residual assignment feeds the two
+      // Lloyd materialization jobs AND the final encode/probe/candidate
+      // subtrees — without truncation each of those re-runs the full
+      // crossJoin(×16) + max_by aggregation over the corpus (the plan
+      // carried 54 parquet scans). annIndexDir's build learned this in
+      // r16 ("review r16"); the in-query trainer now gets the same
+      // treatment. Values are unchanged — only the lineage is cut.
+      val assigned0 = ivfAssignment(emb, cents, keepCentEmb = true)
         .select(col("vec_id"), col("label"), col("embedding"), col("cluster"),
                 zip_with(col("embedding"), col("cent_vec"),
                   (a, b) => a.cast("double") - b.cast("double")).as("res"))
+      val assigned =
+        if (graft.Opt.on(s)) assigned0.localCheckpoint(false) else assigned0
       val qres = assigned.select(col("vec_id"),
         transform(col("res"), v => floor(v * 1e6 + 0.5) / 1e6).as("qres"))
       val rcb = trainedResidualCodebook(qres)
