@@ -783,6 +783,107 @@ case class PqEncode(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+object IvfAssign {
+  /** Spark's Round(d, 6), verbatim — the [[PqEncode.round6]] contract
+    * (shortest-decimal BigDecimal, HALF_UP, NaN/Inf pass through). */
+  private def round6(d: Double): Double =
+    if (d.isNaN || d.isInfinite) d
+    else java.math.BigDecimal.valueOf(d).setScale(6, java.math.RoundingMode.HALF_UP)
+      .doubleValue()
+
+  /** 1-based index into `cents` of the nearest-centroid winner by
+    * (round6(cosine) DESC, cent_id ASC) — exactly the
+    * `max_by(..., struct(round(cos, 6), -cent_id))` selection the
+    * crossJoin(×16)+aggregation assignment computed: same native cosine
+    * doubles, same Round semantics, and `java.lang.Double.compare` IS
+    * the interpreted double ordering Spark's max_by uses (NaN greatest,
+    * -0.0 < 0.0), so the winner is value-identical. Returning the INDEX
+    * (not the id) lets callers read cent_id/cent_emb back with a
+    * codegen'd element_at — no field packing, no id-range restriction. */
+  def compute(vec: ArrayData, cents: ArrayData, isDouble: Boolean): Int = {
+    val nc = cents.numElements()
+    if (nc == 0)
+      throw new IllegalArgumentException("graft_ivf_assign: empty codebook")
+    var bestIdx = -1
+    var bestCos = 0.0
+    var bestCid = 0L
+    var i = 0
+    while (i < nc) {
+      if (cents.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"graft_ivf_assign: null codebook entry at index $i")
+      val row = cents.getStruct(i, 2)
+      if (row.isNullAt(0) || row.isNullAt(1))
+        throw new IllegalArgumentException(
+          s"graft_ivf_assign: null cent_id or cent_emb at index $i")
+      val cid = row.getLong(0)
+      val cemb = row.getArray(1)
+      val cos = round6(
+        if (isDouble) CosineSimilarity.computeD(vec, cemb)
+        else CosineSimilarity.compute(vec, cemb))
+      val cmp = if (bestIdx < 0) 1 else java.lang.Double.compare(cos, bestCos)
+      if (cmp > 0 || (cmp == 0 && cid < bestCid)) {
+        bestIdx = i; bestCos = cos; bestCid = cid
+      }
+      i += 1
+    }
+    bestIdx + 1
+  }
+}
+
+/** `graft_ivf_assign(vec, cents)`: map-only nearest-centroid assignment
+  * — the 1-based codebook index of the winner by (round(cosine, 6)
+  * DESC, cent_id ASC) against a broadcast codebook (an array of
+  * `struct<cent_id: bigint, cent_emb: array<float|double>>`, built with
+  * `array_sort(collect_list(...))` into ONE broadcast row — the
+  * [[PqEncode]] layout). Replaces the crossJoin(×16) → max_by
+  * aggregation assignment of the IVF family with a single projection:
+  * no ×16 row fan-out and, decisively at scale, NO full-corpus vec_id
+  * exchange per Lloyd assignment — the pass becomes a pure scan.
+  * Value-identical to that stage (same native cosine, same Round
+  * semantics, same tie-break), so the DuckDB oracle is unchanged. */
+case class IvfAssign(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_ivf_assign"
+
+  private def vecElem(dt: DataType): Option[DataType] = dt match {
+    case ArrayType(FloatType, _) => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    (vecElem(left.dataType), right.dataType) match {
+      case (Some(ve), ArrayType(StructType(Array(f0, f1)), _))
+          if f0.dataType == LongType && vecElem(f1.dataType).contains(ve) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<float|double>, array<struct<bigint, " +
+            s"array<same element type>>>), got ${left.dataType.simpleString(3)} " +
+            s"and ${right.dataType.simpleString(3)}")
+    }
+  }
+
+  private def isDoubleArr: Boolean = left.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    IvfAssign.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], isDoubleArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.expressions.IvfAssign.compute($a, $b, $isDoubleArr)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IvfAssign =
+    copy(left = newLeft, right = newRight)
+}
+
 /** THE one (name → builder) table for every graft function — consumed by
   * BOTH registration paths ([[GraftExtensions]] for
   * `spark.sql.extensions` sessions and `org.apache.spark.sql
@@ -844,6 +945,10 @@ object GraftFunctions {
     ("graft_pq_encode", classOf[PqEncode].getName, {
       case Seq(a, b) => PqEncode(a, b)
       case _ => throw new IllegalArgumentException("graft_pq_encode(vec, cents)")
+    }),
+    ("graft_ivf_assign", classOf[IvfAssign].getName, {
+      case Seq(a, b) => IvfAssign(a, b)
+      case _ => throw new IllegalArgumentException("graft_ivf_assign(vec, cents)")
     }),
     // PipelineDB bloom_agg parity on Spark's own bloom filter machinery:
     // BloomFilterAggregate/BloomFilterMightContain are the expressions

@@ -84,22 +84,60 @@ object Similarity {
     * caller). */
   private[graft] def ivfAssignment(emb: DataFrame, cents: DataFrame,
                                    keepCentEmb: Boolean = false,
-                                   keepCos: Boolean = false): DataFrame = {
-    val carried = Seq(col("label"), col("embedding"), col("cent_id")) ++
-      (if (keepCentEmb) Seq(col("cent_emb")) else Nil) ++
-      (if (keepCos) Seq(col("cos_c")) else Nil)
-    val base = emb.crossJoin(broadcast(cents))
-      .withColumn("cos_c", round(cosine(col("embedding"), col("cent_emb")), 6))
-      .groupBy(col("vec_id"))
-      .agg(max_by(struct(carried: _*),
-                  struct(col("cos_c"), -col("cent_id"))).as("m"))
-    val out = Seq(col("vec_id"), col("m.label").as("label"),
-                  col("m.embedding").as("embedding"),
-                  col("m.cent_id").as("cluster")) ++
-      (if (keepCentEmb) Seq(col("m.cent_emb").as("cent_vec")) else Nil) ++
-      (if (keepCos) Seq(col("m.cos_c").as("cos_cent")) else Nil)
-    base.select(out: _*)
-  }
+                                   keepCos: Boolean = false,
+                                   mapOnly: Boolean = false): DataFrame =
+    if (mapOnly && graft.Opt.on) {
+      // r21 MAP-ONLY form (the pqCodes idiom applied to the coarse
+      // quantizer): the ≤16-row codebook collapses to ONE broadcast row
+      // (`array_sort(collect_list(struct(...)))` — the graft_pq_encode
+      // layout) and the native graft_ivf_assign expression picks the
+      // winner IN-ROW — no ×16 row fan-out, no max_by hash table, and
+      // decisively NO full-corpus vec_id exchange per assignment: the
+      // pass is a pure scan at any scale. The winner is value-identical
+      // (same native cosine, same Round semantics, same (cos DESC,
+      // cent_id ASC) selection — see IvfAssign), so the shared oracle is
+      // unchanged. Adjudication notes (ABBench): a first in-row draft
+      // with transform+array_max (an interpreted lambda per candidate)
+      // measured 1.04-1.18× SLOWER than the fan-out — the fused native
+      // expression is what makes the shape win, exactly as for the PQ
+      // encode. And `mapOnly` is OPT-IN per call site because the old
+      // groupBy form's Exchange doubles as a reuse point: where the
+      // assignment feeds two identical plan arms (q_dedup_semantic's
+      // self-join, q_similarity_ivf/ivfpq's probe+candidate reads),
+      // ReusedExchange dedups the compute and the map-only form would
+      // run it once per arm (measured 1.03-1.12× there) — those sites
+      // keep the aggregation. Single-use and checkpoint-materialized
+      // sites (the trainers, the nprobe candidate side, the index build)
+      // take the scan-shaped form, which is also the only shape that
+      // survives 100 TB without a per-pass corpus shuffle.
+      val cb = cents.agg(array_sort(collect_list(struct(
+        col("cent_id").cast("long").as("cent_id"), col("cent_emb")))).as("cb"))
+      val w = element_at(col("cb"),
+        call_function("graft_ivf_assign", col("embedding"), col("cb")))
+      val out = Seq(col("vec_id"), col("label"), col("embedding"),
+                    col("w.cent_id").as("cluster")) ++
+        (if (keepCentEmb) Seq(col("w.cent_emb").as("cent_vec")) else Nil) ++
+        (if (keepCos) Seq(round(cosine(col("embedding"), col("w.cent_emb")), 6)
+                            .as("cos_cent")) else Nil)
+      emb.crossJoin(broadcast(cb))
+        .withColumn("w", w)
+        .select(out: _*)
+    } else {
+      val carried = Seq(col("label"), col("embedding"), col("cent_id")) ++
+        (if (keepCentEmb) Seq(col("cent_emb")) else Nil) ++
+        (if (keepCos) Seq(col("cos_c")) else Nil)
+      val base = emb.crossJoin(broadcast(cents))
+        .withColumn("cos_c", round(cosine(col("embedding"), col("cent_emb")), 6))
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(carried: _*),
+                    struct(col("cos_c"), -col("cent_id"))).as("m"))
+      val out = Seq(col("vec_id"), col("m.label").as("label"),
+                    col("m.embedding").as("embedding"),
+                    col("m.cent_id").as("cluster")) ++
+        (if (keepCentEmb) Seq(col("m.cent_emb").as("cent_vec")) else Nil) ++
+        (if (keepCos) Seq(col("m.cos_c").as("cos_cent")) else Nil)
+      base.select(out: _*)
+    }
 
   /** ADC ranking tail shared by the PQ family: the probe's 16×8 distance
     * table collapses to ONE broadcast map row (cent_id → (pd0…pd7)),
@@ -179,16 +217,29 @@ object Similarity {
         v => floor(v.cast("double") * 1e6 + 0.5) / 1e6).as("qemb"))
     val e = if (graft.Opt.on(s)) e0.cache() else e0
     def assign(cents: DataFrame): DataFrame =
-      e.crossJoin(broadcast(cents))
-        .withColumn("cos_c", round(
-          graft.operators.VectorOps.cosine(col("qemb"), col("cent_emb")), 6))
-        .groupBy(col("vec_id"))
-        .agg(max_by(
-          struct(col("label"), col("embedding"), col("qemb"), col("cent_id")),
-          struct(col("cos_c"), -col("cent_id"))).as("m"))
-        .select(col("vec_id"), col("m.label").as("label"),
-                col("m.embedding").as("embedding"), col("m.qemb").as("qemb"),
-                col("m.cent_id").as("cluster"))
+      if (graft.Opt.on(s)) {
+        // r21 map-only form — the native graft_ivf_assign in-row argmax
+        // on the quantized vectors (same selection key, same rounded
+        // cosine, value-identical winner; no ×16 fan-out, no per-round
+        // full-corpus vec_id exchange — see ivfAssignment)
+        val cb = cents.agg(array_sort(collect_list(struct(
+          col("cent_id").cast("long").as("cent_id"), col("cent_emb")))).as("cb"))
+        e.crossJoin(broadcast(cb))
+          .withColumn("w", element_at(col("cb"),
+            call_function("graft_ivf_assign", col("qemb"), col("cb"))))
+          .select(col("vec_id"), col("label"), col("embedding"), col("qemb"),
+                  col("w.cent_id").as("cluster"))
+      } else
+        e.crossJoin(broadcast(cents))
+          .withColumn("cos_c", round(
+            graft.operators.VectorOps.cosine(col("qemb"), col("cent_emb")), 6))
+          .groupBy(col("vec_id"))
+          .agg(max_by(
+            struct(col("label"), col("embedding"), col("qemb"), col("cent_id")),
+            struct(col("cos_c"), -col("cent_id"))).as("m"))
+          .select(col("vec_id"), col("m.label").as("label"),
+                  col("m.embedding").as("embedding"), col("m.qemb").as("qemb"),
+                  col("m.cent_id").as("cluster"))
     def update(assigned: DataFrame): DataFrame = lloydUpdate(assigned, "qemb")
     val c0 = e.filter(col("vec_id") <= 15)
       .select(col("vec_id").as("cent_id"), col("qemb").as("cent_emb"))
@@ -361,7 +412,8 @@ object Similarity {
         // store codes for the WHOLE corpus: per-row encode is independent
         // of any posting-list filter, so stored codes equal the in-query
         // encode of q_similarity_ivfpq_nprobe by construction
-        val coded = pqCodes(ivfAssignment(emb, cents), col("embedding"), cents,
+        val coded = pqCodes(ivfAssignment(emb, cents, mapOnly = true),
+          col("embedding"), cents,
           Seq(col("vec_id"), col("label"), col("cluster")))
         coded.repartition(16, col("cluster"))
           .write.mode("overwrite").partitionBy("cluster")
@@ -378,7 +430,8 @@ object Similarity {
         // otherwise each re-run the full-corpus assignment (review r16)
         // — a ONE-TIME build may materialize what the oracle-covered
         // in-query path deliberately recomputes
-        val assignedR = ivfAssignment(emb, cents, keepCentEmb = true)
+        val assignedR = ivfAssignment(emb, cents, keepCentEmb = true,
+            mapOnly = true)
           .select(col("vec_id"), col("label"), col("cluster"),
             zip_with(col("embedding"), col("cent_vec"),
               (a, b) => a.cast("double") - b.cast("double")).as("res"))
@@ -642,6 +695,10 @@ object Similarity {
       val emb = Tables.embeddings(s, d)
       val cents = emb.filter(col("vec_id") <= 15)
         .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+      // r21 adjudicated: the map-only assignment measured 1.05-1.17×
+      // SLOWER here across three ABBench sessions despite the single
+      // use (the broadcast codebook build's extra jobs outweigh the
+      // saved exchange at this scale) — the aggregation form stays
       val assigned = ivfAssignment(emb, cents)
       val probeRow = emb.filter(col("vec_id") === 0)
         .select(col("embedding").as("probe_emb"))
@@ -683,7 +740,8 @@ object Similarity {
       // residual assignment feeds the sub-codebook (vec 16…31), the
       // probe row AND the candidate side — localCheckpoint computes the
       // crossJoin(×16)+max_by aggregation once (the rtrained treatment)
-      val assigned0 = ivfAssignment(emb, cents, keepCentEmb = true)
+      val assigned0 = ivfAssignment(emb, cents, keepCentEmb = true,
+          mapOnly = true)
         .select(col("vec_id"), col("label"), col("embedding"), col("cluster"),
                 zip_with(col("embedding"), col("cent_vec"),
                   (a, b) => a.cast("double") - b.cast("double")).as("res"))
@@ -728,7 +786,8 @@ object Similarity {
       // carried 54 parquet scans). annIndexDir's build learned this in
       // r16 ("review r16"); the in-query trainer now gets the same
       // treatment. Values are unchanged — only the lineage is cut.
-      val assigned0 = ivfAssignment(emb, cents, keepCentEmb = true)
+      val assigned0 = ivfAssignment(emb, cents, keepCentEmb = true,
+          mapOnly = true)
         .select(col("vec_id"), col("label"), col("embedding"), col("cluster"),
                 zip_with(col("embedding"), col("cent_vec"),
                   (a, b) => a.cast("double") - b.cast("double")).as("res"))
@@ -820,7 +879,7 @@ object Similarity {
       // the probe's assignment + residual recomputed standalone: per-row
       // argmax, so it equals the rtrained pipeline's row for vec_id 0
       val probeC = ivfAssignment(emb.filter(col("vec_id") === 0), cents,
-          keepCentEmb = true)
+          keepCentEmb = true, mapOnly = true)
         .select(col("cluster").as("pc"),
           zip_with(col("embedding"), col("cent_vec"),
             (a, b) => a.cast("double") - b.cast("double")).as("probe_res"))

@@ -422,6 +422,46 @@ class GraftExpressionsSpec extends SparkSpec {
     assert(err.toString.nonEmpty)
   }
 
+  test("graft_ivf_assign equals the crossJoin+max_by assignment, bit-exact") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val cents = emb.filter(col("vec_id") <= 15)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    // float path, with every optional payload column carried: the
+    // map-only form must reproduce the aggregation's winner AND its
+    // cent_vec/cos_cent fields row for row
+    val agg = graft.queries.Similarity
+      .ivfAssignment(emb, cents, keepCentEmb = true, keepCos = true)
+      .select("vec_id", "cluster", "cent_vec", "cos_cent")
+      .orderBy("vec_id").collect()
+    val native = graft.queries.Similarity
+      .ivfAssignment(emb, cents, keepCentEmb = true, keepCos = true,
+        mapOnly = true)
+      .select("vec_id", "cluster", "cent_vec", "cos_cent")
+      .orderBy("vec_id").collect()
+    assert(native.length === agg.length && native.length > 0)
+    native.zip(agg).foreach { case (a, b) => assert(a === b) }
+    // double path (the trained-assignment layout): quantized vectors
+    val qemb = emb.select(col("vec_id"), col("label"),
+      transform(col("embedding"),
+        v => floor(v.cast("double") * 1e6 + 0.5) / 1e6).as("embedding"))
+    val qcents = qemb.filter(col("vec_id") <= 15)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    val aggD = graft.queries.Similarity.ivfAssignment(qemb, qcents)
+      .select("vec_id", "cluster").orderBy("vec_id").collect()
+    val natD = graft.queries.Similarity
+      .ivfAssignment(qemb, qcents, mapOnly = true)
+      .select("vec_id", "cluster").orderBy("vec_id").collect()
+    assert(natD.length === aggD.length && natD.length > 0)
+    natD.zip(aggD).foreach { case (a, b) => assert(a === b) }
+    // empty codebook is a loud error, not silent garbage
+    val err = intercept[Exception] {
+      graft.queries.Similarity.ivfAssignment(
+        emb, cents.filter(col("cent_id") < 0), mapOnly = true).collect()
+    }
+    assert(err.toString.nonEmpty)
+  }
+
   test("registrar self-heals the FULL function surface after registry drops") {
     // r15 review fix: the safety-net registrar covered only
     // graft_md5h/graft_cosine, so PQ and sketch queries failed to resolve
