@@ -68,6 +68,36 @@ class EngineScaleSpec extends SparkSpec {
     eng.consumeEndAll()
   }
 
+  test("view merge read: max_by aggregate path equals the window path, and plans without a window") {
+    // r21 optimization: the newest-per-key delta merge is a max_by
+    // aggregate (partial map-side agg collapses same-key delta rows
+    // before the exchange) instead of a row_number window. Equivalence
+    // is the contract: same rows under graft.r21=1 (aggregate) and =0
+    // (window), and the optimized logical plan must carry an Aggregate
+    // and no Window node.
+    val root = tmpDir("mm-root"); val meta = tmpDir("mm-meta")
+    val eng = mkEngine(meta, root, "mm_stream", "mm_view")
+    ShardedLog.append(s"$root/s", 0, Seq(("a", "a"), ("b", "b"), ("a", "a")))
+    eng.consumeBegin("ep", "s", "mm_stream", format = "text")
+    eng.processAllAvailable()
+    // second batch overlaps key "a" — the merge must pick its newer count
+    ShardedLog.append(s"$root/s", 0, Seq(("a", "a"), ("c", "c")))
+    eng.processAllAvailable()
+    eng.consumeEndAll()
+    def rows() = eng.viewTable("mm_view").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    spark.conf.set("graft.r21", "1")
+    val agg = rows()
+    val plan = eng.viewTable("mm_view").queryExecution.optimizedPlan.toString
+    spark.conf.set("graft.r21", "0")
+    val win = rows()
+    spark.conf.unset("graft.r21")
+    assert(agg === Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
+    assert(win === agg, "window-path and aggregate-path merges must agree")
+    assert(plan.contains("Aggregate") && !plan.contains("Window"),
+      s"optimized merge must be an aggregate, not a window:\n$plan")
+  }
+
   test("view compaction folds deltas; merge stays correct; newer deltas still win") {
     val root = tmpDir("vc-root"); val meta = tmpDir("vc-meta")
     val eng = mkEngine(meta, root, "vc_stream", "vc_view")
