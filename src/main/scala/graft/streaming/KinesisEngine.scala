@@ -1451,9 +1451,26 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
               .outputMode(if (keysOpt.isDefined) "update" else "append")
               .foreachBatch { (batch: DataFrame, batchId: Long) =>
                 val stamped = (gen << 40) | batchId
+                // r21 (guide §6 small files): an update-mode batch keeps
+                // the state-store partitioning (spark.sql.shuffle.
+                // partitions), so a touched-groups-sized delta would land
+                // as cores× sliver files PER TRIGGER and the merge read
+                // pays a footer+task per sliver until compaction. Pack
+                // the write into at most graft.view.delta.files tasks
+                // (default 8 — compactViewTable's targetPartitions);
+                // coalesce is narrow, so state partitions keep their ids
+                // and no shuffle is added. Raise the knob when a single
+                // trigger legitimately touches huge group counts.
+                val deltaFiles = spark.conf
+                  .get("graft.view.delta.files", "8").toInt
+                val packed =
+                  if (graft.Opt.on(spark) &&
+                      batch.rdd.getNumPartitions > deltaFiles)
+                    batch.coalesce(deltaFiles)
+                  else batch
                 viewLock(vname).synchronized {
                   if (keysOpt.isDefined)
-                    batch.withColumn("__batch", lit(stamped))
+                    packed.withColumn("__batch", lit(stamped))
                       .write.mode("append").parquet(viewDeltaDir(vname))
                   // Stateless transforms have no merge key to collapse a
                   // replay, so idempotence comes from the WRITE: each
