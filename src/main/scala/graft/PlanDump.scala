@@ -421,13 +421,15 @@ object PlanDump {
       .map(_.replaceAll("#\\d+L?", "#"))
       .map(_.replaceAll("plan_id=\\d+", "plan_id="))
       .map(_.replaceAll("graft_([a-z_]+?)_\\d+", "graft_$1_N"))
-      // a path is either scheme-anchored (file:/...) or preceded by
-      // whitespace / '[' (plan lines print locations as "Location [...]"
-      // or bare after a space) — an UNSPACED slash expression ("y#10L/2.0",
-      // a yyyy/MM/dd format token) is preceded by a word char and must
-      // survive, or the fingerprint over-normalizes and masks real plan
-      // changes (ADVICE r19 #1; the earlier guard only covered "/ 2.0")
-      .map(_.replaceAll("(file:|(?<=[\\s\\[]))/[A-Za-z0-9_][^\\s\\],]*", "<path>"))
+      // a path is either scheme-anchored (file:/...) or preceded by a
+      // non-word delimiter: whitespace / '[' (locations print as
+      // "Location [...]"), and — ADVICE r20 #1 — '(', '=' or ',' (a temp
+      // path can follow any of them in argument lists). An UNSPACED
+      // slash expression ("y#10L/2.0", a yyyy/MM/dd format token) is
+      // preceded by a word char and must survive, or the fingerprint
+      // over-normalizes and masks real plan changes (ADVICE r19 #1; the
+      // earlier guard only covered "/ 2.0")
+      .map(_.replaceAll("(file:|(?<=[\\s\\[(=,]))/[A-Za-z0-9_][^\\s\\],]*", "<path>"))
       .mkString("\n")
 
   private def md5hex8(s: String): String =
@@ -456,8 +458,11 @@ object PlanDump {
     // the engine) — excluded by design, and the exclusion is recorded IN
     // the artifact so the fingerprint count self-documents for a reader
     // diffing rounds (VERDICT r19 optional #8). The array form never
-    // matches the prev-parse regex (no ':' follows the name), so old
-    // and new artifacts diff cleanly.
+    // matches the prev-parse regex because that regex requires a
+    // q_-prefixed KEY followed by a quoted hex/err VALUE ("q_x": "ab12")
+    // — inside the excluded array the name is followed by ']', not by a
+    // quoted value — so old and new artifacts diff cleanly (ADVICE r20
+    // #2 corrected this rationale).
     val excluded = Seq("q_stream_ingest")
     val fps = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(excluded.contains)

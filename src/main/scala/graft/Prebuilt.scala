@@ -109,7 +109,22 @@ object Prebuilt {
         // (review r19 — dirFor never rebuilds, so only tableFor has
         // superseded dirs to keep in the map)
         built.put(key + "|" + name, dir.toString)
-        build(dir.toString, name)
+        // a multi-table build can fail AFTER saveAsTable of the primary
+        // but before a companion (the extraSuffixes flow makes that
+        // window first-class): no memo entry is stored on throw, so the
+        // next call rebuilds — but the orphan primary would stay
+        // registered in the catalog for the session. Drop whatever the
+        // failed build already registered before rethrowing
+        // (ADVICE r20 #4); the temp dir stays in the exit sweep.
+        try build(dir.toString, name)
+        catch {
+          case e: Throwable =>
+            (name +: extraSuffixes.map(name + _)).foreach { t =>
+              try { if (s.catalog.tableExists(t)) s.sql(s"DROP TABLE `$t`") }
+              catch { case _: Throwable => () }
+            }
+            throw e
+        }
         name
       }
     })

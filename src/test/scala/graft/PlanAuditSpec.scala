@@ -162,12 +162,14 @@ class PlanAuditSpec extends SparkSpec {
     def scansOf(p: SparkPlan, prefix: String): Seq[FileSourceScanExec] =
       p.collect { case f: FileSourceScanExec
         if f.tableIdentifier.exists(_.table.startsWith(prefix)) => f }
-    // root→scan node chain for the (single) scan of the prefixed table
-    def chainTo(p: SparkPlan, prefix: String): Option[List[SparkPlan]] = p match {
+    // root→scan node chains for EVERY scan of the prefixed table — a
+    // plan that reads the bucketed table twice (reuse disabled, a future
+    // self-join) must have each scan's path to its join checked, not
+    // just the first one found (ADVICE r20 #3)
+    def chainsTo(p: SparkPlan, prefix: String): Seq[List[SparkPlan]] = p match {
       case f: FileSourceScanExec
-        if f.tableIdentifier.exists(_.table.startsWith(prefix)) => Some(List(p))
-      case _ => p.children.view.flatMap(c => chainTo(c, prefix))
-        .headOption.map(p :: _)
+        if f.tableIdentifier.exists(_.table.startsWith(prefix)) => Seq(List(p))
+      case _ => p.children.flatMap(c => chainsTo(c, prefix)).map(p :: _)
     }
     val savedB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     val savedA = spark.conf.get("spark.sql.adaptive.enabled")
@@ -196,16 +198,20 @@ class PlanAuditSpec extends SparkSpec {
             // the JOINED frame on wh and doc_id downstream, and the
             // declared ORDER BY range-partitions the whole result —
             // derived-frame shuffles the query comment scopes out.)
-            val path = chainTo(plan, pre).getOrElse(
-              fail(s"$name: no scan chain found for $pre"))
-            val ancestors = path.reverse.drop(1) // scan's parents, nearest first
-            val untilJoin = ancestors.takeWhile(!_.isInstanceOf[SortMergeJoinExec])
-            assert(ancestors.exists(_.isInstanceOf[SortMergeJoinExec]),
-              s"$name: the bucketed $pre scan must feed a sort-merge join")
-            val offending = untilJoin.filter(_.isInstanceOf[ShuffleExchangeExec])
-            assert(offending.isEmpty,
-              s"$name plans an Exchange between the bucketed $pre scan " +
-                s"and its serve join:\n${offending.headOption.fold("")(_.toString)}")
+            val chains = chainsTo(plan, pre)
+            assert(chains.size === scans.size,
+              s"$name: found ${scans.size} $pre scans but only " +
+                s"${chains.size} root→scan chains — a scan escaped the check")
+            chains.foreach { path =>
+              val ancestors = path.reverse.drop(1) // scan's parents, nearest first
+              val untilJoin = ancestors.takeWhile(!_.isInstanceOf[SortMergeJoinExec])
+              assert(ancestors.exists(_.isInstanceOf[SortMergeJoinExec]),
+                s"$name: the bucketed $pre scan must feed a sort-merge join")
+              val offending = untilJoin.filter(_.isInstanceOf[ShuffleExchangeExec])
+              assert(offending.isEmpty,
+                s"$name plans an Exchange between the bucketed $pre scan " +
+                  s"and its serve join:\n${offending.headOption.fold("")(_.toString)}")
+            }
           }
         }
     } finally {
@@ -237,7 +243,15 @@ class PlanAuditSpec extends SparkSpec {
       // without spaces and a date-format token — are preceded by a word
       // char, not whitespace/'['/file:, and must NOT collapse to <path>
       "HashAggregate(keys=[x#9], functions=[avg(y#10L/2.0)])",
-      "HashAggregate(keys=[date_format(ts#3, yyyy/MM/dd)#5], functions=[count(1)])")
+      "HashAggregate(keys=[date_format(ts#3, yyyy/MM/dd)#5], functions=[count(1)])",
+      // ADVICE r20 #1: paths preceded by '(', '=' or ',' (no space) —
+      // argument-list positions the whitespace/'[' lookbehind missed —
+      // must ALSO collapse, or a run-varying temp path would survive
+      // canonicalization and reintroduce fingerprint drift noise
+      // (keep-token prefixes so the lines survive the keep filter)
+      "Exchange InMemoryFileIndex(/tmp/graft_pq_7aa/postings)",
+      "InMemoryRelation path=/tmp/graft_labels_3fz/labels, fmt=parquet",
+      "Exchange over /tmp/graft_bands_9k/bands,/tmp/graft_bands_9k/more")
       .mkString("\n")
     val c = PlanDump.canonicalPlan(raw)
     assert(!c.contains("#123") && !c.contains("#45") && !c.contains("#9"))

@@ -76,14 +76,18 @@ def main():
     print("|---|---|---|---|---|---|---|")
     for q in keys:
         a, b = ms1.get(q), ms10.get(q)
-        if a and b and a > 0:
-            exp = f"{math.log10(max(b, 1) / a):.2f}"
+        # ADVICE r20 #5: distinguish missing (None) from a legitimate 0 ms
+        # (sub-0.5 ms rounded) reading, and clamp BOTH sides symmetrically
+        # so very fast queries keep a scaling-column entry
+        if a is not None and b is not None:
+            exp = f"{math.log10(max(b, 1) / max(a, 1)):.2f}"
         else:
             exp = "—"
         orc = ("shared CTE" if q.endswith(("indexed", "_bucketed"))
                else "DuckDB")
         print(f"| {q} | {locs[q]} | {orc} | `{enc(q)}` | "
-              f"{a if a else '—'} | {b if b else '—'} | {exp} |")
+              f"{a if a is not None else '—'} | "
+              f"{b if b is not None else '—'} | {exp} |")
     missing = [q for q in ms1 if q not in locs]
     if missing:
         print(f"\n<!-- benched but not located: {missing} -->", file=sys.stderr)
