@@ -24,6 +24,10 @@ object ABBench {
       .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // r22: the flag the on/off alternation flips — defaults to graft.r21
+    // (the r21 protocol); GRAFT_AB_KEY=graft.r22 adjudicates this round's
+    // shapes without also reverting last round's.
+    val abKey = sys.env.getOrElse("GRAFT_AB_KEY", "graft.r21")
     // optional session-conf experiment: GRAFT_AB_CONF="key=onVal|offVal"
     // (comma-separated pairs) — the ON variant sets onVal, OFF offVal
     val abConf: Seq[(String, String, String)] =
@@ -33,7 +37,7 @@ object ABBench {
         (k, onV, offV)
       }
     def once(name: String, flag: String): Double = {
-      spark.conf.set("graft.r21", flag)
+      spark.conf.set(abKey, flag)
       abConf.foreach { case (k, onV, offV) =>
         spark.conf.set(k, if (flag == "1") onV else offV)
       }

@@ -11,4 +11,25 @@ object Opt {
   def on(s: org.apache.spark.sql.SparkSession): Boolean =
     s.conf.get("graft.r21", "1") == "1"
   def on: Boolean = on(org.apache.spark.sql.SparkSession.active)
+
+  /** Round-22 optimization shapes, same contract as [[on]]: default ON,
+    * `graft.r22=0` restores the r21 shape for A/B adjudication. Kept
+    * separate from `graft.r21` so each round's changes can be
+    * adjudicated independently (flipping r21 also reverts the r21
+    * shapes, conflating two diffs). */
+  def on22(s: org.apache.spark.sql.SparkSession): Boolean =
+    s.conf.get("graft.r22", "1") == "1"
+  def on22: Boolean = on22(org.apache.spark.sql.SparkSession.active)
+
+  /** Deployment-scale switch (VERDICT r21 #4/#5): `graft.scale.cluster=1`
+    * flips the shape choices that were adjudicated for LOCAL mode but
+    * lose at 100 TB — sites where a saved full-corpus exchange is worth
+    * more than the extra broadcast/checkpoint jobs it costs at sf0.1.
+    * Default OFF so the driver's bench keeps measuring the local-mode
+    * shapes; a cluster deployment sets it once in spark-defaults. Oracle
+    * parity holds under both values (the flipped shapes are
+    * value-identical — see each call site). */
+  def cluster(s: org.apache.spark.sql.SparkSession): Boolean =
+    s.conf.get("graft.scale.cluster", "0") == "1"
+  def cluster: Boolean = cluster(org.apache.spark.sql.SparkSession.active)
 }

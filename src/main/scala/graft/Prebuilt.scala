@@ -116,12 +116,15 @@ object Prebuilt {
         // registered in the catalog for the session. Drop whatever the
         // failed build already registered before rethrowing
         // (ADVICE r20 #4); the temp dir stays in the exit sweep.
+        // NonFatal only (ADVICE r21 #3): a fatal error (OOM, interrupt)
+        // must propagate immediately — issuing catalog RPCs on the way
+        // out could mask or compound the original condition
         try build(dir.toString, name)
         catch {
-          case e: Throwable =>
+          case scala.util.control.NonFatal(e) =>
             (name +: extraSuffixes.map(name + _)).foreach { t =>
               try { if (s.catalog.tableExists(t)) s.sql(s"DROP TABLE `$t`") }
-              catch { case _: Throwable => () }
+              catch { case scala.util.control.NonFatal(_) => () }
             }
             throw e
         }

@@ -510,7 +510,19 @@ object Similarity {
       val emb = Tables.embeddings(s, d)
       val cents = emb.filter(col("vec_id") <= 15)
         .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
-      val assigned = ivfAssignment(emb, cents)
+      // r22 (VERDICT r21 #4/#5): locally the aggregation form stays —
+      // its exchange doubles as the ReusedExchange dedup point for the
+      // probe+candidate arms (mapOnly here measured 1.03–1.12× slower,
+      // r21 adjudication). At cluster scale that trade inverts: two
+      // ReusedExchange READS of a full-corpus shuffle cost more than a
+      // checkpoint+scan, and the saved per-assignment corpus exchange
+      // dominates the 16-row broadcast build. graft.scale.cluster=1
+      // flips to the map-only assignment materialized once (value-
+      // identical winner — IvfAssign spec; oracle green both ways).
+      val assigned =
+        if (graft.Opt.cluster(s))
+          ivfAssignment(emb, cents, mapOnly = true).localCheckpoint(false)
+        else ivfAssignment(emb, cents)
       val probeC = assigned.filter(col("vec_id") === 0)
         .select(col("embedding").as("probe_emb"), col("cluster").as("probe_cluster"))
       assigned.join(broadcast(probeC), col("cluster") === col("probe_cluster"))
@@ -641,7 +653,12 @@ object Similarity {
       val emb = Tables.embeddings(s, d)
       val cents = emb.filter(col("vec_id") <= 15)
         .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
-      val assigned = ivfAssignment(emb, cents)
+      // graft.scale.cluster: same double-arm trade as q_similarity_ivf —
+      // see the note there
+      val assigned =
+        if (graft.Opt.cluster(s))
+          ivfAssignment(emb, cents, mapOnly = true).localCheckpoint(false)
+        else ivfAssignment(emb, cents)
       val probeC = assigned.filter(col("vec_id") === 0)
         .select(col("cluster").as("pc"))
       val cand = assigned.join(broadcast(probeC), col("cluster") === col("pc"))
@@ -698,8 +715,14 @@ object Similarity {
       // r21 adjudicated: the map-only assignment measured 1.05-1.17×
       // SLOWER here across three ABBench sessions despite the single
       // use (the broadcast codebook build's extra jobs outweigh the
-      // saved exchange at this scale) — the aggregation form stays
-      val assigned = ivfAssignment(emb, cents)
+      // saved exchange at this scale) — the aggregation form stays the
+      // LOCAL default. r22: at 100 TB the saved full-corpus vec_id
+      // exchange dominates the 16-row broadcast build's extra jobs —
+      // graft.scale.cluster=1 flips to the map-only scan shape
+      // (single-use site, no checkpoint needed; value-identical winner,
+      // oracle green both ways).
+      val assigned =
+        ivfAssignment(emb, cents, mapOnly = graft.Opt.cluster(s))
       val probeRow = emb.filter(col("vec_id") === 0)
         .select(col("embedding").as("probe_emb"))
       val probed = cents.crossJoin(broadcast(probeRow))

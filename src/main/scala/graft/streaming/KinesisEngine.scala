@@ -1461,13 +1461,22 @@ class KinesisEngine(spark: SparkSession, metaDir: String,
                 // coalesce is narrow, so state partitions keep their ids
                 // and no shuffle is added. Raise the knob when a single
                 // trigger legitimately touches huge group counts.
-                val deltaFiles = spark.conf
-                  .get("graft.view.delta.files", "8").toInt
-                val packed =
+                // r22 (ADVICE r21 #1): computed lazily so append-mode
+                // views (keysOpt None, `packed` never used) don't force
+                // physical planning of the micro-batch via rdd access on
+                // every trigger; the knob parse is clamped/safe so a
+                // malformed session value degrades to the default
+                // instead of failing the stream mid-trigger.
+                lazy val packed = {
+                  val deltaFiles = math.max(1,
+                    scala.util.Try(spark.conf
+                      .get("graft.view.delta.files", "8").trim.toInt)
+                      .getOrElse(8))
                   if (graft.Opt.on(spark) &&
                       batch.rdd.getNumPartitions > deltaFiles)
                     batch.coalesce(deltaFiles)
                   else batch
+                }
                 viewLock(vname).synchronized {
                   if (keysOpt.isDefined)
                     packed.withColumn("__batch", lit(stamped))

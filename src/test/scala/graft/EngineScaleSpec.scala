@@ -86,12 +86,16 @@ class EngineScaleSpec extends SparkSpec {
     eng.consumeEndAll()
     def rows() = eng.viewTable("mm_view").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    spark.conf.set("graft.r21", "1")
-    val agg = rows()
-    val plan = eng.viewTable("mm_view").queryExecution.optimizedPlan.toString
-    spark.conf.set("graft.r21", "0")
-    val win = rows()
-    spark.conf.unset("graft.r21")
+    // try/finally (ADVICE r21 #2): a mid-test failure must not leak
+    // graft.r21=0 into the shared session and silently flip later tests
+    // onto unoptimized paths
+    val (agg, plan, win) = try {
+      spark.conf.set("graft.r21", "1")
+      val agg = rows()
+      val plan = eng.viewTable("mm_view").queryExecution.optimizedPlan.toString
+      spark.conf.set("graft.r21", "0")
+      (agg, plan, rows())
+    } finally spark.conf.unset("graft.r21")
     assert(agg === Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
     assert(win === agg, "window-path and aggregate-path merges must agree")
     assert(plan.contains("Aggregate") && !plan.contains("Window"),
